@@ -1,0 +1,464 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational SQL surface of the reference engine, re-expressed with the
+  * DataFrame API (Catalyst-optimized: pushdown, pruning, broadcast joins).
+  *
+  * Semantics mirror the reference's OLAP test suite
+  * (reference: adaptors/clojure/test/bq_runner/olap_test.clj) — window
+  * functions, CTEs, aggregations, joins, subqueries, CASE, date/string/
+  * regexp functions, percentiles, cohort analysis — run against the
+  * TPC-H-ish test tables.
+  *
+  * Every output is deterministically ordered and every computed column is
+  * explicitly cast/rounded so the DuckDB oracle hash-matches bit-for-bit.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  val defs: Map[String, QDef] = Map(
+
+    // §2.1#1 GROUP BY + multi-aggregation (olap_test.clj test-group-by-aggregations)
+    "q_agg_groupby" -> QDef(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            round(sum("l_quantity"), 2).as("sum_qty"),
+            round(avg("l_extendedprice"), 2).as("avg_price"),
+            count(lit(1)).as("cnt"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      """SELECT l_returnflag, l_linestatus,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |  ROUND(AVG(l_extendedprice), 2) AS avg_price,
+        |  COUNT(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // §2.1#2 TPC-H Q1 pricing summary (headline bench query)
+    "q1_pricing_summary" -> QDef(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(to_date(col("l_shipdate")) <= lit("1998-09-02"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            round(sum("l_quantity"), 2).as("sum_qty"),
+            round(sum("l_extendedprice"), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+            round(avg("l_quantity"), 2).as("avg_qty"),
+            round(avg("l_extendedprice"), 2).as("avg_price"),
+            round(avg("l_discount"), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      """SELECT l_returnflag, l_linestatus,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+        |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  ROUND(SUM(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+        |  ROUND(AVG(l_quantity), 2) AS avg_qty,
+        |  ROUND(AVG(l_extendedprice), 2) AS avg_price,
+        |  ROUND(AVG(l_discount), 4) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // §2.1#3 HAVING (olap_test.clj test-having-clause)
+    "q_having" -> QDef(
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("order_cnt"), round(sum("o_totalprice"), 2).as("total_spent"))
+          .filter(col("order_cnt") >= 5)
+          .orderBy("o_custkey"),
+      """SELECT o_custkey, COUNT(*) AS order_cnt, ROUND(SUM(o_totalprice), 2) AS total_spent
+        |FROM orders GROUP BY 1 HAVING COUNT(*) >= 5 ORDER BY 1""".stripMargin),
+
+    // §2.1#4 ROW_NUMBER (olap_test.clj test-row-number)
+    "q_window_row_number" -> QDef(
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+          .orderBy("o_custkey", "rn")
+      },
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders) sub
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin),
+
+    // §2.1#5 RANK / DENSE_RANK (olap_test.clj test-rank-dense-rank)
+    "q_window_rank" -> QDef(
+      (s, dir) => {
+        val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc)
+        t(s, dir, "customer")
+          .select(
+            col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+            rank().over(w).cast("long").as("rnk"),
+            dense_rank().over(w).cast("long").as("drnk"))
+          .filter(col("rnk") <= 10)
+          .orderBy("c_mktsegment", "rnk", "c_custkey")
+      },
+      """SELECT * FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    CAST(RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS BIGINT) AS rnk,
+        |    CAST(DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS BIGINT) AS drnk
+        |  FROM customer) sub
+        |WHERE rnk <= 10 ORDER BY c_mktsegment, rnk, c_custkey""".stripMargin),
+
+    // §2.1#6 LEAD / LAG (olap_test.clj test-lead-lag)
+    "q_window_lead_lag" -> QDef(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .select(
+            col("user_id"), col("event_id"), col("value"),
+            lag("value", 1).over(w).as("prev_value"),
+            lead("value", 1).over(w).as("next_value"))
+          .orderBy("user_id", "event_id")
+      },
+      """SELECT user_id, event_id, value,
+        |  LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+        |  LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+        |FROM events ORDER BY user_id, event_id""".stripMargin),
+
+    // §2.1#7 running totals (olap_test.clj test-running-totals)
+    "q_window_running_sum" -> QDef(
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "orders")
+          .select(
+            col("o_custkey"), col("o_orderkey"),
+            round(sum("o_totalprice").over(w), 2).as("running_total"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      """SELECT o_custkey, o_orderkey,
+        |  ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
+
+    // §2.1#8 NTILE (olap_test.clj test-ntile)
+    "q_window_ntile" -> QDef(
+      (s, dir) => {
+        val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), ntile(4).over(w).cast("long").as("quartile"))
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey,
+        |  CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+
+    // §2.1#9 chained CTEs (olap_test.clj test-chained-ctes)
+    "q_cte_chain" -> QDef(
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql(
+          """WITH customer_totals AS (
+            |  SELECT o_custkey, SUM(o_totalprice) AS total FROM orders GROUP BY o_custkey
+            |), ranked AS (
+            |  SELECT o_custkey, ROUND(total, 2) AS total,
+            |    CAST(RANK() OVER (ORDER BY total DESC, o_custkey) AS BIGINT) AS rnk
+            |  FROM customer_totals
+            |)
+            |SELECT o_custkey, total, rnk FROM ranked WHERE rnk <= 20 ORDER BY rnk, o_custkey""".stripMargin)
+      },
+      """WITH customer_totals AS (
+        |  SELECT o_custkey, SUM(o_totalprice) AS total FROM orders GROUP BY o_custkey
+        |), ranked AS (
+        |  SELECT o_custkey, ROUND(total, 2) AS total,
+        |    CAST(RANK() OVER (ORDER BY total DESC, o_custkey) AS BIGINT) AS rnk
+        |  FROM customer_totals
+        |)
+        |SELECT o_custkey, total, rnk FROM ranked WHERE rnk <= 20 ORDER BY rnk, o_custkey""".stripMargin),
+
+    // §2.1#10 multi JOIN inner + left (olap_test.clj test-multiple-joins)
+    "q_join_multi" -> QDef(
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val nat = t(s, dir, "nation")
+        val ord = t(s, dir, "orders")
+        cust
+          .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+          .join(ord, cust("c_custkey") === ord("o_custkey"), "left")
+          .select(col("c_custkey"), col("n_name"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("c_custkey"), col("o_orderkey"))
+      },
+      """SELECT c_custkey, n_name, o_orderkey, o_totalprice
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |LEFT JOIN orders ON c_custkey = o_custkey
+        |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin),
+
+    // §2.1#11 CROSS JOIN (olap_test.clj test-cross-join)
+    "q_cross_join" -> QDef(
+      (s, dir) =>
+        t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+          .select(col("r_name"), col("n_name"))
+          .orderBy("r_name", "n_name"),
+      "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY 1, 2"),
+
+    // §2.1#12 scalar subquery (olap_test.clj test-scalar-subquery)
+    "q_subquery_scalar" -> QDef(
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val avgBal = cust.agg(avg("c_acctbal").as("ab"))
+        cust.crossJoin(broadcast(avgBal))
+          .select(col("c_custkey"), round(col("c_acctbal") - col("ab"), 2).as("diff_from_avg"))
+          .orderBy("c_custkey")
+      },
+      """SELECT c_custkey,
+        |  ROUND(c_acctbal - (SELECT AVG(c_acctbal) FROM customer), 2) AS diff_from_avg
+        |FROM customer ORDER BY c_custkey""".stripMargin),
+
+    // §2.1#13 correlated EXISTS → left-semi join (olap_test.clj test-correlated-subquery)
+    "q_exists_correlated" -> QDef(
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val big = t(s, dir, "orders").filter(col("o_totalprice") > 150000)
+        cust.join(big, cust("c_custkey") === big("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+        |ORDER BY c_custkey""".stripMargin),
+
+    // §2.1#14 CASE WHEN (olap_test.clj test-case-when)
+    "q_case_when" -> QDef(
+      (s, dir) =>
+        t(s, dir, "part")
+          .select(
+            col("p_partkey"),
+            when(col("p_size") < 10, "small")
+              .when(col("p_size") < 25, "medium")
+              .otherwise("large").as("size_class"))
+          .orderBy("p_partkey"),
+      """SELECT p_partkey,
+        |  CASE WHEN p_size < 10 THEN 'small'
+        |       WHEN p_size < 25 THEN 'medium'
+        |       ELSE 'large' END AS size_class
+        |FROM part ORDER BY p_partkey""".stripMargin),
+
+    // §2.1#15 EXTRACT year/month/day (olap_test.clj test-date-functions)
+    "q_date_extract" -> QDef(
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            year(col("o_orderdate")).cast("long").as("yr"),
+            month(col("o_orderdate")).cast("long").as("mo"),
+            dayofmonth(col("o_orderdate")).cast("long").as("dy"))
+          .orderBy("o_orderkey"),
+      """SELECT o_orderkey,
+        |  CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+        |  CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mo,
+        |  CAST(EXTRACT(DAY FROM o_orderdate) AS BIGINT) AS dy
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+
+    // §2.1#16 date arithmetic (olap_test.clj test-date-arithmetic)
+    "q_date_add" -> QDef(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select(
+            col("l_orderkey"),
+            col("l_linenumber").cast("long").as("l_linenumber"),
+            date_format(date_add(to_date(col("l_shipdate")), 10), "yyyy-MM-dd").as("ship_plus_10"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  strftime(CAST(l_shipdate AS DATE) + INTERVAL 10 DAY, '%Y-%m-%d') AS ship_plus_10
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    // §2.1#17 string functions (olap_test.clj test-string-functions)
+    "q_string_funcs" -> QDef(
+      (s, dir) =>
+        t(s, dir, "customer")
+          .select(
+            col("c_custkey"),
+            upper(col("c_name")).as("upper_name"),
+            lower(col("c_mktsegment")).as("lower_seg"),
+            concat(col("c_name"), lit("-"), col("c_mktsegment")).as("concat_str"),
+            length(col("c_name")).cast("long").as("name_len"))
+          .orderBy("c_custkey"),
+      """SELECT c_custkey, UPPER(c_name) AS upper_name, LOWER(c_mktsegment) AS lower_seg,
+        |  c_name || '-' || c_mktsegment AS concat_str,
+        |  CAST(LENGTH(c_name) AS BIGINT) AS name_len
+        |FROM customer ORDER BY c_custkey""".stripMargin),
+
+    // §2.1#18 regexp (olap_test.clj test-regexp-functions)
+    "q_regexp" -> QDef(
+      (s, dir) =>
+        t(s, dir, "part")
+          .select(
+            col("p_partkey"),
+            col("p_name").rlike("(red|green)").as("has_color"),
+            regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"))
+          .orderBy("p_partkey"),
+      """SELECT p_partkey,
+        |  regexp_matches(p_name, '(red|green)') AS has_color,
+        |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word
+        |FROM part ORDER BY p_partkey""".stripMargin),
+
+    // §2.1#19 percentiles (olap_test.clj test-percentile)
+    "q_percentile" -> QDef(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+            round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95"))
+          .orderBy("l_returnflag"),
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        |  ROUND(quantile_cont(l_extendedprice, 0.95), 2) AS p95
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // §2.1#20 cohort analysis + COUNT(DISTINCT) (olap_test.clj test-cohort-analysis)
+    "q_cohort" -> QDef(
+      (s, dir) => {
+        t(s, dir, "events").createOrReplaceTempView("events")
+        s.sql(
+          """WITH signups AS (
+            |  SELECT user_id, MIN(CAST(ts AS DATE)) AS signup_date
+            |  FROM events WHERE event_type = 'signup' GROUP BY user_id
+            |), purchasers AS (
+            |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+            |)
+            |SELECT date_format(s.signup_date, 'yyyy-MM-dd') AS signup_date,
+            |  COUNT(DISTINCT s.user_id) AS total_signups,
+            |  COUNT(DISTINCT p.user_id) AS converted
+            |FROM signups s LEFT JOIN purchasers p ON s.user_id = p.user_id
+            |GROUP BY s.signup_date ORDER BY 1""".stripMargin)
+      },
+      """WITH signups AS (
+        |  SELECT user_id, MIN(CAST(ts AS DATE)) AS signup_date
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id
+        |), purchasers AS (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT strftime(s.signup_date, '%Y-%m-%d') AS signup_date,
+        |  COUNT(DISTINCT s.user_id) AS total_signups,
+        |  COUNT(DISTINCT p.user_id) AS converted
+        |FROM signups s LEFT JOIN purchasers p ON s.user_id = p.user_id
+        |GROUP BY s.signup_date ORDER BY 1""".stripMargin),
+
+    // §2.1#21 UNION ALL
+    "q_union_all" -> QDef(
+      (s, dir) =>
+        t(s, dir, "customer").select(col("c_custkey").as("id"), lit("customer").as("kind"))
+          .unionAll(t(s, dir, "supplier").select(col("s_suppkey").as("id"), lit("supplier").as("kind")))
+          .orderBy("kind", "id"),
+      """SELECT c_custkey AS id, 'customer' AS kind FROM customer
+        |UNION ALL
+        |SELECT s_suppkey AS id, 'supplier' AS kind FROM supplier
+        |ORDER BY kind, id""".stripMargin),
+
+    // §2.1#22 top-k
+    "q_topk" -> QDef(
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100),
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin),
+
+    // §2.1#23 TPC-H Q3 shipping priority (headline bench query)
+    "q_tpch_q3" -> QDef(
+      (s, dir) => {
+        val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val ord = t(s, dir, "orders").filter(to_date(col("o_orderdate")) < lit("1998-06-15"))
+        val li = t(s, dir, "lineitem").filter(to_date(col("l_shipdate")) > lit("1998-06-15"))
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+          .select(
+            col("l_orderkey"), col("revenue"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+            col("o_orderpriority"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      """SELECT l_orderkey,
+        |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+        |  o_orderpriority
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1998-06-15'
+        |  AND CAST(l_shipdate AS DATE) > DATE '1998-06-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin),
+
+    // §2.1#24 5-way star join (Q5-ish revenue rollup)
+    "q_star_join" -> QDef(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val ord = t(s, dir, "orders")
+        val cust = t(s, dir, "customer")
+        val nat = t(s, dir, "nation")
+        val reg = t(s, dir, "region")
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .join(cust, ord("o_custkey") === cust("c_custkey"))
+          .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+          .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+            count(lit(1)).as("line_cnt"))
+          .orderBy("r_name", "n_name")
+      },
+      """SELECT r_name, n_name,
+        |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  COUNT(*) AS line_cnt
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // §2.1#25 UNNEST / array explode (olap_test.clj test-unnest-*)
+    "q_unnest" -> QDef(
+      (s, dir) =>
+        t(s, dir, "embeddings")
+          .filter(col("vec_id") < 20)
+          .select(col("vec_id"), posexplode(col("embedding")))
+          .select(
+            col("vec_id"),
+            col("pos").cast("long").as("pos"),
+            round(col("col").cast("double"), 4).as("val"))
+          .orderBy("vec_id", "pos"),
+      """SELECT e.vec_id, CAST(gs.i AS BIGINT) AS pos,
+        |  ROUND(CAST(e.embedding[gs.i + 1] AS DOUBLE), 4) AS val
+        |FROM embeddings e
+        |CROSS JOIN generate_series(0, 63) AS gs(i)
+        |WHERE e.vec_id < 20 AND gs.i < len(e.embedding)
+        |ORDER BY 1, 2""".stripMargin),
+
+    // JSON extraction from string props (BigQuery JSON_VALUE-style)
+    "q_json_extract" -> QDef(
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(
+            col("event_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .orderBy("event_id"),
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin)
+  )
+}
