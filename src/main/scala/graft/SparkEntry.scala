@@ -9,7 +9,11 @@ object SparkEntry {
 
   /** All verifiable operators, keyed by SURVEY §2 query name. */
   def all: Map[String, QDef] =
-    graft.queries.Relational.defs
+    graft.queries.Relational.defs ++
+      graft.queries.TextOps.defs ++
+      graft.queries.VectorOps.defs ++
+      graft.queries.EventOps.defs ++
+      graft.queries.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Batch analytics over the `events` table: tumbling-window aggregation
+  * and gap-based sessionization. These are the batch-parity twins of the
+  * Structured Streaming operators in graft.streaming (same semantics,
+  * verified against the DuckDB oracle here; the streaming versions are
+  * spec-tested with MemoryStream).
+  *
+  * Timestamps are compared at whole-second granularity (unix epoch) so
+  * the ns-precision parquet source and Spark's µs timestamps agree.
+  */
+object EventOps {
+
+  private def ev(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "events")
+
+  val defs: Map[String, QDef] = Map(
+
+    // §2.4#47 tumbling hourly aggregation per event type
+    "ev_tumbling_agg" -> QDef(
+      (s, dir) =>
+        ev(s, dir)
+          .groupBy(
+            date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+            col("event_type"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            round(sum("value"), 2).as("sum_value"),
+            count_distinct(col("user_id")).as("n_users"))
+          .orderBy("hour_start", "event_type"),
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  event_type,
+        |  COUNT(*) AS n_events,
+        |  ROUND(SUM(value), 2) AS sum_value,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // §2.4#48 sessionization: 30-minute inactivity gap splits sessions;
+    // classic lag + cumulative-sum-of-boundaries formulation.
+    "ev_sessionize" -> QDef(
+      (s, dir) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+        val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev(s, dir)
+          .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("ts_s"))
+          .withColumn("prev_ts", lag("ts_s", 1).over(byUser))
+          .withColumn("is_new",
+            when(col("prev_ts").isNull || col("ts_s") - col("prev_ts") > 1800, 1L).otherwise(0L))
+          .withColumn("session_idx", sum("is_new").over(cum))
+          .groupBy("user_id", "session_idx")
+          .agg(
+            count(lit(1)).as("n_events"),
+            (max("ts_s") - min("ts_s")).as("duration_s"))
+          .orderBy("user_id", "session_idx")
+      },
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+        |g AS (
+        |  SELECT *, CASE WHEN LAG(ts_s) OVER w IS NULL
+        |                   OR ts_s - LAG(ts_s) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+        |sess AS (
+        |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM g)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  COUNT(*) AS n_events,
+        |  CAST(MAX(ts_s) - MIN(ts_s) AS BIGINT) AS duration_s
+        |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  )
+}

@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing: media as opaque `binary` payloads with
+  * typed metadata, and batched per-partition feature extraction.
+  *
+  * The container has no image/audio codecs, so the DECODE STEP IS A
+  * DETERMINISTIC STUB: features are per-residue byte sums (position mod
+  * 8) of the payload. Everything around it — binary column, metadata
+  * schema, partition-iterator batch shape (the Scala analog of a batched
+  * pandas UDF), feature-vector schema — is real. A production decoder
+  * replaces only the inner loop in [[extract]].
+  *
+  * Payloads are derived from `documents.text` (UTF-8 bytes) so the stub
+  * is byte-for-byte reproducible by the DuckDB oracle via char codes.
+  */
+object Multimodal {
+
+  final case class MediaFeatures(
+      doc_id: Long, mime: String, byte_len: Long,
+      f0: Long, f1: Long, f2: Long, f3: Long,
+      f4: Long, f5: Long, f6: Long, f7: Long)
+
+  /** STUB decoder: replace this loop with a real codec (image resize,
+    * audio frame sample, …). Signature and batch shape are the real
+    * contract: one iterator per partition, records streamed through.
+    */
+  private def extract(id: Long, mime: String, payload: Array[Byte]): MediaFeatures = {
+    val f = new Array[Long](8)
+    var p = 0
+    while (p < payload.length) { f(p % 8) += payload(p) & 0xff; p += 1 }
+    MediaFeatures(id, mime, payload.length.toLong, f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
+  }
+
+  def features(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), lit("text/plain").as("mime"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, mime, payload) => extract(id, mime, payload) })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  private def oracleFeature(i: Int): String =
+    s"CAST(list_sum(list_transform(range(1, LENGTH(text) + 1), " +
+      s"p -> CASE WHEN (p - 1) % 8 = $i THEN ascii(text[p]) ELSE 0 END)) AS BIGINT) AS f$i"
+
+  val defs: Map[String, QDef] = Map(
+    "mm_features" -> QDef(
+      (s, dir) => features(s, dir),
+      s"""SELECT doc_id, 'text/plain' AS mime,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         |  ${(0 to 7).map(oracleFeature).mkString(",\n  ")}
+         |FROM documents ORDER BY doc_id""".stripMargin)
+  )
+}

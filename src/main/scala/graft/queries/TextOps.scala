@@ -1,0 +1,247 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis and deduplication operators for LLM training-data
+  * pipelines, over the `documents` table.
+  *
+  * All hot paths are pure Catalyst expression compositions (higher-order
+  * array functions + xxhash64) — no UDFs, so everything stays inside
+  * whole-stage codegen and scales as map-side work. Near-dup detection
+  * avoids O(n²): MinHash+LSH shuffles by (band, bucket) only; the exact
+  * n-gram Jaccard baseline is blocked by language.
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
+
+  /** Distinct word 3-gram shingles of a whitespace-tokenized text column. */
+  def shingles(text: Column): Column = {
+    val toks = split(text, " ")
+    array_distinct(
+      transform(
+        sequence(lit(1), size(toks) - lit(2)),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+  }
+
+  /** Jaccard similarity of two (already distinct) shingle arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
+
+  /** k-permutation MinHash signature over a shingle array. Each hash
+    * family member is xxhash64 salted with the seed index — deterministic,
+    * map-only, codegen-friendly.
+    */
+  def minhashSignature(sh: Column, k: Int): Column =
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(sh, s => xxhash64(concat(i.cast("string"), lit("#"), s)))))
+
+  /** LSH band hashes for a MinHash signature (bands × rowsPerBand = k). */
+  def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(concat_ws(",", slice(sig, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)))))
+
+  /** 64-bit SimHash over whitespace tokens: per bit, sum +1/-1 weighted by
+    * each token's xxhash64 bit, then take the sign.
+    */
+  def simhash64(text: Column): Column = {
+    val toks = split(text, " ")
+    (0 until 64).map { i =>
+      val bitSum = aggregate(
+        toks,
+        lit(0L),
+        (acc, t) => acc + when(shiftright(xxhash64(t), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(bitSum > 0L, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  private val stop = Map(
+    "en" -> "(the|a|of|to|and)",
+    "de" -> "(der|die|und|das|ist)",
+    "fr" -> "(le|la|et|les|des)",
+    "es" -> "(el|la|de|que|los)")
+
+  val defs: Map[String, QDef] = Map(
+
+    // §2.3#35 exact dedup via content hash: every doc annotated with its
+    // duplicate rank inside its md5(text) group (rank>1 == drop candidate).
+    "dedup_exact" -> QDef(
+      (s, dir) => {
+        val w = Window.partitionBy("content_hash").orderBy("doc_id")
+        docs(s, dir)
+          .select(col("doc_id"), md5(col("text")).as("content_hash"))
+          .withColumn("dup_rank", row_number().over(w).cast("long"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id, md5(text) AS content_hash,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS BIGINT) AS dup_rank
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // §2.3#36 exact n-gram Jaccard near-dup pairs, blocked by language.
+    // This is the exact baseline the MinHash/LSH path approximates.
+    "dedup_ngram_jaccard" -> QDef(
+      (s, dir) => {
+        val d = docs(s, dir)
+          .filter(size(split(col("text"), " ")) >= 3)
+          .select(col("doc_id"), col("lang"), shingles(col("text")).as("sh"))
+        val a = d.select(col("doc_id").as("doc_a"), col("lang"), col("sh").as("sh_a"))
+        val b = d.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("sh").as("sh_b"))
+        a.join(b, a("lang") === b("lang_b") && a("doc_a") < b("doc_b"))
+          .select(col("doc_a"), col("doc_b"), round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+          .filter(col("jaccard") >= 0.5)
+          .orderBy("doc_a", "doc_b")
+      },
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS sh
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // §2.3#37 MinHash + LSH banding near-dup detection: the 100 TB path.
+    // Signature is map-only; candidates come from a shuffle on
+    // (band, bucket) — never all-pairs. Candidates are verified with exact
+    // Jaccard, so at high similarity the output equals the exact baseline
+    // (which is the DuckDB oracle below).
+    "dedup_minhash_lsh" -> QDef(
+      (s, dir) => {
+        val k = 32; val bands = 8; val rows = 4
+        val d = docs(s, dir)
+          .filter(size(split(col("text"), " ")) >= 3)
+          .select(col("doc_id"), col("lang"), shingles(col("text")).as("sh"))
+        val sig = d.withColumn("bands", bandHashes(minhashSignature(col("sh"), k), bands, rows))
+        val banded = sig.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bhash")))
+        val cand = banded.as("x")
+          .join(banded.as("y"), col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        val withSh = cand
+          .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+          .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        withSh
+          .select(col("doc_a"), col("doc_b"), round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+          .filter(col("jaccard") >= 0.5)
+          .orderBy("doc_a", "doc_b")
+      },
+      // Exact-Jaccard oracle: valid because verified LSH output at τ=0.5
+      // equals the exact result when band recall holds (checked in specs).
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS sh
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // §2.3#38 SimHash near-dup fingerprints (Hamming-space path; no SQL
+    // oracle — xxhash64 has no DuckDB equivalent). Rows-only check + spec.
+    "dedup_simhash" -> QDef(
+      (s, dir) =>
+        docs(s, dir)
+          .select(col("doc_id"), simhash64(col("text")).as("simhash"))
+          .orderBy("doc_id"),
+      None),
+
+    // §2.3#42 language ID: per-language stopword-hit scores, argmax with a
+    // deterministic tie-break order. Identical CASE logic on both sides.
+    "text_lang_id" -> QDef(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val scored = d.select(
+          col("doc_id") +: stop.toSeq.sortBy(_._1).map { case (l, re) =>
+            regexp_count(col("text"), lit("\\b" + re + "\\b")).cast("long").as(s"score_$l")
+          }: _*)
+        scored
+          .withColumn("pred_lang",
+            when(col("score_en") >= col("score_de") && col("score_en") >= col("score_fr") && col("score_en") >= col("score_es"), "en")
+              .when(col("score_de") >= col("score_fr") && col("score_de") >= col("score_es"), "de")
+              .when(col("score_fr") >= col("score_es"), "fr")
+              .otherwise("es"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\b(der|die|und|das|ist)\b')) AS BIGINT) AS score_de,
+        |  CAST(len(regexp_extract_all(text, '\b(the|a|of|to|and)\b')) AS BIGINT) AS score_en,
+        |  CAST(len(regexp_extract_all(text, '\b(el|la|de|que|los)\b')) AS BIGINT) AS score_es,
+        |  CAST(len(regexp_extract_all(text, '\b(le|la|et|les|des)\b')) AS BIGINT) AS score_fr,
+        |  CASE WHEN len(regexp_extract_all(text, '\b(the|a|of|to|and)\b')) >= len(regexp_extract_all(text, '\b(der|die|und|das|ist)\b'))
+        |        AND len(regexp_extract_all(text, '\b(the|a|of|to|and)\b')) >= len(regexp_extract_all(text, '\b(le|la|et|les|des)\b'))
+        |        AND len(regexp_extract_all(text, '\b(the|a|of|to|and)\b')) >= len(regexp_extract_all(text, '\b(el|la|de|que|los)\b')) THEN 'en'
+        |       WHEN len(regexp_extract_all(text, '\b(der|die|und|das|ist)\b')) >= len(regexp_extract_all(text, '\b(le|la|et|les|des)\b'))
+        |        AND len(regexp_extract_all(text, '\b(der|die|und|das|ist)\b')) >= len(regexp_extract_all(text, '\b(el|la|de|que|los)\b')) THEN 'de'
+        |       WHEN len(regexp_extract_all(text, '\b(le|la|et|les|des)\b')) >= len(regexp_extract_all(text, '\b(el|la|de|que|los)\b')) THEN 'fr'
+        |       ELSE 'es' END AS pred_lang
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // §2.3#43 quality scoring: length / alpha ratio / space ratio /
+    // stopword density → composite score.
+    "text_quality" -> QDef(
+      (s, dir) =>
+        docs(s, dir)
+          .select(
+            col("doc_id"),
+            length(col("text")).cast("long").as("len_chars"),
+            round(regexp_count(col("text"), lit("[a-z]")).cast("double") / length(col("text")), 4).as("alpha_ratio"),
+            round(regexp_count(col("text"), lit(" ")).cast("double") / length(col("text")), 4).as("space_ratio"),
+            regexp_count(col("text"), lit("\\b(the|a|of|to|and)\\b")).cast("long").as("stopword_hits"))
+          .withColumn(
+            // Integer milli-point score (0..10000): integer rounding is
+            // bit-stable across engines, unlike scaled decimal rounding.
+            "quality_score",
+            (round(col("alpha_ratio") * 5000, 0) +
+              round(least(col("stopword_hits").cast("double") / lit(20.0), lit(1.0)) * 3000, 0) +
+              round(least(col("len_chars").cast("double") / lit(500.0), lit(1.0)) * 2000, 0)).cast("long"))
+          .orderBy("doc_id"),
+      """SELECT doc_id,
+        |  CAST(LENGTH(text) AS BIGINT) AS len_chars,
+        |  ROUND(len(regexp_extract_all(text, '[a-z]')) * 1.0 / LENGTH(text), 4) AS alpha_ratio,
+        |  ROUND(len(regexp_extract_all(text, ' ')) * 1.0 / LENGTH(text), 4) AS space_ratio,
+        |  CAST(len(regexp_extract_all(text, '\b(the|a|of|to|and)\b')) AS BIGINT) AS stopword_hits,
+  CAST(ROUND(ROUND(len(regexp_extract_all(text, '[a-z]')) * 1.0 / LENGTH(text), 4) * 5000)
+        |     + ROUND(LEAST(len(regexp_extract_all(text, '\b(the|a|of|to|and)\b')) / 20.0, 1.0) * 3000)
+        |     + ROUND(LEAST(LENGTH(text) / 500.0, 1.0) * 2000) AS BIGINT) AS quality_score
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // §2.3#44 token counting: whitespace tokens + a BPE-ish regex count
+    // (letter runs / digit runs / single punctuation).
+    "text_token_count" -> QDef(
+      (s, dir) =>
+        docs(s, dir)
+          .select(
+            col("doc_id"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"),
+            regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long").as("bpe_tokens"))
+          .orderBy("doc_id"),
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // §2.3#45 bag-of-words document fingerprint: md5 over the sorted
+    // distinct token set — invariant to word order and repetition.
+    "text_fingerprint" -> QDef(
+      (s, dir) =>
+        docs(s, dir)
+          .select(
+            col("doc_id"),
+            md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))).as("fingerprint"))
+          .orderBy("doc_id"),
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin)
+  )
+}

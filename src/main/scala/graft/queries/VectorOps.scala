@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (Array[Float] column).
+  *
+  * Dot products / norms are higher-order array-function compositions
+  * (zip_with + aggregate) — pure Catalyst expressions, no UDFs. The
+  * brute-force top-k is the correctness baseline (query side broadcast);
+  * random-hyperplane LSH bucketing is the 100 TB scale path: bucket
+  * assignment is map-only and only bucket-local pairs shuffle.
+  */
+object VectorOps {
+
+  private def emb(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "embeddings")
+
+  /** Cast a float array to double for numerically identical math on both
+    * engines.
+    */
+  def asDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Random-hyperplane LSH bucket id: `planes` sign bits, hyperplane
+    * components derived deterministically from xxhash64 (uniform in
+    * [-0.5, 0.5]).
+    */
+  def hyperplaneBucket(v: Column, planes: Int): Column = {
+    val bits = transform(
+      sequence(lit(0), lit(planes - 1)),
+      p => {
+        val proj = aggregate(
+          zip_with(
+            v,
+            sequence(lit(0), size(v) - lit(1)),
+            (x, j) =>
+              x * ((pmod(xxhash64(concat(p.cast("string"), lit("_"), j.cast("string"))), lit(1000L))
+                .cast("double") / lit(1000.0)) - lit(0.5))),
+          lit(0.0),
+          (acc, x) => acc + x)
+        when(proj > 0.0, lit(1L)).otherwise(lit(0L))
+      })
+    aggregate(bits, lit(0L), (acc, b) => acc * 2L + b)
+  }
+
+  val defs: Map[String, QDef] = Map(
+
+    // §2.3#39 brute-force cosine top-k: 10 query vectors against the full
+    // corpus. Query side is tiny → broadcast; corpus side never shuffles.
+    "ann_cosine_topk" -> QDef(
+      (s, dir) => {
+        val e = emb(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("neighbor_id"),
+            round(cosine(col("qv"), col("v")), 6).as("cosine"))
+        val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("neighbor_id"))
+        scored
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 10)
+          .orderBy("q_id", "rank")
+      },
+      """WITH q AS (SELECT vec_id AS q_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id AS neighbor_id,
+        |    ROUND(list_cosine_similarity(q.qv, list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 6) AS cosine
+        |  FROM q JOIN embeddings e ON e.vec_id <> q.q_id),
+        |ranked AS (
+        |  SELECT q_id, neighbor_id, cosine,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT q_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin),
+
+    // §2.3#41 embedding near-dup: top-30 most-similar pairs (blocked to
+    // vec_id < 300 for the exact all-pairs baseline; the LSH variant below
+    // is the scale path).
+    "dedup_embedding" -> QDef(
+      (s, dir) => {
+        val e = emb(s, dir).filter(col("vec_id") < 300)
+          .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+        val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+        a.join(b, col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), round(cosine(col("va"), col("vb")), 6).as("cosine"))
+          .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
+          .limit(30)
+      },
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id < 300)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |ORDER BY cosine DESC, id_a, id_b LIMIT 30""".stripMargin),
+
+    // §2.3#40 LSH-bucketed ANN (scale path): assign each vector to a
+    // hyperplane-sign bucket (map-only), then search only within the
+    // query's bucket. Approximate — no SQL oracle; recall vs brute force
+    // is asserted in the spec. Output stays deterministic.
+    "ann_lsh_topk" -> QDef(
+      (s, dir) => {
+        val planes = 8
+        val e = emb(s, dir)
+          .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+          .withColumn("bucket", hyperplaneBucket(col("v"), planes))
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+        val scored = e.join(broadcast(q), Seq("bucket"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("neighbor_id"),
+            round(cosine(col("qv"), col("v")), 6).as("cosine"))
+        val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("neighbor_id"))
+        scored
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 10)
+          .orderBy("q_id", "rank")
+      },
+      None)
+  )
+}
