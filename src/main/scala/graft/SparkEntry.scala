@@ -13,7 +13,8 @@ object SparkEntry {
       graft.queries.TextOps.defs ++
       graft.queries.VectorOps.defs ++
       graft.queries.EventOps.defs ++
-      graft.queries.Multimodal.defs
+      graft.queries.Multimodal.defs ++
+      graft.queries.EngineQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

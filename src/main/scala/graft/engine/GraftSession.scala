@@ -1,0 +1,125 @@
+package graft.engine
+
+import java.util.UUID
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Session-isolated query surface, mirroring the reference's session
+  * manager (reference: src/session/manager.rs, rpc methods bq.createSession /
+  * bq.destroySession / bq.createTable / bq.insert / bq.query /
+  * bq.listTables / bq.describeTable in src/rpc/methods.rs).
+  *
+  * Spark-first realization: each GraftSession wraps
+  * `SparkSession.newSession()` — same SparkContext (warm executors, shared
+  * cache), but isolated SQLConf, temp-view catalog and function registry.
+  * That is exactly the reference's per-session database semantics without
+  * per-session process cost.
+  */
+final class GraftSession private[engine] (val id: String, val spark: SparkSession) {
+
+  import GraftSession._
+
+  /** Create an (initially empty) table from a BigQuery-typed schema. */
+  def createTable(name: String, schema: Seq[(String, String)]): Unit = {
+    val st = StructType(schema.map { case (n, t) => StructField(n, bqType(t)) })
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st).createOrReplaceTempView(name)
+  }
+
+  /** Append rows (positional values matching the table schema). */
+  def insert(name: String, rows: Seq[Seq[Any]]): Long = {
+    val existing = spark.table(name)
+    val st = existing.schema
+    val coerced = rows.map(r => Row.fromSeq(r.zip(st.fields).map { case (v, f) => coerce(v, f.dataType) }))
+    val appended = existing.unionAll(
+      spark.createDataFrame(coerced.asJava, st))
+    // Materialize through a snapshot so the view does not become a
+    // self-referencing plan of unbounded depth after many inserts.
+    val snap = appended.localCheckpoint(true)
+    snap.createOrReplaceTempView(name)
+    rows.size.toLong
+  }
+
+  /** Run SQL against this session's tables. */
+  def sql(q: String): DataFrame = spark.sql(q)
+
+  def listTables(): Seq[String] =
+    spark.catalog.listTables().collect().map(_.name).toSeq.sorted
+
+  def describeTable(name: String): (Seq[(String, String)], Long) = {
+    val df = spark.table(name)
+    (df.schema.fields.map(f => f.name -> sparkTypeToBq(f.dataType)).toSeq, df.count())
+  }
+
+  def dropTable(name: String): Unit = spark.catalog.dropTempView(name)
+}
+
+object GraftSession {
+
+  /** BigQuery type name → Spark type (reference: rpc/types.rs ColumnDef). */
+  def bqType(t: String): DataType = t.trim.toUpperCase match {
+    case "INT64" | "INTEGER" | "INT" => LongType
+    case "FLOAT64" | "FLOAT" | "NUMERIC" | "BIGNUMERIC" => DoubleType
+    case "STRING" => StringType
+    case "BOOL" | "BOOLEAN" => BooleanType
+    case "DATE" => DateType
+    case "TIMESTAMP" | "DATETIME" => TimestampType
+    case "BYTES" => BinaryType
+    case "JSON" => StringType
+    case s if s.startsWith("ARRAY<") =>
+      ArrayType(bqType(s.stripPrefix("ARRAY<").stripSuffix(">")))
+    case other => throw new IllegalArgumentException(s"Unsupported BigQuery type: $other")
+  }
+
+  def sparkTypeToBq(t: DataType): String = t match {
+    case LongType | IntegerType | ShortType | ByteType => "INT64"
+    case DoubleType | FloatType => "FLOAT64"
+    case _: DecimalType => "NUMERIC"
+    case StringType => "STRING"
+    case BooleanType => "BOOL"
+    case DateType => "DATE"
+    case TimestampType => "TIMESTAMP"
+    case BinaryType => "BYTES"
+    case ArrayType(e, _) => s"ARRAY<${sparkTypeToBq(e)}>"
+    case other => other.sql
+  }
+
+  private[engine] def coerce(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (i: Int, LongType) => i.toLong
+    case (i: Int, DoubleType) => i.toDouble
+    case (l: Long, DoubleType) => l.toDouble
+    case (f: Float, DoubleType) => f.toDouble
+    case (s: String, DateType) => java.sql.Date.valueOf(s)
+    case (s: String, TimestampType) => java.sql.Timestamp.valueOf(s.replace("T", " "))
+    case (x, _) => x
+  }
+}
+
+/** Registry of live sessions (reference: src/session/manager.rs). */
+final class SessionManager(root: SparkSession) {
+  private val sessions = new ConcurrentHashMap[String, GraftSession]()
+
+  def create(): GraftSession = {
+    val id = UUID.randomUUID().toString
+    val s = new GraftSession(id, root.newSession())
+    sessions.put(id, s)
+    s
+  }
+
+  def get(id: String): Option[GraftSession] = Option(sessions.get(id))
+
+  def destroy(id: String): Boolean = {
+    val s = sessions.remove(id)
+    if (s != null) {
+      // Temp views die with the wrapped session; drop eagerly anyway.
+      s.spark.catalog.listTables().collect().foreach(t => s.spark.catalog.dropTempView(t.name))
+      true
+    } else false
+  }
+
+  def list(): Seq[String] = sessions.keySet().asScala.toSeq.sorted
+}

@@ -30,11 +30,12 @@ object VectorOps {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Random-hyperplane LSH bucket id: `planes` sign bits, hyperplane
-    * components derived deterministically from xxhash64 (uniform in
-    * [-0.5, 0.5]).
+  /** Random-hyperplane LSH bucket id for one hash table: `planes` sign
+    * bits, hyperplane components derived deterministically from xxhash64
+    * (uniform in [-0.5, 0.5]). `table` salts the hyperplanes so multiple
+    * independent hash tables can be built.
     */
-  def hyperplaneBucket(v: Column, planes: Int): Column = {
+  def hyperplaneBucket(v: Column, planes: Int, table: Int): Column = {
     val bits = transform(
       sequence(lit(0), lit(planes - 1)),
       p => {
@@ -43,14 +44,23 @@ object VectorOps {
             v,
             sequence(lit(0), size(v) - lit(1)),
             (x, j) =>
-              x * ((pmod(xxhash64(concat(p.cast("string"), lit("_"), j.cast("string"))), lit(1000L))
-                .cast("double") / lit(1000.0)) - lit(0.5))),
+              x * ((pmod(
+                xxhash64(concat(lit(s"t${table}_"), p.cast("string"), lit("_"), j.cast("string"))),
+                lit(1000L)).cast("double") / lit(1000.0)) - lit(0.5))),
           lit(0.0),
           (acc, x) => acc + x)
         when(proj > 0.0, lit(1L)).otherwise(lit(0L))
       })
     aggregate(bits, lit(0L), (acc, b) => acc * 2L + b)
   }
+
+  /** Multi-table LSH keys: array of (table, bucket) composite longs. Each
+    * vector lands in `tables` buckets; a candidate pair only needs to
+    * collide in ONE table, which is what buys recall.
+    */
+  def lshKeys(v: Column, planes: Int, tables: Int): Column =
+    array((0 until tables).map(t =>
+      hyperplaneBucket(v, planes, t) * lit(tables.toLong) + lit(t.toLong)): _*)
 
   val defs: Map[String, QDef] = Map(
 
@@ -106,21 +116,25 @@ object VectorOps {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |ORDER BY cosine DESC, id_a, id_b LIMIT 30""".stripMargin),
 
-    // §2.3#40 LSH-bucketed ANN (scale path): assign each vector to a
-    // hyperplane-sign bucket (map-only), then search only within the
-    // query's bucket. Approximate — no SQL oracle; recall vs brute force
-    // is asserted in the spec. Output stays deterministic.
+    // §2.3#40 LSH-bucketed ANN (scale path): 8 hash tables × 4 hyperplanes;
+    // bucket assignment is map-only, candidates come from bucket-key
+    // equi-joins (shuffle bounded by bucket sizes, never all-pairs).
+    // Approximate — no SQL oracle; recall vs brute force is asserted in
+    // the spec. Output stays deterministic.
     "ann_lsh_topk" -> QDef(
       (s, dir) => {
-        val planes = 8
+        val planes = 4; val nTables = 8
         val e = emb(s, dir)
           .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-          .withColumn("bucket", hyperplaneBucket(col("v"), planes))
+          .withColumn("keys", lshKeys(col("v"), planes, nTables))
+        val corpus = e.select(col("vec_id"), col("v"), explode(col("keys")).as("key"))
         val q = e.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
-        val scored = e.join(broadcast(q), Seq("bucket"))
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), explode(col("keys")).as("key"))
+        val scored = corpus.join(broadcast(q), Seq("key"))
           .filter(col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          .select(col("q_id"), col("vec_id").as("neighbor_id"), col("qv"), col("v"))
+          .dropDuplicates("q_id", "neighbor_id")
+          .select(col("q_id"), col("neighbor_id"),
             round(cosine(col("qv"), col("v")), 6).as("cosine"))
         val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("neighbor_id"))
         scored

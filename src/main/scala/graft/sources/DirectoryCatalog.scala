@@ -1,0 +1,77 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import graft.engine.{Dag, DagTable, GraftSession}
+
+/** Discovery of a `root/project/dataset/table.{parquet,sql}` tree and
+  * registration into a session — the Spark realization of the reference's
+  * bq.loadParquetDirectory / bq.loadSqlDirectory / bq.loadDagFromDirectory
+  * (reference: src/session/loader.rs discover_files, src/rpc/methods.rs).
+  *
+  * Tables register as views named `<project>_<dataset>_<table>` (and the
+  * bare `<table>` when unambiguous). Parquet stays a lazy columnar scan —
+  * never row-materialized like the reference's INSERT-literal loader
+  * (reference: src/executor/yachtsql.rs:43).
+  */
+object DirectoryCatalog {
+
+  final case class Discovered(
+      project: String, dataset: String, table: String, path: String, isSql: Boolean) {
+    def fullName: String = s"${project}_${dataset}_$table"
+  }
+
+  def discover(root: String): Seq[Discovered] = {
+    val rootPath = Paths.get(root)
+    require(Files.isDirectory(rootPath), s"Root path is not a directory: $root")
+    def dirs(p: Path) = Files.list(p).iterator().asScala
+      .filter(d => Files.isDirectory(d) && !d.getFileName.toString.contains(".")).toSeq
+    // A ".parquet" entry may be a single file OR a Spark-written directory
+    // of part files — both are valid tables.
+    def entries(p: Path) = Files.list(p).iterator().asScala.toSeq
+    (for {
+      project <- dirs(rootPath)
+      dataset <- dirs(project)
+      f <- entries(dataset)
+      name = f.getFileName.toString
+      if name.endsWith(".parquet") || (name.endsWith(".sql") && Files.isRegularFile(f))
+    } yield Discovered(
+      project.getFileName.toString,
+      dataset.getFileName.toString,
+      name.replaceAll("\\.(parquet|sql)$", ""),
+      f.toString,
+      name.endsWith(".sql"))).sortBy(d => (d.project, d.dataset, d.table))
+  }
+
+  /** Register every parquet table as a view in the session. */
+  def loadParquetDirectory(session: GraftSession, root: String): Seq[String] = {
+    val pq = discover(root).filterNot(_.isSql)
+    pq.foreach { d =>
+      val df = session.spark.read.parquet(d.path)
+      df.createOrReplaceTempView(d.fullName)
+    }
+    // Bare-name aliases for unambiguous tables.
+    pq.groupBy(_.table).collect { case (t, Seq(only)) =>
+      session.spark.read.parquet(only.path).createOrReplaceTempView(t)
+    }
+    pq.map(_.fullName)
+  }
+
+  /** Build a Dag: parquet files as source views, .sql files as derived
+    * tables (dependency-ordered, materialized on run()).
+    */
+  def loadDag(session: GraftSession, root: String, workDir: Option[Path] = None): Dag = {
+    val discovered = discover(root)
+    val dag = new Dag(session, workDir)
+    val sources = discovered.filterNot(_.isSql).map { d =>
+      DagTable.view(d.table, session.spark.read.parquet(d.path))
+    }
+    val derived = discovered.filter(_.isSql).map { d =>
+      DagTable.derived(d.table, Files.readString(Paths.get(d.path)))
+    }
+    dag.register(sources ++ derived)
+    dag
+  }
+}

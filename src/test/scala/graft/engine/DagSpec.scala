@@ -1,0 +1,142 @@
+package graft.engine
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** Mirrors the reference's pipeline test suite semantics
+  * (reference: src/session/pipeline.rs tests + adaptors dag_test.clj).
+  */
+class DagSpec extends SparkSpec {
+
+  private def freshDag(): (GraftSession, Dag) = {
+    val s = new SessionManager(spark).create()
+    (s, new Dag(s, Some(Files.createTempDirectory("dagspec"))))
+  }
+
+  test("register extracts dependencies from SQL, not CTE names") {
+    val (_, dag) = freshDag()
+    dag.register(Seq(DagTable.source("users", Seq("id" -> "INT64"))))
+    val infos = dag.register(Seq(DagTable.derived("active",
+      "WITH tmp AS (SELECT id FROM users) SELECT * FROM tmp")))
+    assert(infos == Seq("active" -> Seq("users")))
+  }
+
+  test("dependency detection is case-insensitive") {
+    val (_, dag) = freshDag()
+    dag.register(Seq(DagTable.source("MyTable", Seq("v" -> "INT64"))))
+    val infos = dag.register(Seq(DagTable.derived("derived", "SELECT * FROM mytable")))
+    assert(infos == Seq("derived" -> Seq("MyTable")))
+  }
+
+  test("later registration re-resolves earlier tables' dependencies") {
+    val (_, dag) = freshDag()
+    dag.register(Seq(DagTable.derived("d", "SELECT * FROM src")))
+    assert(dag.getTables.find(_._1 == "d").get._4.isEmpty)
+    dag.register(Seq(DagTable.source("src", Seq("v" -> "INT64"))))
+    assert(dag.getTables.find(_._1 == "d").get._4 == Seq("src"))
+  }
+
+  test("chain executes in dependency order and computes correct values") {
+    val (s, dag) = freshDag()
+    dag.register(Seq(
+      DagTable.source("raw", Seq("n" -> "INT64"), Seq(Seq(1), Seq(2), Seq(3))),
+      DagTable.derived("doubled", "SELECT n * 2 AS n FROM raw"),
+      DagTable.derived("plus_ten", "SELECT n + 10 AS n FROM doubled")))
+    val res = dag.run()
+    assert(res.allSucceeded)
+    assert(res.succeeded.indexOf("raw") < res.succeeded.indexOf("doubled"))
+    assert(res.succeeded.indexOf("doubled") < res.succeeded.indexOf("plus_ten"))
+    val out = s.sql("SELECT n FROM plus_ten ORDER BY n").collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(12L, 14L, 16L))
+  }
+
+  test("diamond topology levels") {
+    val (_, dag) = freshDag()
+    dag.register(Seq(
+      DagTable.source("root", Seq("x" -> "INT64"), Seq(Seq(10))),
+      DagTable.derived("left", "SELECT x + 1 AS x FROM root"),
+      DagTable.derived("right", "SELECT x - 1 AS x FROM root"),
+      DagTable.derived("bottom", "SELECT l.x AS lx, r.x AS rx FROM left l, right r")))
+    val levels = dag.topoLevels(Set("root", "left", "right", "bottom"))
+    assert(levels == Seq(Seq("root"), Seq("left", "right"), Seq("bottom")))
+    val res = dag.run()
+    assert(res.allSucceeded)
+  }
+
+  test("run with targets executes only the dependency closure") {
+    val (s, dag) = freshDag()
+    dag.register(Seq(
+      DagTable.source("a", Seq("v" -> "INT64"), Seq(Seq(1))),
+      DagTable.source("b", Seq("v" -> "INT64"), Seq(Seq(2))),
+      DagTable.derived("from_a", "SELECT v * 10 AS v FROM a"),
+      DagTable.derived("from_b", "SELECT v * 10 AS v FROM b")))
+    val res = dag.run(Some(Seq("from_a")))
+    assert(res.succeeded.toSet == Set("a", "from_a"))
+    assert(s.sql("SELECT v FROM from_a").collect()(0).getLong(0) == 10L)
+    assertThrows[Exception](s.sql("SELECT v FROM from_b").collect())
+  }
+
+  test("failed table blocks dependents; retryFailed re-runs them") {
+    val (s, dag) = freshDag()
+    dag.register(Seq(
+      DagTable.source("src", Seq("v" -> "INT64"), Seq(Seq(5))),
+      DagTable.derived("bad", "SELECT no_such_column FROM src"),
+      DagTable.derived("child", "SELECT * FROM bad")))
+    val res = dag.run()
+    assert(res.succeeded == Seq("src"))
+    assert(res.failed.map(_.table) == Seq("bad"))
+    assert(res.skipped == Seq("child"))
+
+    // Fix the broken table, then retry only failed+skipped.
+    dag.register(Seq(DagTable.derived("bad", "SELECT v AS fixed FROM src")))
+    val retry = dag.retryFailed(res)
+    assert(retry.allSucceeded)
+    assert(retry.succeeded.toSet == Set("bad", "child"))
+    assert(s.sql("SELECT fixed FROM child").collect()(0).getLong(0) == 5L)
+  }
+
+  test("re-running reflects upstream changes (materialized snapshot semantics)") {
+    // Mirrors reference test_rerun_computed_table_reflects_source_changes:
+    // the source lives in the session, the DAG holds only the derived table.
+    val (s, dag) = freshDag()
+    s.createTable("counter", Seq("n" -> "INT64"))
+    s.insert("counter", Seq(Seq(1)))
+    dag.register(Seq(DagTable.derived("doubled", "SELECT n * 2 AS n FROM counter")))
+    assert(dag.run().allSucceeded)
+    assert(s.sql("SELECT SUM(n) FROM doubled").collect()(0).getLong(0) == 2L)
+    s.insert("counter", Seq(Seq(10)))
+    assert(dag.run().allSucceeded)
+    assert(s.sql("SELECT SUM(n) FROM doubled").collect()(0).getLong(0) == 22L)
+  }
+
+  test("cycles are rejected") {
+    val (_, dag) = freshDag()
+    dag.register(Seq(
+      DagTable.derived("x", "SELECT * FROM y"),
+      DagTable.derived("y", "SELECT * FROM x")))
+    assertThrows[IllegalStateException](dag.run())
+  }
+
+  test("level-parallel execution matches serial results") {
+    val (s, dag) = freshDag()
+    dag.register(
+      DagTable.source("base", Seq("v" -> "INT64"), Seq(Seq(1))) +:
+        (0 until 6).map(i => DagTable.derived(s"branch_$i", s"SELECT v + $i AS v FROM base")))
+    val res = dag.run(maxConcurrency = 4)
+    assert(res.allSucceeded)
+    (0 until 6).foreach { i =>
+      assert(s.sql(s"SELECT v FROM branch_$i").collect()(0).getLong(0) == 1L + i)
+    }
+  }
+
+  test("clear drops views and registry") {
+    val (s, dag) = freshDag()
+    dag.register(Seq(DagTable.source("tmp", Seq("v" -> "INT64"), Seq(Seq(42)))))
+    dag.run()
+    assert(s.sql("SELECT v FROM tmp").collect()(0).getLong(0) == 42L)
+    dag.clear()
+    assert(dag.getTables.isEmpty)
+    assertThrows[Exception](s.sql("SELECT v FROM tmp").collect())
+  }
+}

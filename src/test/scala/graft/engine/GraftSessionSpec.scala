@@ -1,0 +1,76 @@
+package graft.engine
+
+import graft.SparkSpec
+
+class GraftSessionSpec extends SparkSpec {
+
+  test("createTable + insert + query round-trip") {
+    val s = new SessionManager(spark).create()
+    s.createTable("users", Seq("id" -> "INT64", "name" -> "STRING"))
+    s.insert("users", Seq(Seq(1, "Alice"), Seq(2, "Bob")))
+    val rows = s.sql("SELECT * FROM users ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "Alice"), (2L, "Bob")))
+  }
+
+  test("sessions are isolated: same table name, different data") {
+    val m = new SessionManager(spark)
+    val s1 = m.create()
+    val s2 = m.create()
+    s1.createTable("t", Seq("v" -> "INT64"))
+    s2.createTable("t", Seq("v" -> "INT64"))
+    s1.insert("t", Seq(Seq(1)))
+    s2.insert("t", Seq(Seq(99)))
+    assert(s1.sql("SELECT v FROM t").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(s2.sql("SELECT v FROM t").collect().map(_.getLong(0)).toSeq == Seq(99L))
+  }
+
+  test("null / bool / float / date values survive insert") {
+    val s = new SessionManager(spark).create()
+    s.createTable("mixed", Seq("id" -> "INT64", "flag" -> "BOOL", "x" -> "FLOAT64", "d" -> "DATE", "note" -> "STRING"))
+    s.insert("mixed", Seq(
+      Seq(1, true, 1.5, "2024-01-15", "hello"),
+      Seq(2, false, 2.25, "2024-02-01", null)))
+    val rows = s.sql("SELECT * FROM mixed ORDER BY id").collect()
+    assert(rows(0).getBoolean(1))
+    assert(rows(1).getDouble(2) == 2.25)
+    assert(rows(1).isNullAt(4))
+    assert(rows(0).getDate(3).toString == "2024-01-15")
+  }
+
+  test("incremental insert accumulates rows") {
+    val s = new SessionManager(spark).create()
+    s.createTable("acc", Seq("n" -> "INT64"))
+    s.insert("acc", Seq(Seq(1)))
+    s.insert("acc", Seq(Seq(2), Seq(3)))
+    assert(s.sql("SELECT SUM(n) FROM acc").collect()(0).getLong(0) == 6L)
+  }
+
+  test("listTables and describeTable") {
+    val s = new SessionManager(spark).create()
+    s.createTable("aaa", Seq("x" -> "INT64"))
+    s.createTable("bbb", Seq("y" -> "STRING", "z" -> "FLOAT64"))
+    s.insert("bbb", Seq(Seq("v", 1.0)))
+    assert(s.listTables().contains("aaa"))
+    assert(s.listTables().contains("bbb"))
+    val (schema, count) = s.describeTable("bbb")
+    assert(schema == Seq("y" -> "STRING", "z" -> "FLOAT64"))
+    assert(count == 1L)
+  }
+
+  test("destroy removes the session") {
+    val m = new SessionManager(spark)
+    val s = m.create()
+    val id = s.id
+    assert(m.list().contains(id))
+    assert(m.destroy(id))
+    assert(!m.list().contains(id))
+    assert(!m.destroy(id))
+  }
+
+  test("BigQuery type mapping covers arrays and rejects junk") {
+    import org.apache.spark.sql.types._
+    assert(GraftSession.bqType("ARRAY<INT64>") == ArrayType(LongType))
+    assert(GraftSession.bqType("bool") == BooleanType)
+    assertThrows[IllegalArgumentException](GraftSession.bqType("WIBBLE"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class OpsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("minhash LSH recovers planted near-duplicates") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again until dawn breaks over the hill"
+    val nearDup = base.replace("dawn", "dusk") // one token differs
+    val other = "completely different words about spark shuffles and partitions and codegen stages at scale"
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+
+    val sh = docs.select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
+    val sig = sh.withColumn("bands", TextOps.bandHashes(TextOps.minhashSignature(col("sh"), 32), 8, 4))
+    val banded = sig.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bhash")))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 2L)), s"planted pair missing from LSH candidates: $cand")
+    assert(!cand.contains((1L, 3L)) && !cand.contains((2L, 3L)), s"unrelated docs bucketed: $cand")
+  }
+
+  test("simhash: near-dup texts land within small hamming distance") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi"
+    val near = base.replace("kappa", "sigma")
+    val far = "one two three four five six seven eight nine ten eleven twelve thirteen fourteen"
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.simhash64(col("text")).as("h"))
+    val h = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(h(1L), h(2L)) < hamming(h(1L), h(3L)),
+      s"near pair ${hamming(h(1L), h(2L))} !< far pair ${hamming(h(1L), h(3L))}")
+    assert(hamming(h(1L), h(2L)) <= 16)
+  }
+
+  test("cosine expression is exact on hand-computed vectors") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)), (Array(1.0f, 1.0f), Array(1.0f, 1.0f)))
+      .toDF("a", "b")
+      .select(VectorOps.cosine(VectorOps.asDouble(col("a")), VectorOps.asDouble(col("b"))).as("c"))
+    val out = df.collect().map(_.getDouble(0))
+    assert(math.abs(out(0) - 0.0) < 1e-12)
+    assert(math.abs(out(1) - 1.0) < 1e-12)
+  }
+
+  test("LSH ANN recall vs brute force is usable (>= 0.2 on random data)") {
+    // Random hyperplane LSH with 8 planes on 64-dim random vectors: each
+    // bucket holds ~1/256 of the corpus; hits that survive share the
+    // query's bucket. Recall against exact top-10 must be well above the
+    // random-baseline ~4%.
+    val brute = VectorOps.defs("ann_cosine_topk").run(spark, sfDir)
+      .select("q_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = VectorOps.defs("ann_lsh_topk").run(spark, sfDir)
+      .select("q_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.2, s"LSH recall $recall too low")
+  }
+
+  test("multimodal features are deterministic and match byte sums") {
+    val out = Multimodal.features(spark, sfDir).limit(1).collect()(0)
+    val docId = out.getLong(0)
+    val text = graft.Tables(spark, sfDir, "documents")
+      .filter(col("doc_id") === docId).select("text").collect()(0).getString(0)
+    val bytes = text.getBytes("UTF-8")
+    assert(out.getLong(2) == bytes.length.toLong)
+    val expected = new Array[Long](8)
+    bytes.zipWithIndex.foreach { case (b, i) => expected(i % 8) += b & 0xff }
+    (0 until 8).foreach(i => assert(out.getLong(3 + i) == expected(i)))
+  }
+
+  test("every declared query runs at sf0.001 and returns rows") {
+    graft.SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      assert(n > 0, s"query $name returned no rows")
+    }
+  }
+}
