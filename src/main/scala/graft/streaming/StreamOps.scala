@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch event analytics in
+  * graft.queries.EventOps (same semantics; batch versions are
+  * oracle-verified, these are spec-verified with MemoryStream).
+  *
+  * Design for scale: watermarks bound state; tumbling aggregation is a
+  * streaming shuffle keyed by (window, event_type); sessionization keeps
+  * one small state object per user via flatMapGroupsWithState.
+  */
+object StreamOps {
+
+  final case class Ev(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+
+  final case class SessionOut(
+      user_id: Long, session_start: Long, session_end: Long, n_events: Long, sum_value: Double)
+
+  /** Per-user session accumulator (flatMapGroupsWithState state type). */
+  final case class SessState(start: Long, last: Long, cnt: Long, total: Double)
+
+
+  /** Watermarked tumbling-window aggregation per event type. */
+  def tumblingAgg(events: DataFrame, windowLen: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Gap-based sessionization: a session closes when its user is silent
+    * for `gapSecs` (closed either by a later event or by event-time
+    * timeout once the watermark passes). State per user is O(1).
+    */
+  def sessionize(events: Dataset[Ev], gapSecs: Long, watermark: String = "2 hours"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, evs, state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s => SessionOut(userId, s.start, s.last, s.cnt, s.total))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.value))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            for (e <- sorted) {
+              val t = e.ts.getTime / 1000
+              cur match {
+                case Some(s) if t - s.last > gapSecs =>
+                  closed += SessionOut(userId, s.start, s.last, s.cnt, s.total)
+                  cur = Some(SessState(t, t, 1, e.value))
+                case Some(s) =>
+                  cur = Some(SessState(s.start, math.max(s.last, t), s.cnt + 1, s.total + e.value))
+                case None =>
+                  cur = Some(SessState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.last + gapSecs) * 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.streaming.StreamOps.Ev
+
+class StreamOpsSpec extends SparkSpec {
+
+  // Offset by 1h: an event at epoch 0 would be dropped as late (initial
+  // watermark is 0).
+  private def ts(minute: Int) = new Timestamp((60 + minute) * 60L * 1000)
+
+  test("tumbling window aggregation over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val query = StreamOps.tumblingAgg(input.toDF(), windowLen = "1 hour")
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(
+        Ev(1, ts(5), "click", 1.0), Ev(1, ts(20), "click", 2.0),
+        Ev(2, ts(65), "view", 5.0), Ev(1, ts(70), "click", 4.0))
+      query.processAllAvailable()
+      val rows = spark.table("tumbling_out")
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000 - 60, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows == Set((0L, "click", 2L, 3.0), (60L, "view", 1L, 5.0), (60L, "click", 1L, 4.0)))
+    } finally query.stop()
+  }
+
+  test("stateful sessionization closes sessions on gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val query = StreamOps.sessionize(input.toDS(), gapSecs = 1800)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // Session 1: minutes 0-10 (3 events). Then a 50-minute gap.
+      input.addData(Ev(7, ts(0), "click", 1.0), Ev(7, ts(5), "click", 2.0), Ev(7, ts(10), "click", 3.0))
+      query.processAllAvailable()
+      // The gap event closes session 1 and starts session 2.
+      input.addData(Ev(7, ts(60), "click", 10.0))
+      query.processAllAvailable()
+      val rows = spark.table("sessions_out").as[StreamOps.SessionOut].collect()
+      assert(rows.length == 1, rows.mkString(","))
+      val s1 = rows(0)
+      assert(s1.user_id == 7L)
+      assert(s1.session_start == ts(0).getTime / 1000 && s1.session_end == ts(10).getTime / 1000)
+      assert(s1.n_events == 3L && s1.sum_value == 6.0)
+    } finally query.stop()
+  }
+
+  test("sessionization keeps independent state per user") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val query = StreamOps.sessionize(input.toDS(), gapSecs = 1800)
+      .writeStream.format("memory").queryName("sessions_multi")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Ev(1, ts(0), "a", 1.0), Ev(2, ts(1), "a", 2.0))
+      query.processAllAvailable()
+      input.addData(Ev(1, ts(90), "a", 3.0), Ev(2, ts(95), "a", 4.0))
+      query.processAllAvailable()
+      val rows = spark.table("sessions_multi").as[StreamOps.SessionOut].collect()
+      assert(rows.map(_.user_id).sorted.toSeq == Seq(1L, 2L))
+      assert(rows.forall(_.n_events == 1L))
+    } finally query.stop()
+  }
+}
