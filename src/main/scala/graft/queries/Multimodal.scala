@@ -38,8 +38,9 @@ object Multimodal {
 
   def features(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables(s, dir, "documents")
-      .select(col("doc_id"), lit("text/plain").as("mime"), encode(col("text"), "UTF-8").as("payload"))
+    Eval.fanOut(
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), lit("text/plain").as("mime"), encode(col("text"), "UTF-8").as("payload")))
       .as[(Long, String, Array[Byte])]
       .mapPartitions(_.map { case (id, mime, payload) => extract(id, mime, payload) })
       .toDF()

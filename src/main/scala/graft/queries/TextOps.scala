@@ -19,27 +19,52 @@ object TextOps {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
 
-  /** Distinct word 3-gram shingles of a whitespace-tokenized text column. */
-  def shingles(text: Column): Column = {
-    val toks = split(text, " ")
+  /** doc_id/lang/toks, fanned out to full parallelism with an eval-once
+    * boundary — the base of every shingle-heavy pipeline.
+    */
+  private def tokenized(s: SparkSession, dir: String): DataFrame =
+    Eval.barrier(
+      Eval.fanOut(
+        docs(s, dir)
+          .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= 3)))
+
+  /** Distinct word 3-gram shingles from an ALREADY MATERIALIZED token
+    * array column (attribute or cheap expression). Never pass a raw
+    * `split(...)` here in a hot path — the lambda would re-split per
+    * element (see [[Eval.barrier]]).
+    */
+  def shinglesFromToks(toks: Column): Column =
     array_distinct(
       transform(
         sequence(lit(1), size(toks) - lit(2)),
         i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
-  }
+
+  /** Convenience for small inputs / tests: tokenizes inline. */
+  def shingles(text: Column): Column = shinglesFromToks(split(text, " "))
 
   /** Jaccard similarity of two (already distinct) shingle arrays. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
 
-  /** k-permutation MinHash signature over a shingle array. Each hash
-    * family member is xxhash64 salted with the seed index — deterministic,
-    * map-only, codegen-friendly.
+  /** One xxhash64 per shingle — the base for the MinHash permutations. */
+  def shingleHashes(sh: Column): Column = transform(sh, s => xxhash64(s))
+
+  /** k-permutation MinHash signature from per-shingle hashes: permutation
+    * i is the affine map h*m(i)+a(i) over Z/2^64 (odd multipliers), so the
+    * expensive string hash runs ONCE per shingle and each extra
+    * permutation costs one multiply-add.
     */
-  def minhashSignature(sh: Column, k: Int): Column =
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(sh, s => xxhash64(concat(i.cast("string"), lit("#"), s)))))
+  def minhashSignature(hs: Column, k: Int): Column = {
+    // Affine permutations over Z/p with p = 2^31-1: (h%p)*m + a stays
+    // under 2^62, safe under ANSI overflow checking.
+    val P = 2147483647L
+    val rnd = new java.util.SplittableRandom(42)
+    val ms = Seq.fill(k)(1L + rnd.nextLong(P - 1))
+    val as = Seq.fill(k)(rnd.nextLong(P))
+    array((0 until k).map(i =>
+      array_min(transform(hs, h => pmod(pmod(h, lit(P)) * lit(ms(i)) + lit(as(i)), lit(P))))): _*)
+  }
 
   /** LSH band hashes for a MinHash signature (bands × rowsPerBand = k). */
   def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
@@ -50,8 +75,7 @@ object TextOps {
   /** 64-bit SimHash over whitespace tokens: per bit, sum +1/-1 weighted by
     * each token's xxhash64 bit, then take the sign.
     */
-  def simhash64(text: Column): Column = {
-    val toks = split(text, " ")
+  def simhash64(toks: Column): Column = {
     (0 until 64).map { i =>
       val bitSum = aggregate(
         toks,
@@ -87,13 +111,19 @@ object TextOps {
     // This is the exact baseline the MinHash/LSH path approximates.
     "dedup_ngram_jaccard" -> QDef(
       (s, dir) => {
-        val d = docs(s, dir)
-          .filter(size(split(col("text"), " ")) >= 3)
-          .select(col("doc_id"), col("lang"), shingles(col("text")).as("sh"))
-        val a = d.select(col("doc_id").as("doc_a"), col("lang"), col("sh").as("sh_a"))
-        val b = d.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("sh").as("sh_b"))
-        a.join(b, a("lang") === b("lang_b") && a("doc_a") < b("doc_b"))
-          .select(col("doc_a"), col("doc_b"), round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+        val d = tokenized(s, dir)
+          .select(col("doc_id"), col("lang"), shinglesFromToks(col("toks")).as("sh"))
+          .withColumn("nsh", size(col("sh")))
+        val a = d.select(col("doc_id").as("doc_a"), col("lang"), col("sh").as("sh_a"), col("nsh").as("nsh_a"))
+        val b = d.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("sh").as("sh_b"), col("nsh").as("nsh_b"))
+        // Lossless size bound: J(A,B) >= 0.5 implies max(|A|,|B|) <= 2*min —
+        // prunes most pairs with an integer compare before any set math.
+        val pairs = a.join(b, a("lang") === b("lang_b") && a("doc_a") < b("doc_b") &&
+          greatest(col("nsh_a"), col("nsh_b")) <= least(col("nsh_a"), col("nsh_b")) * 2)
+        // Barrier: evaluate jaccard exactly once (filter pushdown would
+        // otherwise duplicate the set intersection).
+        Eval.barrier(
+          pairs.select(col("doc_a"), col("doc_b"), round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard")))
           .filter(col("jaccard") >= 0.5)
           .orderBy("doc_a", "doc_b")
       },
@@ -115,12 +145,15 @@ object TextOps {
     // (which is the DuckDB oracle below).
     "dedup_minhash_lsh" -> QDef(
       (s, dir) => {
-        val k = 32; val bands = 8; val rows = 4
-        val d = docs(s, dir)
-          .filter(size(split(col("text"), " ")) >= 3)
-          .select(col("doc_id"), col("lang"), shingles(col("text")).as("sh"))
-        val sig = d.withColumn("bands", bandHashes(minhashSignature(col("sh"), k), bands, rows))
-        val banded = sig.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bhash")))
+        val k = 32; val bands = 16; val rows = 2
+        // Signatures are reused by the banding explode AND the pair
+        // verification join → cache the small (doc_id, sh) projection.
+        val d = Eval.barrier(
+          tokenized(s, dir).select(col("doc_id"), shinglesFromToks(col("toks")).as("sh"))).cache()
+        val hs = Eval.barrier(d.select(col("doc_id"), shingleHashes(col("sh")).as("hs")))
+        val sig = hs.select(col("doc_id"), minhashSignature(col("hs"), k).as("sig"))
+        val banded = sig.select(
+          col("doc_id"), posexplode(bandHashes(col("sig"), bands, rows)).as(Seq("band", "bhash")))
         val cand = banded.as("x")
           .join(banded.as("y"), col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -151,8 +184,8 @@ object TextOps {
     // oracle — xxhash64 has no DuckDB equivalent). Rows-only check + spec.
     "dedup_simhash" -> QDef(
       (s, dir) =>
-        docs(s, dir)
-          .select(col("doc_id"), simhash64(col("text")).as("simhash"))
+        tokenized(s, dir)
+          .select(col("doc_id"), simhash64(col("toks")).as("simhash"))
           .orderBy("doc_id"),
       None),
 

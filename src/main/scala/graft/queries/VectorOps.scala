@@ -31,36 +31,28 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Random-hyperplane LSH bucket id for one hash table: `planes` sign
-    * bits, hyperplane components derived deterministically from xxhash64
-    * (uniform in [-0.5, 0.5]). `table` salts the hyperplanes so multiple
-    * independent hash tables can be built.
+    * bits against deterministic pseudo-random hyperplanes baked in as
+    * literal arrays (constant-folded once — per row cost is planes×dim
+    * multiply-adds, no hashing). `table` seeds independent hyperplane
+    * sets; `dim` is the embedding dimensionality.
     */
-  def hyperplaneBucket(v: Column, planes: Int, table: Int): Column = {
-    val bits = transform(
-      sequence(lit(0), lit(planes - 1)),
-      p => {
-        val proj = aggregate(
-          zip_with(
-            v,
-            sequence(lit(0), size(v) - lit(1)),
-            (x, j) =>
-              x * ((pmod(
-                xxhash64(concat(lit(s"t${table}_"), p.cast("string"), lit("_"), j.cast("string"))),
-                lit(1000L)).cast("double") / lit(1000.0)) - lit(0.5))),
-          lit(0.0),
-          (acc, x) => acc + x)
-        when(proj > 0.0, lit(1L)).otherwise(lit(0L))
-      })
-    aggregate(bits, lit(0L), (acc, b) => acc * 2L + b)
+  def hyperplaneBucket(v: Column, planes: Int, table: Int, dim: Int): Column = {
+    val rnd = new java.util.SplittableRandom(42L * (table + 1))
+    val bits = (0 until planes).map { p =>
+      val plane = array(Seq.fill(dim)(lit(rnd.nextDouble() - 0.5)): _*)
+      val proj = aggregate(zip_with(v, plane, (x, w) => x * w), lit(0.0), (acc, x) => acc + x)
+      when(proj > 0.0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
   }
 
   /** Multi-table LSH keys: array of (table, bucket) composite longs. Each
     * vector lands in `tables` buckets; a candidate pair only needs to
     * collide in ONE table, which is what buys recall.
     */
-  def lshKeys(v: Column, planes: Int, tables: Int): Column =
+  def lshKeys(v: Column, planes: Int, tables: Int, dim: Int = 64): Column =
     array((0 until tables).map(t =>
-      hyperplaneBucket(v, planes, t) * lit(tables.toLong) + lit(t.toLong)): _*)
+      hyperplaneBucket(v, planes, t, dim) * lit(tables.toLong) + lit(t.toLong)): _*)
 
   val defs: Map[String, QDef] = Map(
 
@@ -68,7 +60,8 @@ object VectorOps {
     // corpus. Query side is tiny → broadcast; corpus side never shuffles.
     "ann_cosine_topk" -> QDef(
       (s, dir) => {
-        val e = emb(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        val e = Eval.barrier(Eval.fanOut(
+          emb(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v"))))
         val q = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("v").as("qv"))
         val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
@@ -99,8 +92,9 @@ object VectorOps {
     // is the scale path).
     "dedup_embedding" -> QDef(
       (s, dir) => {
-        val e = emb(s, dir).filter(col("vec_id") < 300)
-          .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        val e = Eval.barrier(Eval.fanOut(
+          emb(s, dir).filter(col("vec_id") < 300)
+            .select(col("vec_id"), asDouble(col("embedding")).as("v"))))
         val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
         val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
         a.join(b, col("id_a") < col("id_b"))
@@ -124,8 +118,8 @@ object VectorOps {
     "ann_lsh_topk" -> QDef(
       (s, dir) => {
         val planes = 4; val nTables = 8
-        val e = emb(s, dir)
-          .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        val e = Eval.barrier(Eval.fanOut(
+            emb(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v"))))
           .withColumn("keys", lshKeys(col("v"), planes, nTables))
         val corpus = e.select(col("vec_id"), col("v"), explode(col("keys")).as("key"))
         val q = e.filter(col("vec_id") < 10)

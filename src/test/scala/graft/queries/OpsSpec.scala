@@ -16,7 +16,8 @@ class OpsSpec extends SparkSpec {
     val docs = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
 
     val sh = docs.select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
-    val sig = sh.withColumn("bands", TextOps.bandHashes(TextOps.minhashSignature(col("sh"), 32), 8, 4))
+    val hs = sh.select(col("doc_id"), TextOps.shingleHashes(col("sh")).as("hs"))
+    val sig = hs.withColumn("bands", TextOps.bandHashes(TextOps.minhashSignature(col("hs"), 32), 16, 2))
     val banded = sig.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bhash")))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
@@ -33,7 +34,7 @@ class OpsSpec extends SparkSpec {
     val near = base.replace("kappa", "sigma")
     val far = "one two three four five six seven eight nine ten eleven twelve thirteen fourteen"
     val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
-      .select(col("doc_id"), TextOps.simhash64(col("text")).as("h"))
+      .select(col("doc_id"), TextOps.simhash64(split(col("text"), " ")).as("h"))
     val h = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(hamming(h(1L), h(2L)) < hamming(h(1L), h(3L)),
