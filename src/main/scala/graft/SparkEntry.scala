@@ -10,6 +10,7 @@ object SparkEntry {
   /** All verifiable operators, keyed by SURVEY §2 query name. */
   def all: Map[String, QDef] =
     graft.queries.Relational.defs ++
+      graft.queries.Relational2.defs ++
       graft.queries.TextOps.defs ++
       graft.queries.VectorOps.defs ++
       graft.queries.EventOps.defs ++

@@ -1,0 +1,23 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graftbridge.{ColumnBridge, CosineSimilarity, JaccardSimilarity}
+
+/** Column-level entry points + SQL registration for the native codegen
+  * kernels defined in org.apache.spark.sql.graftbridge.
+  */
+object GraftFunctions {
+
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def jaccardSim(a: Column, b: Column): Column =
+    ColumnBridge.column(JaccardSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Expose to spark.sql as COSINE_SIM / JACCARD_SIM. */
+  def install(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_sim", { case Seq(a, b) => CosineSimilarity(a, b) }, "internal")
+    reg.createOrReplaceTempFunction("jaccard_sim", { case Seq(a, b) => JaccardSimilarity(a, b) }, "internal")
+  }
+}

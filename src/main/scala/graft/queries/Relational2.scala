@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Second tranche of relational coverage: multi-dimensional aggregation
+  * (ROLLUP / CUBE / GROUPING SETS), set operations (INTERSECT / EXCEPT)
+  * and PIVOT — all BigQuery-surface constructs the reference's YachtSQL
+  * engine emulates.
+  */
+object Relational2 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  val defs: Map[String, QDef] = Map(
+
+    // ROLLUP: region → nation revenue hierarchy with subtotals + grand total
+    "q_rollup" -> QDef(
+      (s, dir) => {
+        // Via SQL: Dataset.rollup on join output trips Spark 4.1's
+        // DetectAmbiguousSelfJoin (Expand duplicates the tagged grouping
+        // attributes); the parser path has no dataset-id metadata.
+        t(s, dir, "nation").createOrReplaceTempView("nation")
+        t(s, dir, "region").createOrReplaceTempView("region")
+        t(s, dir, "customer").createOrReplaceTempView("customer")
+        s.sql(
+          """SELECT r_name, n_name, COUNT(*) AS n_customers, ROUND(SUM(c_acctbal), 2) AS total_bal
+            |FROM customer
+            |JOIN nation ON c_nationkey = n_nationkey
+            |JOIN region ON n_regionkey = r_regionkey
+            |GROUP BY ROLLUP(r_name, n_name)
+            |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin)
+      },
+      """SELECT r_name, n_name, COUNT(*) AS n_customers, ROUND(SUM(c_acctbal), 2) AS total_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin),
+
+    // CUBE over lineitem flags
+    "q_cube" -> QDef(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .cube("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, ROUND(SUM(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+
+    // GROUPING SETS: order counts by priority and, separately, by status
+    "q_grouping_sets" -> QDef(
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql(
+          """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
+            |FROM orders
+            |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+            |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)
+      },
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin),
+
+    // INTERSECT: customers active in both 1996 and 1997
+    "q_intersect" -> QDef(
+      (s, dir) => {
+        val ord = t(s, dir, "orders")
+        val y96 = ord.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+        val y97 = ord.filter(year(col("o_orderdate")) === 1997).select("o_custkey")
+        y96.intersect(y97).orderBy("o_custkey")
+      },
+      """SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
+        |ORDER BY o_custkey""".stripMargin),
+
+    // EXCEPT: customers with no order above 200k
+    "q_except" -> QDef(
+      (s, dir) => {
+        val cust = t(s, dir, "customer").select("c_custkey")
+        val big = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+          .select(col("o_custkey").as("c_custkey"))
+        cust.except(big).orderBy("c_custkey")
+      },
+      """SELECT c_custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
+        |ORDER BY c_custkey""".stripMargin),
+
+    // PIVOT: customer counts per nation pivoted by market segment
+    "q_pivot" -> QDef(
+      (s, dir) => {
+        val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+        val nat = t(s, dir, "nation")
+        val cust = t(s, dir, "customer")
+        cust.join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+          .groupBy("n_name")
+          .pivot("c_mktsegment", segs)
+          .agg(coalesce(count(lit(1)), lit(0L)))
+          .na.fill(0L, segs)
+          .orderBy("n_name")
+      },
+      """SELECT n_name,
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS "AUTOMOBILE",
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS "BUILDING",
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END) AS BIGINT) AS "FURNITURE",
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END) AS BIGINT) AS "HOUSEHOLD",
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS "MACHINERY"
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)
+  )
+}

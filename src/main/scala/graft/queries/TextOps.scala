@@ -43,9 +43,11 @@ object TextOps {
   /** Convenience for small inputs / tests: tokenizes inline. */
   def shingles(text: Column): Column = shinglesFromToks(split(text, " "))
 
-  /** Jaccard similarity of two (already distinct) shingle arrays. */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
+  /** Jaccard similarity of two (already distinct) shingle arrays —
+    * native codegen'd single-pass kernel
+    * (see graft.functions.JaccardSimilarity).
+    */
+  def jaccard(a: Column, b: Column): Column = graft.functions.GraftFunctions.jaccardSim(a, b)
 
   /** One xxhash64 per shingle — the base for the MinHash permutations. */
   def shingleHashes(sh: Column): Column = transform(sh, s => xxhash64(s))

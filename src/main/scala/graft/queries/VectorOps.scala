@@ -28,7 +28,10 @@ object VectorOps {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Native codegen'd kernel (see graft.functions.CosineSimilarity); the
+    * HOF formulation above is kept for reference/tests of the math.
+    */
+  def cosine(a: Column, b: Column): Column = graft.functions.GraftFunctions.cosineSim(a, b)
 
   /** Random-hyperplane LSH bucket id for one hash table: `planes` sign
     * bits against deterministic pseudo-random hyperplanes baked in as

@@ -65,6 +65,42 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.2, s"LSH recall $recall too low")
   }
 
+  test("native kernels match HOF formulations bit-for-bit") {
+    import spark.implicits._
+    val e = graft.Tables(spark, sfDir, "embeddings").limit(50)
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+    val hofCos = VectorOps.dot(col("v"), col("v")) / (VectorOps.norm(col("v")) * VectorOps.norm(col("v")))
+    val diffs = e.select((graft.functions.GraftFunctions.cosineSim(col("v"), col("v")) - hofCos).as("d"))
+      .collect().map(_.getDouble(0))
+    assert(diffs.forall(_ == 0.0))
+
+    val docs = graft.Tables(spark, sfDir, "documents").limit(50)
+      .select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
+    val a = docs.select(col("doc_id").as("ida"), col("sh").as("sa"))
+    val b = docs.select(col("doc_id").as("idb"), col("sh").as("sb"))
+    val pairs = a.join(b, col("ida") < col("idb")).limit(200)
+    val hofJac = size(array_intersect(col("sa"), col("sb"))).cast("double") /
+      size(array_union(col("sa"), col("sb"))).cast("double")
+    val jd = pairs.select((graft.functions.GraftFunctions.jaccardSim(col("sa"), col("sb")) - hofJac).as("d"))
+      .collect().map(_.getDouble(0))
+    assert(jd.forall(_ == 0.0))
+  }
+
+  test("native kernels register as SQL functions and stay codegen'd") {
+    graft.functions.GraftFunctions.install(spark)
+    val r = spark.sql("SELECT COSINE_SIM(array(1.0d, 0.0d), array(1.0d, 0.0d)) c, " +
+      "JACCARD_SIM(array('a','b'), array('b','c')) j").collect()(0)
+    assert(r.getDouble(0) == 1.0)
+    assert(math.abs(r.getDouble(1) - 1.0 / 3.0) < 1e-15)
+    // Non-foldable input: prove the kernel runs inside a whole-stage
+    // codegen'd project (the "*(n)" prefix), not interpreted fallback.
+    val e = graft.Tables(spark, sfDir, "embeddings")
+      .select(VectorOps.asDouble(col("embedding")).as("v"))
+    val plan = e.select(graft.functions.GraftFunctions.cosineSim(col("v"), col("v")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*("), plan)
+  }
+
   test("multimodal features are deterministic and match byte sums") {
     val out = Multimodal.features(spark, sfDir).limit(1).collect()(0)
     val docId = out.getLong(0)
