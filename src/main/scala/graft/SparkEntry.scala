@@ -13,9 +13,11 @@ object SparkEntry {
       graft.queries.Relational2.defs ++
       graft.queries.TextOps.defs ++
       graft.queries.VectorOps.defs ++
+      graft.queries.IvfOps.defs ++
       graft.queries.EventOps.defs ++
       graft.queries.Multimodal.defs ++
-      graft.queries.EngineQueries.defs
+      graft.queries.EngineQueries.defs ++
+      graft.queries.PipelineE2E.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

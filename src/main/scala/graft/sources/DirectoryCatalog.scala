@@ -45,6 +45,19 @@ object DirectoryCatalog {
       name.endsWith(".sql"))).sortBy(d => (d.project, d.dataset, d.table))
   }
 
+  /** Catalog navigation (reference: bq.getProjects / bq.getDatasets /
+    * bq.getTablesInDataset in src/rpc/methods.rs).
+    */
+  def listProjects(root: String): Seq[String] =
+    discover(root).map(_.project).distinct.sorted
+
+  def listDatasets(root: String, project: String): Seq[String] =
+    discover(root).filter(_.project == project).map(_.dataset).distinct.sorted
+
+  def listTablesIn(root: String, project: String, dataset: String): Seq[String] =
+    discover(root).filter(d => d.project == project && d.dataset == dataset)
+      .map(_.table).distinct.sorted
+
   /** Register every parquet table as a view in the session. */
   def loadParquetDirectory(session: GraftSession, root: String): Seq[String] = {
     val pq = discover(root).filterNot(_.isSql)

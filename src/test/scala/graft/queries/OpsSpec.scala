@@ -101,6 +101,31 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("*("), plan)
   }
 
+  test("IVF ANN probes only nprobe cells and keeps a recall floor") {
+    val brute = VectorOps.defs("ann_cosine_topk").run(spark, sfDir)
+      .select("q_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = IvfOps.defs("ann_ivf_topk").run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 10 queries x top-10 from probed cells
+    assert(ivf.groupBy(_._1).forall(_._2.size == 10))
+    val recall = (brute & ivf).size.toDouble / brute.size
+    // nprobe/cells = 2/16 of the corpus; on random data recall above the
+    // 12.5% random floor shows probing follows the quantizer.
+    assert(recall >= 0.1, s"IVF recall $recall below floor")
+  }
+
+  test("directory catalog navigation lists projects/datasets/tables") {
+    import graft.sources.DirectoryCatalog
+    val root = java.nio.file.Files.createTempDirectory("nav")
+    java.nio.file.Files.createDirectories(root.resolve("p1/d1"))
+    java.nio.file.Files.createDirectories(root.resolve("p2/d2"))
+    java.nio.file.Files.writeString(root.resolve("p1/d1/t1.sql"), "SELECT 1")
+    java.nio.file.Files.writeString(root.resolve("p2/d2/t2.sql"), "SELECT 2")
+    assert(DirectoryCatalog.listProjects(root.toString) == Seq("p1", "p2"))
+    assert(DirectoryCatalog.listDatasets(root.toString, "p1") == Seq("d1"))
+    assert(DirectoryCatalog.listTablesIn(root.toString, "p2", "d2") == Seq("t2"))
+  }
+
   test("multimodal features are deterministic and match byte sums") {
     val out = Multimodal.features(spark, sfDir).limit(1).collect()(0)
     val docId = out.getLong(0)
