@@ -1,0 +1,184 @@
+package graft.api
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.engine.{Dag, DagTable, GraftSession, SessionManager}
+import graft.sources.DirectoryCatalog
+
+/** Method-for-method facade over the reference's RPC surface
+  * (reference: src/rpc/methods.rs dispatch — bq.ping, bq.createSession,
+  * bq.destroySession, bq.query, bq.createTable, bq.insert,
+  * bq.registerDag, bq.runDag, bq.retryDag, bq.getDag, bq.clearDag,
+  * bq.loadParquet, bq.listTables, bq.describeTable,
+  * bq.setDefaultProject, bq.getDefaultProject, bq.getProjects,
+  * bq.getDatasets, bq.getTablesInDataset, bq.loadSqlDirectory,
+  * bq.loadParquetDirectory, bq.loadDagFromDirectory).
+  *
+  * Params/results are plain Scala Maps/Seqs (the JSON-RPC transport layer
+  * of the reference is out of scope for a library; every method and its
+  * semantics are preserved so a bq-runner client port is mechanical).
+  */
+final class GraftRpc(root: SparkSession) {
+
+  private val sessions = new SessionManager(root)
+  private val dags = new ConcurrentHashMap[String, Dag]()
+  private val lastRun = new ConcurrentHashMap[String, graft.engine.DagResult]()
+  private val defaultProject = new ConcurrentHashMap[String, String]()
+  private val catalogRoot = new ConcurrentHashMap[String, String]()
+
+  private def session(params: Map[String, Any]): GraftSession = {
+    val id = params("sessionId").toString
+    sessions.get(id).getOrElse(throw new IllegalArgumentException(s"Unknown session: $id"))
+  }
+
+  private def dagOf(s: GraftSession): Dag =
+    dags.computeIfAbsent(s.id, _ => new Dag(s))
+
+  def dispatch(method: String, params: Map[String, Any] = Map.empty): Any = method match {
+    case "bq.ping" => Map("message" -> "pong")
+
+    case "bq.createSession" => Map("sessionId" -> sessions.create().id)
+
+    case "bq.destroySession" =>
+      val id = params("sessionId").toString
+      dags.remove(id); lastRun.remove(id)
+      Map("success" -> sessions.destroy(id))
+
+    case "bq.query" =>
+      GraftRpc.toBqResponse(session(params).sql(params("sql").toString))
+
+    case "bq.createTable" =>
+      session(params).createTable(params("tableName").toString, GraftRpc.schemaParam(params))
+      Map("success" -> true)
+
+    case "bq.insert" =>
+      val rows = params("rows").asInstanceOf[Seq[Seq[Any]]]
+      Map("insertedRows" -> session(params).insert(params("tableName").toString, rows))
+
+    case "bq.registerDag" =>
+      val s = session(params)
+      val defs = params("tables").asInstanceOf[Seq[Map[String, Any]]].map(GraftRpc.dagTableParam)
+      dagOf(s).register(defs).map { case (n, deps) => Map("name" -> n, "dependencies" -> deps) }
+
+    case "bq.runDag" =>
+      val s = session(params)
+      val targets = params.get("targets").map(_.asInstanceOf[Seq[String]])
+      val res = dagOf(s).run(targets)
+      lastRun.put(s.id, res)
+      GraftRpc.toRunResult(res)
+
+    case "bq.retryDag" =>
+      val s = session(params)
+      val prev = Option(lastRun.get(s.id))
+        .getOrElse(throw new IllegalStateException("No previous DAG run to retry"))
+      val res = dagOf(s).retryFailed(prev)
+      lastRun.put(s.id, res)
+      GraftRpc.toRunResult(res)
+
+    case "bq.getDag" =>
+      dagOf(session(params)).getTables.map { case (name, sql, isSource, deps) =>
+        Map("name" -> name, "sql" -> sql, "isSource" -> isSource, "dependencies" -> deps)
+      }
+
+    case "bq.clearDag" =>
+      dagOf(session(params)).clear()
+      Map("success" -> true)
+
+    case "bq.loadParquet" =>
+      val s = session(params)
+      val df = s.spark.read.parquet(params("path").toString)
+      df.createOrReplaceTempView(params("tableName").toString)
+      Map("loadedRows" -> df.count())
+
+    case "bq.listTables" =>
+      session(params).listTables().map { t =>
+        Map("name" -> t, "rowCount" -> session(params).describeTable(t)._2)
+      }
+
+    case "bq.describeTable" =>
+      val (schema, count) = session(params).describeTable(params("tableName").toString)
+      Map(
+        "schema" -> schema.map { case (n, t) => Map("name" -> n, "type" -> t) },
+        "rowCount" -> count)
+
+    case "bq.setDefaultProject" =>
+      params.get("project") match {
+        case Some(p) if p != null => defaultProject.put(session(params).id, p.toString)
+        case _ => defaultProject.remove(session(params).id)
+      }
+      Map("success" -> true)
+
+    case "bq.getDefaultProject" =>
+      Map("project" -> Option(defaultProject.get(session(params).id)))
+
+    case "bq.getProjects" =>
+      DirectoryCatalog.listProjects(rootOf(params))
+
+    case "bq.getDatasets" =>
+      DirectoryCatalog.listDatasets(rootOf(params), params("project").toString)
+
+    case "bq.getTablesInDataset" =>
+      DirectoryCatalog.listTablesIn(rootOf(params), params("project").toString, params("dataset").toString)
+
+    case "bq.loadParquetDirectory" =>
+      val s = session(params)
+      catalogRoot.put(s.id, params("path").toString)
+      DirectoryCatalog.loadParquetDirectory(s, params("path").toString)
+
+    case "bq.loadSqlDirectory" | "bq.loadDagFromDirectory" =>
+      val s = session(params)
+      catalogRoot.put(s.id, params("path").toString)
+      val dag = DirectoryCatalog.loadDag(s, params("path").toString)
+      dags.put(s.id, dag)
+      dag.getTables.map(_._1)
+
+    case other => throw new IllegalArgumentException(s"Unknown method: $other")
+  }
+
+  private def rootOf(params: Map[String, Any]): String =
+    params.get("path").map(_.toString)
+      .orElse(Option(catalogRoot.get(session(params).id)))
+      .getOrElse(throw new IllegalArgumentException("No catalog root loaded for session"))
+}
+
+object GraftRpc {
+
+  /** BigQuery queryResponse shape (reference: executor/yachtsql.rs:208
+    * to_bq_response): schema fields, rows as {"f": [{"v": ...}]},
+    * totalRows, jobComplete.
+    */
+  def toBqResponse(df: DataFrame): Map[String, Any] = {
+    val schema = df.schema.fields.map(f =>
+      Map("name" -> f.name, "type" -> GraftSession.sparkTypeToBq(f.dataType)))
+    val rows = df.collect().map { r =>
+      Map("f" -> r.toSeq.map(v => Map("v" -> v)))
+    }
+    Map(
+      "kind" -> "bigquery#queryResponse",
+      "schema" -> Map("fields" -> schema.toSeq),
+      "rows" -> rows.toSeq,
+      "totalRows" -> rows.length.toString,
+      "jobComplete" -> true)
+  }
+
+  private def schemaParam(params: Map[String, Any]): Seq[(String, String)] =
+    params("schema").asInstanceOf[Seq[Map[String, Any]]]
+      .map(c => c("name").toString -> c("type").toString)
+
+  private def dagTableParam(m: Map[String, Any]): DagTable =
+    DagTable(
+      name = m("name").toString,
+      sql = m.get("sql").map(_.toString),
+      schema = m.get("schema").map(_.asInstanceOf[Seq[Map[String, Any]]]
+        .map(c => c("name").toString -> c("type").toString)),
+      rows = m.get("rows").map(_.asInstanceOf[Seq[Seq[Any]]]).getOrElse(Nil))
+
+  private def toRunResult(res: graft.engine.DagResult): Map[String, Any] =
+    Map(
+      "succeeded" -> res.succeeded,
+      "failed" -> res.failed.map(e => Map("table" -> e.table, "error" -> e.error)),
+      "skipped" -> res.skipped,
+      "allSucceeded" -> res.allSucceeded)
+}
