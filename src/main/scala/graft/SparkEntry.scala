@@ -17,7 +17,8 @@ object SparkEntry {
       graft.queries.EventOps.defs ++
       graft.queries.Multimodal.defs ++
       graft.queries.EngineQueries.defs ++
-      graft.queries.PipelineE2E.defs
+      graft.queries.PipelineE2E.defs ++
+      graft.queries.SkewOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,44 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Skew mitigation for heavy-hitter grouping keys: two-phase salted
+  * aggregation. Phase 1 aggregates on (key, salt) — a skewed key's rows
+  * spread over `salt` reducers; phase 2 combines the partials per key.
+  * The result is identical to a direct groupBy (the oracle below is the
+  * plain SQL aggregate), only the shuffle shape changes. Joins get the
+  * same treatment for free from AQE's skew-join splitting; this is the
+  * aggregation-side counterpart.
+  */
+object SkewOps {
+
+  /** Salted sum/count over `keys`. `salt` ≈ number of reducers a single
+    * hot key may fan out to.
+    */
+  def saltedAgg(df: DataFrame, keys: Seq[String], valueCol: String, salt: Int = 16): DataFrame = {
+    val keyCols: Seq[Column] = keys.map(col)
+    df.withColumn("__salt", pmod(xxhash64(monotonically_increasing_id()), lit(salt.toLong)))
+      .groupBy((keyCols :+ col("__salt")): _*)
+      .agg(sum(valueCol).as("__psum"), count(lit(1)).as("__pcnt"))
+      .groupBy(keyCols: _*)
+      .agg(sum("__psum").as("sum_value"), sum("__pcnt").as("cnt"))
+  }
+
+  val defs: Map[String, QDef] = Map(
+    // Salted aggregation returns exactly what the direct aggregate returns
+    // — verified against the plain SQL GROUP BY.
+    "q_salted_agg" -> QDef(
+      (s: SparkSession, dir: String) =>
+        saltedAgg(Tables(s, dir, "lineitem"), Seq("l_returnflag"), "l_quantity")
+          .select(
+            col("l_returnflag"),
+            round(col("sum_value"), 2).as("sum_qty"),
+            col("cnt"))
+          .orderBy("l_returnflag"),
+      """SELECT l_returnflag, ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+  )
+}

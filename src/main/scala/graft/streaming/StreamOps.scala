@@ -35,6 +35,20 @@ object StreamOps {
         col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact-dedup: drop repeat events by key within the
+    * watermark horizon — state is bounded by the watermark, the streaming
+    * twin of the batch dedup_exact operator.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String], watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols :+ "ts")
+
+  /** Stream-static enrichment: join the event stream against a static
+    * dimension table (broadcast per micro-batch; no streaming state).
+    */
+  def enrich(events: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), keys)
+
   /** Gap-based sessionization: a session closes when its user is silent
     * for `gapSecs` (closed either by a later event or by event-time
     * timeout once the watermark passes). State per user is O(1).

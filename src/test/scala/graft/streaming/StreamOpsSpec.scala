@@ -57,6 +57,40 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dedup drops repeats within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val query = StreamOps.dedupStream(input.toDF(), Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Ev(1, ts(1), "click", 1.0), Ev(1, ts(1), "click", 1.0), // exact repeat
+        Ev(1, ts(2), "view", 2.0), Ev(2, ts(1), "click", 3.0))
+      query.processAllAvailable()
+      val n = spark.table("dedup_out").count()
+      assert(n == 3, s"expected 3 deduped rows, got $n")
+    } finally query.stop()
+  }
+
+  test("stream-static enrichment joins a dimension per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val input = MemoryStream[Ev]
+    val query = StreamOps.enrich(input.toDF(), dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Ev(1, ts(1), "click", 1.0), Ev(2, ts(2), "view", 2.0), Ev(3, ts(3), "view", 9.0))
+      query.processAllAvailable()
+      val rows = spark.table("enrich_out").select("user_id", "tier").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(rows == Set((1L, "gold"), (2L, "silver"))) // user 3 has no dim row
+    } finally query.stop()
+  }
+
   test("sessionization keeps independent state per user") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
