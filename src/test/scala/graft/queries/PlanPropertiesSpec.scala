@@ -1,0 +1,40 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Locks in the performance-critical plan properties and the determinism
+  * contract the driver's hash-compare depends on.
+  */
+class PlanPropertiesSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("q1 pushes the shipdate filter and prunes columns at the scan") {
+    val plan = SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"), plan.take(2000))
+    assert(!plan.contains("l_orderkey"), "scan reads columns q1 never uses")
+  }
+
+  test("star join broadcasts the dimension tables") {
+    val plan = SparkEntry.queries("q_star_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("exists-correlated compiles to a semi join, not a subquery loop") {
+    val plan = SparkEntry.queries("q_exists_correlated")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("semi"), plan.take(2000))
+  }
+
+  test("every query is deterministic across runs (driver hash contract)") {
+    // Two independent plan executions must produce identical ordered rows.
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val a = fn(spark, sfDir).collect().map(_.toString).toSeq
+      val b = fn(spark, sfDir).collect().map(_.toString).toSeq
+      assert(a == b, s"query $name is nondeterministic")
+    }
+  }
+}
