@@ -52,12 +52,17 @@ object IvfOps {
     "ann_ivf_topk" -> QDef(
       (s, dir) => {
         val k = 16; val nprobe = 2
+        // e feeds seeds, quantizer training, cell assignment AND the
+        // probe search — cache it once.
         val e = Eval.barrier(Eval.fanOut(
-          emb(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v"))))
-        // Deterministic seeds spread across the id range, then one Lloyd step.
+          emb(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v")))).cache()
+        // Deterministic seeds spread across the id range; the Lloyd step
+        // trains on a 1-in-5 sample (standard IVF practice — the quantizer
+        // needs cluster shape, not every vector).
         val seeds = e.filter(col("vec_id") % lit(29) === 0).limit(k)
           .select((row_number().over(Window.orderBy("vec_id")) - 1).as("cid"), col("v").as("cv"))
-        val centroids = recenter(assign(e, seeds).select(col("cid"), col("v")))
+        val sample = e.filter(col("vec_id") % lit(5) === 0)
+        val centroids = recenter(assign(sample, seeds).select(col("cid"), col("v")))
         val cells = assign(e, centroids).cache()
 
         val probes = {

@@ -78,13 +78,8 @@ object TextOps {
     * each token's xxhash64 bit, then take the sign.
     */
   def simhash64(toks: Column): Column = {
-    (0 until 64).map { i =>
-      val bitSum = aggregate(
-        toks,
-        lit(0L),
-        (acc, t) => acc + when(shiftright(xxhash64(t), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-      when(bitSum > 0L, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, SimHash64}
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(toks)))
   }
 
   private val stop = Map(
@@ -116,11 +111,19 @@ object TextOps {
         val d = tokenized(s, dir)
           .select(col("doc_id"), col("lang"), shinglesFromToks(col("toks")).as("sh"))
           .withColumn("nsh", size(col("sh")))
+        // The blocking key (lang) has only ~5 distinct values, so a plain
+        // equi-join would use 5 reducers no matter the cluster size. Salt
+        // it: side A gets a hash-derived salt, side B is replicated to
+        // every salt — same pair set, `salts`× the parallelism.
+        val salts = 8
         val a = d.select(col("doc_id").as("doc_a"), col("lang"), col("sh").as("sh_a"), col("nsh").as("nsh_a"))
+          .withColumn("salt", pmod(xxhash64(col("doc_a")), lit(salts.toLong)))
         val b = d.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("sh").as("sh_b"), col("nsh").as("nsh_b"))
+          .withColumn("salt", explode(sequence(lit(0L), lit(salts - 1L))))
         // Lossless size bound: J(A,B) >= 0.5 implies max(|A|,|B|) <= 2*min —
         // prunes most pairs with an integer compare before any set math.
-        val pairs = a.join(b, a("lang") === b("lang_b") && a("doc_a") < b("doc_b") &&
+        val pairs = a.join(b, a("lang") === b("lang_b") && a("salt") === b("salt") &&
+          a("doc_a") < b("doc_b") &&
           greatest(col("nsh_a"), col("nsh_b")) <= least(col("nsh_a"), col("nsh_b")) * 2)
         // Barrier: evaluate jaccard exactly once (filter pushdown would
         // otherwise duplicate the set intersection).
