@@ -14,9 +14,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm up the session (codegen, parquet footer reads) so the first
-    // measured query is not charged JVM startup cost.
-    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
+    // Full untimed warmup pass: JIT, codegen cache, parquet footers.
+    // Otherwise whichever query happens to run first absorbs ~4s of JVM
+    // warmup and the per-query numbers are order-dependent.
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink forces every output column to be computed (count()

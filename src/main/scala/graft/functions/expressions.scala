@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graftbridge.{ColumnBridge, CosineSimilarity, JaccardSimilarity}
+import org.apache.spark.sql.graftbridge.{ColumnBridge, CosineSimilarity, JaccardSimilarity, JaccardSortedLong}
 
 /** Column-level entry points + SQL registration for the native codegen
   * kernels defined in org.apache.spark.sql.graftbridge.
@@ -13,6 +13,9 @@ object GraftFunctions {
 
   def jaccardSim(a: Column, b: Column): Column =
     ColumnBridge.column(JaccardSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def jaccardSortedLong(a: Column, b: Column): Column =
+    ColumnBridge.column(JaccardSortedLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Expose to spark.sql as COSINE_SIM / JACCARD_SIM. */
   def install(spark: SparkSession): Unit = {

@@ -310,15 +310,29 @@ object Relational {
         |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word
         |FROM part ORDER BY p_partkey""".stripMargin),
 
-    // §2.1#19 percentiles (olap_test.clj test-percentile)
+    // §2.1#19 percentiles (olap_test.clj test-percentile). Exact linear-
+    // interpolation quantiles via sort + row_number: Spark's percentile()
+    // aggregate builds a per-value hash map, which degenerates on
+    // continuous doubles; ranking the sorted group costs one shuffle-sort
+    // and scales.
     "q_percentile" -> QDef(
-      (s, dir) =>
-        t(s, dir, "lineitem")
-          .groupBy("l_returnflag")
-          .agg(
-            round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-            round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95"))
-          .orderBy("l_returnflag"),
+      (s, dir) => {
+        val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+        val ranked = t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+        def q(p: Double): org.apache.spark.sql.Column = {
+          val target = lit(p) * (col("n") - 1) + 1 // 1-based fractional rank
+          val lo = floor(target); val hi = ceil(target); val frac = target - lo
+          val vLo = max(when(col("rn") === lo, col("l_extendedprice")))
+          val vHi = max(when(col("rn") === hi, col("l_extendedprice")))
+          round(vLo + (vHi - vLo) * max(frac), 2)
+        }
+        ranked.groupBy("l_returnflag")
+          .agg(q(0.5).as("p50"), q(0.95).as("p95"))
+          .orderBy("l_returnflag")
+      },
       """SELECT l_returnflag,
         |  ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
         |  ROUND(quantile_cont(l_extendedprice, 0.95), 2) AS p95

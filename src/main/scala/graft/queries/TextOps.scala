@@ -108,27 +108,31 @@ object TextOps {
     // This is the exact baseline the MinHash/LSH path approximates.
     "dedup_ngram_jaccard" -> QDef(
       (s, dir) => {
+        // Pairs are compared on SORTED HASHED shingles: one xxhash64 per
+        // shingle per doc, then each pair costs a primitive merge-count
+        // (graftbridge.JaccardSortedLong) instead of UTF8 set operations.
+        // Counts equal the string-set counts absent a 64-bit collision.
         val d = tokenized(s, dir)
-          .select(col("doc_id"), col("lang"), shinglesFromToks(col("toks")).as("sh"))
-          .withColumn("nsh", size(col("sh")))
+          .select(col("doc_id"), col("lang"),
+            array_sort(shingleHashes(shinglesFromToks(col("toks")))).as("hs"))
+          .withColumn("nsh", size(col("hs")))
         // The blocking key (lang) has only ~5 distinct values, so a plain
         // equi-join would use 5 reducers no matter the cluster size. Salt
         // it: side A gets a hash-derived salt, side B is replicated to
         // every salt — same pair set, `salts`× the parallelism.
         val salts = 8
-        val a = d.select(col("doc_id").as("doc_a"), col("lang"), col("sh").as("sh_a"), col("nsh").as("nsh_a"))
+        val a = d.select(col("doc_id").as("doc_a"), col("lang"), col("hs").as("hs_a"), col("nsh").as("nsh_a"))
           .withColumn("salt", pmod(xxhash64(col("doc_a")), lit(salts.toLong)))
-        val b = d.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("sh").as("sh_b"), col("nsh").as("nsh_b"))
+        val b = d.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("hs").as("hs_b"), col("nsh").as("nsh_b"))
           .withColumn("salt", explode(sequence(lit(0L), lit(salts - 1L))))
         // Lossless size bound: J(A,B) >= 0.5 implies max(|A|,|B|) <= 2*min —
         // prunes most pairs with an integer compare before any set math.
         val pairs = a.join(b, a("lang") === b("lang_b") && a("salt") === b("salt") &&
           a("doc_a") < b("doc_b") &&
           greatest(col("nsh_a"), col("nsh_b")) <= least(col("nsh_a"), col("nsh_b")) * 2)
-        // Barrier: evaluate jaccard exactly once (filter pushdown would
-        // otherwise duplicate the set intersection).
-        Eval.barrier(
-          pairs.select(col("doc_a"), col("doc_b"), round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard")))
+        pairs
+          .select(col("doc_a"), col("doc_b"),
+            round(graft.functions.GraftFunctions.jaccardSortedLong(col("hs_a"), col("hs_b")), 4).as("jaccard"))
           .filter(col("jaccard") >= 0.5)
           .orderBy("doc_a", "doc_b")
       },
