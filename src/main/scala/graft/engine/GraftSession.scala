@@ -91,6 +91,9 @@ object GraftSession {
     case (null, _) => null
     case (i: Int, LongType) => i.toLong
     case (i: Int, DoubleType) => i.toDouble
+    // JSON-style numerics: a whole number may arrive as Double (the
+    // reference's rows are JSON values with the same looseness).
+    case (d: Double, LongType) => d.toLong
     case (l: Long, DoubleType) => l.toDouble
     case (f: Float, DoubleType) => f.toDouble
     case (s: String, DateType) => java.sql.Date.valueOf(s)

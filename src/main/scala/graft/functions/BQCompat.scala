@@ -52,6 +52,25 @@ object BQCompat {
         new ParseToDate(s, lit(formatPattern(fmt.toString)))
     })
 
+    // BigQuery signature DATE_ADD(date, INTERVAL n unit) — Spark's builtin
+    // only takes integer days. Rewrite the interval form to binary
+    // arithmetic and let the analyzer's date/interval coercion resolve it;
+    // plain integer second arguments keep the builtin behavior.
+    def isInterval(e: Expression): Boolean = e match {
+      case Literal(_, t) => t.isInstanceOf[org.apache.spark.sql.types.DayTimeIntervalType] ||
+        t.isInstanceOf[org.apache.spark.sql.types.YearMonthIntervalType] ||
+        t == org.apache.spark.sql.types.CalendarIntervalType
+      case _ => false
+    }
+    register("date_add", {
+      case Seq(d, i) if isInterval(i) => Add(d, i)
+      case Seq(d, n) => DateAdd(d, n)
+    })
+    register("date_sub", {
+      case Seq(d, i) if isInterval(i) => Subtract(d, i)
+      case Seq(d, n) => DateSub(d, n)
+    })
+
     // FARM_FINGERPRINT stand-in: deterministic 64-bit hash. NOT the same
     // hash family as BigQuery's farmhash — same contract (stable Long).
     register("farm_fingerprint", { case Seq(s) => new XxHash64(Seq(s)) })
