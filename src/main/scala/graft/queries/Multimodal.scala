@@ -47,6 +47,33 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  final case class MediaFrames(
+      doc_id: Long, mime: String, n_frames: Long,
+      frame_lens: Seq[Long], thumb: Array[Byte])
+
+  /** STUB frame-sampler + resizer: "frames" are n contiguous payload
+    * slices, the "thumbnail" subsamples every k-th byte to 64 bytes. A
+    * real codec replaces the slicing; the schema (array of per-frame
+    * metadata + fixed-size binary) and per-partition batch shape are the
+    * production contract.
+    */
+  def frames(s: SparkSession, dir: String, n: Int = 4): DataFrame = {
+    import s.implicits._
+    Eval.fanOut(
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), lit("video/fake").as("mime"), encode(col("text"), "UTF-8").as("payload")))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, mime, payload) =>
+        val L = payload.length
+        val lens = (0 until n).map(i => ((L + n - 1 - i) / n).toLong)
+        val step = math.max(1, L / 64)
+        val thumb = (0 until math.min(64, L)).map(i => payload(i * step)).toArray
+        MediaFrames(id, mime, n.toLong, lens, thumb)
+      })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   private def oracleFeature(i: Int): String =
     s"CAST(list_sum(list_transform(range(1, LENGTH(text) + 1), " +
       s"p -> CASE WHEN (p - 1) % 8 = $i THEN ascii(text[p]) ELSE 0 END)) AS BIGINT) AS f$i"
@@ -57,6 +84,9 @@ object Multimodal {
       s"""SELECT doc_id, 'text/plain' AS mime,
          |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
          |  ${(0 to 7).map(oracleFeature).mkString(",\n  ")}
-         |FROM documents ORDER BY doc_id""".stripMargin)
+         |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Frame-sampling plumbing (decode stubbed) — rows-only + spec.
+    "mm_frames" -> QDef((s, dir) => frames(s, dir), None)
   )
 }

@@ -138,6 +138,16 @@ class OpsSpec extends SparkSpec {
     (0 until 8).foreach(i => assert(out.getLong(3 + i) == expected(i)))
   }
 
+  test("multimodal frame sampling slices payloads consistently") {
+    val r = Multimodal.frames(spark, sfDir, 4).limit(1).collect()(0)
+    val lens = r.getSeq[Long](3)
+    assert(r.getLong(2) == 4L && lens.length == 4)
+    val text = graft.Tables(spark, sfDir, "documents")
+      .filter(col("doc_id") === r.getLong(0)).select("text").collect()(0).getString(0)
+    assert(lens.sum == text.getBytes("UTF-8").length.toLong)
+    assert(r.getAs[Array[Byte]](4).length <= 64)
+  }
+
   test("every declared query runs at sf0.001 and returns rows") {
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sfDir).count()

@@ -31,9 +31,15 @@ class PlanPropertiesSpec extends SparkSpec {
 
   test("every query is deterministic across runs (driver hash contract)") {
     // Two independent plan executions must produce identical ordered rows.
+    // Binary cells render as hex (Row.toString would print array identity).
+    def canon(r: org.apache.spark.sql.Row): String =
+      r.toSeq.map {
+        case b: Array[Byte] => b.map("%02x".format(_)).mkString
+        case v => String.valueOf(v)
+      }.mkString("|")
     SparkEntry.queries.foreach { case (name, fn) =>
-      val a = fn(spark, sfDir).collect().map(_.toString).toSeq
-      val b = fn(spark, sfDir).collect().map(_.toString).toSeq
+      val a = fn(spark, sfDir).collect().map(canon).toSeq
+      val b = fn(spark, sfDir).collect().map(canon).toSeq
       assert(a == b, s"query $name is nondeterministic")
     }
   }
