@@ -111,7 +111,7 @@ final class GraftRpc(root: SparkSession) {
       Map("success" -> true)
 
     case "bq.getDefaultProject" =>
-      Map("project" -> Option(defaultProject.get(session(params).id)))
+      Map("project" -> defaultProject.get(session(params).id))
 
     case "bq.getProjects" =>
       DirectoryCatalog.listProjects(rootOf(params))

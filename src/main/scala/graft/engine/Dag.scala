@@ -64,7 +64,18 @@ final class Dag(session: GraftSession, workDir: Option[Path] = None) {
   private lazy val dir: Path =
     workDir.getOrElse(Files.createTempDirectory("graft-dag"))
 
+  /** Table names become temp-view names AND filesystem paths under the
+    * work directory; restrict to safe identifiers so a name like
+    * "../../etc" can never escape `dir` (overwrite mode deletes the
+    * target before writing).
+    */
+  private val SafeName = "^[A-Za-z_][A-Za-z0-9_]*$".r
+
   def register(defs: Seq[DagTable]): Seq[(String, Seq[String])] = {
+    defs.find(d => SafeName.findFirstIn(d.name).isEmpty).foreach { bad =>
+      throw new IllegalArgumentException(
+        s"Invalid table name '${bad.name}': must match ${SafeName.regex}")
+    }
     defs.foreach(d => tables.put(d.name, d))
     // (Re-)resolve dependencies for every derived table: a later
     // registration can introduce a table an earlier SQL referenced.

@@ -74,6 +74,18 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Driver-comparable projection of [[frames]]: array columns flattened
+    * to strings (frame lengths comma-joined, thumbnail hex-encoded) so
+    * the result is hashable row-wise and fully oracle-checkable.
+    */
+  def framesFlat(s: SparkSession, dir: String, n: Int = 4): DataFrame =
+    frames(s, dir, n)
+      .select(
+        col("doc_id"), col("mime"), col("n_frames"),
+        array_join(transform(col("frame_lens"), _.cast("string")), ",").as("frame_lens"),
+        hex(col("thumb")).as("thumb_hex"))
+      .orderBy("doc_id")
+
   private def oracleFeature(i: Int): String =
     s"CAST(list_sum(list_transform(range(1, LENGTH(text) + 1), " +
       s"p -> CASE WHEN (p - 1) % 8 = $i THEN ascii(text[p]) ELSE 0 END)) AS BIGINT) AS f$i"
@@ -86,7 +98,16 @@ object Multimodal {
          |  ${(0 to 7).map(oracleFeature).mkString(",\n  ")}
          |FROM documents ORDER BY doc_id""".stripMargin),
 
-    // Frame-sampling plumbing (decode stubbed) — rows-only + spec.
-    "mm_frames" -> QDef((s, dir) => frames(s, dir), None)
+    // Frame-sampling plumbing (decode stubbed), flattened to scalar
+    // columns. The oracle re-derives frame slice lengths and the
+    // every-kth-byte thumbnail from the same UTF-8 payload.
+    "mm_frames" -> QDef(
+      (s, dir) => framesFlat(s, dir),
+      """SELECT doc_id, 'video/fake' AS mime, CAST(4 AS BIGINT) AS n_frames,
+        |  array_to_string(list_transform(range(0, 4), i -> CAST((L + 3 - i) // 4 AS BIGINT)), ',') AS frame_lens,
+        |  upper(array_to_string(list_transform(range(0, least(64, L)),
+        |    i -> lpad(to_hex(ascii(text[CAST(i * greatest(1, L // 64) + 1 AS BIGINT)])), 2, '0')), '')) AS thumb_hex
+        |FROM (SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS L FROM documents)
+        |ORDER BY doc_id""".stripMargin)
   )
 }

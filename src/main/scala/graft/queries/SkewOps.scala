@@ -20,7 +20,12 @@ object SkewOps {
     */
   def saltedAgg(df: DataFrame, keys: Seq[String], valueCol: String, salt: Int = 16): DataFrame = {
     val keyCols: Seq[Column] = keys.map(col)
-    df.withColumn("__salt", pmod(xxhash64(monotonically_increasing_id()), lit(salt.toLong)))
+    // Salt must be deterministic under task re-execution: if a lost map
+    // stage recomputes, every row must land in the same salted partition
+    // or partial aggregates double/under-count. Hash row content, not
+    // monotonically_increasing_id().
+    val contentSalt = pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salt.toLong))
+    df.withColumn("__salt", contentSalt)
       .groupBy((keyCols :+ col("__salt")): _*)
       .agg(sum(valueCol).as("__psum"), count(lit(1)).as("__pcnt"))
       .groupBy(keyCols: _*)

@@ -82,8 +82,20 @@ object StreamOps {
               }
             }
             cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp((s.last + gapSecs) * 1000)
+              // Late-but-valid data (within the watermark, but older than
+              // watermark − gap) would make the natural timeout land
+              // before the current watermark, which Spark rejects. If the
+              // session is already past its gap relative to the watermark,
+              // close it now; otherwise register the (clamped) timeout.
+              val natural = (s.last + gapSecs) * 1000
+              val wm = state.getCurrentWatermarkMs()
+              if (natural <= wm) {
+                closed += SessionOut(userId, s.start, s.last, s.cnt, s.total)
+                if (state.exists) state.remove()
+              } else {
+                state.update(s)
+                state.setTimeoutTimestamp(math.max(natural, wm + 1))
+              }
             }
             closed.result().iterator
           }

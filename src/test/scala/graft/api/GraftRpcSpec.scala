@@ -93,9 +93,9 @@ class GraftRpcSpec extends SparkSpec {
   test("default project set/get and session destroy") {
     val s = sid()
     rpc.dispatch("bq.setDefaultProject", Map("sessionId" -> s, "project" -> "p1"))
-    assert(rpc.dispatch("bq.getDefaultProject", Map("sessionId" -> s)) == Map("project" -> Some("p1")))
+    assert(rpc.dispatch("bq.getDefaultProject", Map("sessionId" -> s)) == Map("project" -> "p1"))
     rpc.dispatch("bq.setDefaultProject", Map("sessionId" -> s))
-    assert(rpc.dispatch("bq.getDefaultProject", Map("sessionId" -> s)) == Map("project" -> None))
+    assert(rpc.dispatch("bq.getDefaultProject", Map("sessionId" -> s)) == Map("project" -> null))
     assert(rpc.dispatch("bq.destroySession", Map("sessionId" -> s)) == Map("success" -> true))
     assertThrows[IllegalArgumentException](
       rpc.dispatch("bq.query", Map("sessionId" -> s, "sql" -> "SELECT 1")))
