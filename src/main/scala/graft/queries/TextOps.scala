@@ -108,29 +108,35 @@ object TextOps {
     // This is the exact baseline the MinHash/LSH path approximates.
     "dedup_ngram_jaccard" -> QDef(
       (s, dir) => {
-        // Pairs are compared on SORTED HASHED shingles: one xxhash64 per
-        // shingle per doc, then each pair costs a primitive merge-count
-        // (graftbridge.JaccardSortedLong) instead of UTF8 set operations.
-        // Counts equal the string-set counts absent a 64-bit collision.
-        val d = tokenized(s, dir)
-          .select(col("doc_id"), col("lang"),
-            array_sort(shingleHashes(shinglesFromToks(col("toks")))).as("hs"))
-          .withColumn("nsh", size(col("hs")))
-        // The blocking key (lang) has only ~5 distinct values, so a plain
-        // equi-join would use 5 reducers no matter the cluster size. Salt
-        // it: side A gets a hash-derived salt, side B is replicated to
-        // every salt — same pair set, `salts`× the parallelism.
-        val salts = 8
-        val a = d.select(col("doc_id").as("doc_a"), col("lang"), col("hs").as("hs_a"), col("nsh").as("nsh_a"))
-          .withColumn("salt", pmod(xxhash64(col("doc_a")), lit(salts.toLong)))
-        val b = d.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("hs").as("hs_b"), col("nsh").as("nsh_b"))
-          .withColumn("salt", explode(sequence(lit(0L), lit(salts - 1L))))
-        // Lossless size bound: J(A,B) >= 0.5 implies max(|A|,|B|) <= 2*min —
-        // prunes most pairs with an integer compare before any set math.
-        val pairs = a.join(b, a("lang") === b("lang_b") && a("salt") === b("salt") &&
-          a("doc_a") < b("doc_b") &&
-          greatest(col("nsh_a"), col("nsh_b")) <= least(col("nsh_a"), col("nsh_b")) * 2)
-        pairs
+        // Exact set-similarity join via PREFIX FILTERING (AllPairs /
+        // PPJoin family) instead of all-pairs-within-language: with
+        // shingles hashed (one xxhash64 each) and sorted ascending as the
+        // global token order, J(A,B) >= t implies |A∩B| >= ceil(t·|A|),
+        // so some intersecting hash must land in the first
+        // |A| - ceil(t·|A|) + 1 = floor(|A|/2)+1 positions (t = 0.5).
+        // Candidates therefore come from an equi-join on the PREFIX HASH
+        // itself — a high-cardinality key that shuffles only docs which
+        // actually share a shingle, O(matches) not O(n²/langs), and
+        // parallelism scales with the cluster instead of the language
+        // count. Verification is a primitive merge-count
+        // (graftbridge.JaccardSortedLong) per surviving pair.
+        val d = Eval.barrier(
+          tokenized(s, dir)
+            .select(col("doc_id"), col("lang"),
+              array_sort(shingleHashes(shinglesFromToks(col("toks")))).as("hs"))
+            .withColumn("nsh", size(col("hs")))).cache()
+        val prefix = d.select(col("doc_id"), col("lang"), col("nsh"),
+          explode(slice(col("hs"), lit(1), (col("nsh") / 2).cast("int") + 1)).as("ph"))
+        // Lossless size bound: J(A,B) >= 0.5 implies max(|A|,|B|) <= 2*min.
+        val cand = prefix.as("a").join(prefix.as("b"),
+            col("a.ph") === col("b.ph") && col("a.lang") === col("b.lang") &&
+              col("a.doc_id") < col("b.doc_id") &&
+              greatest(col("a.nsh"), col("b.nsh")) <= least(col("a.nsh"), col("b.nsh")) * 2)
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        cand
+          .join(d.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+          .join(d.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
           .select(col("doc_a"), col("doc_b"),
             round(graft.functions.GraftFunctions.jaccardSortedLong(col("hs_a"), col("hs_b")), 4).as("jaccard"))
           .filter(col("jaccard") >= 0.5)
@@ -155,12 +161,13 @@ object TextOps {
     "dedup_minhash_lsh" -> QDef(
       (s, dir) => {
         val k = 32; val bands = 16; val rows = 2
-        // Signatures are reused by the banding explode AND the pair
-        // verification join → cache the small (doc_id, sh) projection.
+        // Hashed sorted shingles are reused by the signature, the banding
+        // explode AND the pair verification join → cache once; strings
+        // never leave the first projection.
         val d = Eval.barrier(
-          tokenized(s, dir).select(col("doc_id"), shinglesFromToks(col("toks")).as("sh"))).cache()
-        val hs = Eval.barrier(d.select(col("doc_id"), shingleHashes(col("sh")).as("hs")))
-        val sig = hs.select(col("doc_id"), minhashSignature(col("hs"), k).as("sig"))
+          tokenized(s, dir).select(col("doc_id"),
+            array_sort(shingleHashes(shinglesFromToks(col("toks")))).as("hs"))).cache()
+        val sig = d.select(col("doc_id"), minhashSignature(col("hs"), k).as("sig"))
         val banded = sig.select(
           col("doc_id"), posexplode(bandHashes(col("sig"), bands, rows)).as(Seq("band", "bhash")))
         val cand = banded.as("x")
@@ -168,11 +175,11 @@ object TextOps {
             col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .distinct()
-        val withSh = cand
-          .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-          .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-        withSh
-          .select(col("doc_a"), col("doc_b"), round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+        cand
+          .join(d.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+          .join(d.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            round(graft.functions.GraftFunctions.jaccardSortedLong(col("hs_a"), col("hs_b")), 4).as("jaccard"))
           .filter(col("jaccard") >= 0.5)
           .orderBy("doc_a", "doc_b")
       },
