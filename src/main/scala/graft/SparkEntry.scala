@@ -18,7 +18,9 @@ object SparkEntry {
       graft.queries.Multimodal.defs ++
       graft.queries.EngineQueries.defs ++
       graft.queries.PipelineE2E.defs ++
-      graft.queries.SkewOps.defs
+      graft.queries.SkewOps.defs ++
+      graft.queries.JoinOps.defs ++
+      graft.queries.CurateOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CurateJoinSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("approx distinct counts stay within sketch error of exact") {
+    val exact = graft.Tables(spark, sfDir, "events")
+      .groupBy("event_type").agg(count_distinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = CurateOps.defs("q_approx_distinct").run(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (k, a) =>
+      val e = exact(k)
+      assert(math.abs(a - e).toDouble / e <= 0.10, s"$k: approx $a vs exact $e")
+    }
+  }
+
+  test("approx quantiles bracket the exact percentiles") {
+    val approx = CurateOps.defs("q_approx_quantile").run(spark, sfDir).collect()
+    val orders = graft.Tables(spark, sfDir, "orders")
+    approx.foreach { r =>
+      val prio = r.getString(0)
+      val vals = orders.filter(col("o_orderpriority") === prio)
+        .select("o_totalprice").collect().map(_.getDouble(0)).sorted
+      // percentile_approx with accuracy 10000 on small groups is exact up
+      // to interpolation choice — require landing inside the value range
+      // around each percentile index.
+      Seq((1, 0.25), (2, 0.5), (3, 0.75)).foreach { case (i, p) =>
+        val got = r.getDouble(i)
+        val lo = vals(math.max(0, (p * (vals.length - 1)).floor.toInt - 1))
+        val hi = vals(math.min(vals.length - 1, (p * (vals.length - 1)).ceil.toInt + 1))
+        assert(got >= lo && got <= hi, s"$prio p$p: $got outside [$lo, $hi]")
+      }
+    }
+  }
+
+  test("as-of join matches a driver-side reference computation") {
+    import scala.collection.Searching._
+    val e = graft.Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("ts_s"),
+        col("event_type"), col("value")).collect()
+    val purchByUser = e.filter(_.getString(3) == "purchase")
+      .groupBy(_.getLong(1)).map { case (u, rows) =>
+        // max value per (user, sec), sorted by sec — mirrors the query's
+        // deterministic pre-aggregation.
+        u -> rows.groupBy(_.getLong(2)).map { case (t, rs) =>
+          t -> BigDecimal(rs.map(_.getDouble(4)).max).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }.toArray.sortBy(_._1)
+      }
+    val out = JoinOps.defs("q_asof_join").run(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (u, ts) = (r.getLong(0), r.getLong(2))
+      val expected = purchByUser.get(u).flatMap { arr =>
+        arr.takeWhile(_._1 <= ts).lastOption
+      }
+      expected match {
+        case None => assert(r.isNullAt(3), s"user $u ts $ts: expected no prior purchase")
+        case Some((pt, pv)) =>
+          assert(r.getLong(3) == pt && r.getDouble(4) == pv,
+            s"user $u ts $ts: got (${r.get(3)}, ${r.get(4)}), want ($pt, $pv)")
+      }
+    }
+  }
+
+  test("banded range join counts equal a brute-force filter") {
+    val e = graft.Tables(spark, sfDir, "events")
+      .select(col("event_id"), unix_timestamp(col("ts")).as("ts_s"), col("event_type")).collect()
+    val clicks = e.filter(_.getString(2) == "click").map(_.getLong(1)).sorted
+    val out = JoinOps.defs("q_range_join").run(spark, sfDir).collect()
+    out.foreach { r =>
+      val ts = r.getLong(1)
+      val expect = clicks.count(c => c >= ts - 60 && c <= ts)
+      assert(r.getLong(2) == expect, s"event ${r.getLong(0)}: ${r.getLong(2)} != $expect")
+    }
+  }
+
+  test("stratified sample is reproducible and capped per stratum") {
+    val a = CurateOps.defs("q_sample_stratified").run(spark, sfDir).collect()
+    val b = CurateOps.defs("q_sample_stratified").run(spark, sfDir).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    val perLang = a.groupBy(_.getString(1)).map { case (l, rs) => l -> rs.length }
+    assert(perLang.values.forall(_ <= 50))
+  }
+
+  test("dag rejects path-escaping table names") {
+    val gs = new graft.engine.SessionManager(spark).create()
+    val dag = new graft.engine.Dag(gs)
+    intercept[IllegalArgumentException] {
+      dag.register(Seq(graft.engine.DagTable.derived("../../etc/passwd", "SELECT 1")))
+    }
+    intercept[IllegalArgumentException] {
+      dag.register(Seq(graft.engine.DagTable.derived("a/b", "SELECT 1")))
+    }
+  }
+}
