@@ -20,14 +20,26 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
+      // Queries that cache() build fresh lineage per invocation; without
+      // this the cached blocks of every past run accumulate and GC
+      // pressure lands on random later queries.
+      spark.catalog.clearCache()
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
       // noop sink forces every output column to be computed (count()
-      // would let Catalyst prune the projections entirely).
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      // would let Catalyst prune the projections entirely). Min of two
+      // timed runs: a single multi-second GC pause under 32 concurrent
+      // tasks otherwise lands on a random query and masquerades as a
+      // plan regression; the min is the steady-state throughput.
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        dt
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -9,15 +9,18 @@ import graft.functions.GraftFunctions.cosineSim
 
 /** IVF (inverted-file) approximate nearest neighbour: a coarse quantizer
   * partitions the corpus into cells; queries probe only their `nprobe`
-  * nearest cells. This is the classic billion-scale ANN layout — cell
-  * assignment is a broadcast-join argmin (map-only over the corpus), the
-  * probe search shuffles only cell-local candidates.
+  * nearest cells. This is the classic billion-scale ANN layout.
   *
-  * The quantizer here is deterministic k-means with one distributed Lloyd
-  * iteration (seeded from an arithmetic progression of corpus vectors):
-  * assignment via broadcast argmin, centroid update via posexplode →
-  * per-(cell, dim) mean → regroup. At 100 TB the same plan holds — the
-  * centroid table stays tiny and broadcastable.
+  * The quantizer (seeds → one distributed Lloyd iteration over a sample)
+  * produces a tiny centroid table that is COLLECTED TO THE DRIVER and
+  * baked into the assignment expression as literal arrays — exactly how a
+  * production IVF ships its codebook to every executor. Cell assignment
+  * is then a pure map-side argmax (greatest over per-centroid
+  * (sim, -cid) structs, ties to the lowest cid): ZERO shuffle over the
+  * corpus, no window, no crossJoin row explosion. Only the probed
+  * candidates (nprobe/cells of the corpus per query) ever shuffle for the
+  * final top-k. At 100 TB the same plan holds — the codebook stays a few
+  * KB regardless of corpus size.
   */
 object IvfOps {
 
@@ -25,15 +28,12 @@ object IvfOps {
 
   private def emb(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "embeddings")
 
-  /** Assign each vector its nearest centroid id. */
-  private def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
-    vectors
-      .crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("v"), col("cid"), cosineSim(col("v"), col("cv")).as("sim"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("v"), col("cid"))
+  /** Map-only nearest-centroid id against a literal codebook. */
+  private def assignLiteral(vectors: DataFrame, cents: Seq[Seq[Double]]): DataFrame = {
+    val scored: Seq[Column] = cents.zipWithIndex.map { case (cv, cid) =>
+      struct(cosineSim(col("v"), typedlit(cv)).as("sim"), lit(-cid).as("negcid"))
+    }
+    vectors.withColumn("cid", -greatest(scored: _*).getField("negcid"))
   }
 
   /** One Lloyd iteration: per-(cell, dim) means → new centroid arrays. */
@@ -52,35 +52,39 @@ object IvfOps {
     "ann_ivf_topk" -> QDef(
       (s, dir) => {
         val k = 16; val nprobe = 2
-        // e feeds seeds, quantizer training, cell assignment AND the
-        // probe search — cache it once.
         val e = Eval.barrier(Eval.fanOut(
           emb(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v")))).cache()
         // Deterministic seeds spread across the id range; the Lloyd step
         // trains on a 1-in-5 sample (standard IVF practice — the quantizer
         // needs cluster shape, not every vector).
-        val seeds = e.filter(col("vec_id") % lit(29) === 0).limit(k)
-          .select((row_number().over(Window.orderBy("vec_id")) - 1).as("cid"), col("v").as("cv"))
+        val seeds: Seq[Seq[Double]] = e.filter(col("vec_id") % lit(29) === 0)
+          .sort("vec_id").limit(k)
+          .select("v").collect().map(_.getSeq[Double](0)).toSeq
         val sample = e.filter(col("vec_id") % lit(5) === 0)
-        val centroids = recenter(assign(sample, seeds).select(col("cid"), col("v")))
-        val cells = assign(e, centroids).cache()
+        val cents: Seq[Seq[Double]] =
+          recenter(assignLiteral(sample, seeds).select(col("cid"), col("v")))
+            .sort("cid").collect().map(_.getSeq[Double](1)).toSeq
+        val cells = assignLiteral(e, cents)
 
-        val probes = {
-          val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("cid"))
-          e.filter(col("vec_id") < 10)
-            .select(col("vec_id").as("q_id"), col("v").as("qv"))
-            .crossJoin(broadcast(centroids))
-            .select(col("q_id"), col("qv"), col("cid"), cosineSim(col("qv"), col("cv")).as("sim"))
-            .withColumn("rk", row_number().over(w))
-            .filter(col("rk") <= nprobe)
-            .select(col("q_id"), col("qv"), col("cid"))
-        }
-        val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("neighbor_id"))
-        cells.join(broadcast(probes), Seq("cid"))
+        // Probe selection: rank every centroid per query (k×10 rows) and
+        // keep the nprobe best per query.
+        val qs = e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val centDf = s.createDataFrame(
+          s.sparkContext.parallelize(cents.zipWithIndex.map { case (cv, cid) => (cid, cv) }, 1))
+          .toDF("cid", "cv")
+        val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("cid"))
+        val probed = qs.crossJoin(broadcast(centDf))
+          .select(col("q_id"), col("qv"), col("cid"), cosineSim(col("qv"), col("cv")).as("sim"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= nprobe)
+          .select(col("q_id"), col("qv"), col("cid"))
+
+        val wTop = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("neighbor_id"))
+        cells.join(broadcast(probed), Seq("cid"))
           .filter(col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id").as("neighbor_id"),
             round(cosineSim(col("qv"), col("v")), 6).as("cosine"))
-          .withColumn("rank", row_number().over(w).cast("long"))
+          .withColumn("rank", row_number().over(wTop).cast("long"))
           .filter(col("rank") <= 10)
           .orderBy("q_id", "rank")
       },

@@ -316,23 +316,20 @@ object Relational {
     // continuous doubles; ranking the sorted group costs one shuffle-sort
     // and scales.
     "q_percentile" -> QDef(
-      (s, dir) => {
-        val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-        val ranked = t(s, dir, "lineitem")
-          .select(col("l_returnflag"), col("l_extendedprice"))
-          .withColumn("rn", row_number().over(w))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
-        def q(p: Double): org.apache.spark.sql.Column = {
-          val target = lit(p) * (col("n") - 1) + 1 // 1-based fractional rank
-          val lo = floor(target); val hi = ceil(target); val frac = target - lo
-          val vLo = max(when(col("rn") === lo, col("l_extendedprice")))
-          val vHi = max(when(col("rn") === hi, col("l_extendedprice")))
-          round(vLo + (vHi - vLo) * max(frac), 2)
-        }
-        ranked.groupBy("l_returnflag")
-          .agg(q(0.5).as("p50"), q(0.95).as("p95"))
-          .orderBy("l_returnflag")
-      },
+      (s, dir) =>
+        // Spark's exact `percentile` aggregate interpolates at rank
+        // p(n-1)+1 — the same PERCENTILE_CONT/quantile_cont semantics —
+        // but as a mergeable aggregate with map-side partials, instead of
+        // a full sort inside a window partitioned by a 3-value key (which
+        // caps parallelism at 3 reducers regardless of cluster size).
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(percentile(col("l_extendedprice"), array(lit(0.5), lit(0.95))).as("qs"))
+          .select(
+            col("l_returnflag"),
+            round(element_at(col("qs"), 1), 2).as("p50"),
+            round(element_at(col("qs"), 2), 2).as("p95"))
+          .orderBy("l_returnflag"),
       """SELECT l_returnflag,
         |  ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
         |  ROUND(quantile_cont(l_extendedprice, 0.95), 2) AS p95
