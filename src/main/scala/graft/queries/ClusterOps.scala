@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Near-duplicate CLUSTERING: connected components over the verified
+  * near-dup pair graph, with one canonical document per cluster — the
+  * step a real dedup pipeline runs after pair detection (keep the
+  * canonical doc, drop the rest).
+  *
+  * The component labels come from iterative min-label propagation
+  * ("hash-to-min"): every node starts labeled with its own id; each round
+  * every node takes the min of its label and its neighbors' labels. A
+  * round is one join + one aggregate — all shuffle-partitioned by node
+  * id, nothing driver-sided except the convergence check (a count). The
+  * iteration count is the component diameter, and near-dup clusters are
+  * shallow (dozens of docs, diameter ≤ ~3), so this converges in a few
+  * rounds at any corpus size; per-round lineage is cut with
+  * localCheckpoint so 100 TB runs don't accumulate a mile-long plan.
+  */
+object ClusterOps {
+
+  /** Min-label propagation over an undirected edge list (src, dst). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val msgs = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.union(msgs)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") < col("o.label"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  val defs: Map[String, QDef] = Map(
+
+    // §2.3#55 dedup clustering: components of the MinHash near-dup graph,
+    // canonical = min doc_id per component, singletons cluster alone.
+    "dedup_clusters" -> QDef(
+      (s, dir) => {
+        val pairs = TextOps.minhashPairs(s, dir).select("doc_a", "doc_b")
+        val labels = connectedComponents(pairs)
+        val sizes = labels.groupBy("label").agg(count(lit(1)).as("sz"))
+        Tables(s, dir, "documents").select(col("doc_id"))
+          .join(labels, col("doc_id") === labels("id"), "left")
+          .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+          .join(sizes, col("cluster_id") === sizes("label"), "left")
+          .select(
+            col("doc_id"), col("cluster_id"),
+            coalesce(col("sz"), lit(1L)).as("cluster_size"),
+            (col("doc_id") === col("cluster_id")).cast("long").as("is_canonical"))
+          .orderBy("doc_id")
+      },
+      // Transitive closure via recursive CTE = the same components.
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS sh
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        |e AS (SELECT da AS src, db AS dst FROM p UNION ALL SELECT db, da FROM p),
+        |reach AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+        |comp AS (
+        |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id FROM reach GROUP BY src),
+        |sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+        |  CAST(COALESCE(s.cluster_size, 1) AS BIGINT) AS cluster_size,
+        |  CAST(CASE WHEN COALESCE(c.cluster_id, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+        |FROM documents d
+        |LEFT JOIN comp c ON d.doc_id = c.doc_id
+        |LEFT JOIN sizes s ON COALESCE(c.cluster_id, d.doc_id) = s.cluster_id
+        |ORDER BY d.doc_id""".stripMargin)
+  )
+}

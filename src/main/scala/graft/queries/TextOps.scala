@@ -82,6 +82,34 @@ object TextOps {
     ColumnBridge.column(SimHash64(ColumnBridge.expression(toks)))
   }
 
+  /** Verified near-dup pairs (doc_a < doc_b, exact Jaccard >= 0.5) via
+    * MinHash + LSH banding. Shared by the `dedup_minhash_lsh` operator
+    * and the connected-components clustering in [[ClusterOps]].
+    */
+  def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val k = 32; val bands = 16; val rows = 2
+    // Hashed sorted shingles are reused by the signature, the banding
+    // explode AND the pair verification join → cache once; strings
+    // never leave the first projection.
+    val d = Eval.barrier(
+      tokenized(s, dir).select(col("doc_id"),
+        array_sort(shingleHashes(shinglesFromToks(col("toks")))).as("hs"))).cache()
+    val sig = d.select(col("doc_id"), minhashSignature(col("hs"), k).as("sig"))
+    val banded = sig.select(
+      col("doc_id"), posexplode(bandHashes(col("sig"), bands, rows)).as(Seq("band", "bhash")))
+    val cand = banded.as("x")
+      .join(banded.as("y"), col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(d.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(graft.functions.GraftFunctions.jaccardSortedLong(col("hs_a"), col("hs_b")), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
   private val stop = Map(
     "en" -> "(the|a|of|to|and)",
     "de" -> "(der|die|und|das|ist)",
@@ -159,30 +187,7 @@ object TextOps {
     // Jaccard, so at high similarity the output equals the exact baseline
     // (which is the DuckDB oracle below).
     "dedup_minhash_lsh" -> QDef(
-      (s, dir) => {
-        val k = 32; val bands = 16; val rows = 2
-        // Hashed sorted shingles are reused by the signature, the banding
-        // explode AND the pair verification join → cache once; strings
-        // never leave the first projection.
-        val d = Eval.barrier(
-          tokenized(s, dir).select(col("doc_id"),
-            array_sort(shingleHashes(shinglesFromToks(col("toks")))).as("hs"))).cache()
-        val sig = d.select(col("doc_id"), minhashSignature(col("hs"), k).as("sig"))
-        val banded = sig.select(
-          col("doc_id"), posexplode(bandHashes(col("sig"), bands, rows)).as(Seq("band", "bhash")))
-        val cand = banded.as("x")
-          .join(banded.as("y"), col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
-            col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct()
-        cand
-          .join(d.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
-          .join(d.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
-          .select(col("doc_a"), col("doc_b"),
-            round(graft.functions.GraftFunctions.jaccardSortedLong(col("hs_a"), col("hs_b")), 4).as("jaccard"))
-          .filter(col("jaccard") >= 0.5)
-          .orderBy("doc_a", "doc_b")
-      },
+      (s, dir) => minhashPairs(s, dir).orderBy("doc_a", "doc_b"),
       // Exact-Jaccard oracle: valid because verified LSH output at τ=0.5
       // equals the exact result when band recall holds (checked in specs).
       """WITH t AS (

@@ -89,6 +89,19 @@ class CurateJoinSpec extends SparkSpec {
     assert(perLang.values.forall(_ <= 50))
   }
 
+  test("connected components label chains, triangles and bridges correctly") {
+    import spark.implicits._
+    // Components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21} (edge).
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val labels = ClusterOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(labels(_) == 1L), labels.toString)
+    assert(Seq(10L, 11L, 12L).forall(labels(_) == 10L), labels.toString)
+    assert(Seq(20L, 21L).forall(labels(_) == 20L), labels.toString)
+    assert(labels.size == 9)
+  }
+
   test("dag rejects path-escaping table names") {
     val gs = new graft.engine.SessionManager(spark).create()
     val dag = new graft.engine.Dag(gs)
