@@ -43,8 +43,10 @@ final class GraftSession private[engine] (val id: String, val spark: SparkSessio
     rows.size.toLong
   }
 
-  /** Run SQL against this session's tables. */
-  def sql(q: String): DataFrame = spark.sql(q)
+  /** Run SQL against this session's tables (BigQuery-dialect syntax that
+    * Spark's parser rejects is rewritten first — see [[GraftSession.rewriteBqSyntax]]).
+    */
+  def sql(q: String): DataFrame = spark.sql(rewriteBqSyntax(q))
 
   def listTables(): Seq[String] =
     spark.catalog.listTables().collect().map(_.name).toSeq.sorted
@@ -58,6 +60,19 @@ final class GraftSession private[engine] (val id: String, val spark: SparkSessio
 }
 
 object GraftSession {
+
+  /** BigQuery constructs Spark's parser rejects, rewritten textually:
+    * `FROM UNNEST([1, 2, 3]) AS x` → a subquery exploding an array()
+    * literal (reference: client_test.clj test-bigquery-syntax). Kept
+    * deliberately narrow — bracket literals only inside UNNEST, so
+    * subscripts and strings are untouched.
+    */
+  def rewriteBqSyntax(q: String): String = {
+    val unnestAliased = "(?i)UNNEST\\(\\[([^\\]]*)\\]\\)\\s+AS\\s+(\\w+)".r
+    val unnestBare = "(?i)UNNEST\\(\\[([^\\]]*)\\]\\)".r
+    val step = unnestAliased.replaceAllIn(q, m => s"(SELECT explode(array(${m.group(1)})) AS ${m.group(2)})")
+    unnestBare.replaceAllIn(step, m => s"(SELECT explode(array(${m.group(1)})) AS col)")
+  }
 
   /** BigQuery type name → Spark type (reference: rpc/types.rs ColumnDef). */
   def bqType(t: String): DataType = t.trim.toUpperCase match {
