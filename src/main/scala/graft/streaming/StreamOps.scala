@@ -49,6 +49,21 @@ object StreamOps {
   def enrich(events: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim), keys)
 
+  /** Stream-stream interval join: each left event matched to right-stream
+    * events for the same user within [ts - range, ts]. Both sides are
+    * watermarked so Spark can bound the join state buffer — the streaming
+    * twin of the batch banded range join (graft.queries.JoinOps).
+    */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      key: String, range: String = "60 seconds",
+      watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).as("l")
+    val r = right.withWatermark("ts", watermark).as("r")
+    l.join(r,
+      expr(s"l.$key = r.$key AND r.ts BETWEEN l.ts - INTERVAL $range AND l.ts"))
+  }
+
   /** Gap-based sessionization: a session closes when its user is silent
     * for `gapSecs` (closed either by a later event or by event-time
     * timeout once the watermark passes). State per user is O(1).

@@ -29,6 +29,26 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(plan.toLowerCase.contains("semi"), plan.take(2000))
   }
 
+  test("as-of join is one shuffle by key — no range join explosion") {
+    val plan = SparkEntry.queries("q_asof_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan.take(2000))
+  }
+
+  test("banded range join stays an equi-join on the time bin") {
+    val plan = SparkEntry.queries("q_range_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"range join fell back to a nested loop: ${plan.take(2000)}")
+  }
+
+  test("prefix-filter similarity join joins on the shingle hash, not a blocking key") {
+    val plan = SparkEntry.queries("dedup_ngram_jaccard")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan.take(2000))
+    assert(plan.contains("ph"), "prefix-hash join key missing from plan")
+  }
+
   test("every query is deterministic across runs (driver hash contract)") {
     // Two independent plan executions must produce identical ordered rows.
     // Binary cells render as hex (Row.toString would print array identity).

@@ -8,6 +8,10 @@ import org.apache.spark.sql.streaming.OutputMode
 import graft.SparkSpec
 import graft.streaming.StreamOps.Ev
 
+object StreamOpsSpec {
+  final case class IdEv(event_id: Long, user_id: Long, ts: Timestamp)
+}
+
 class StreamOpsSpec extends SparkSpec {
 
   // Offset by 1h: an event at epoch 0 would be dropped as late (initial
@@ -88,6 +92,34 @@ class StreamOpsSpec extends SparkSpec {
       val rows = spark.table("enrich_out").select("user_id", "tier").collect()
         .map(r => (r.getLong(0), r.getString(1))).toSet
       assert(rows == Set((1L, "gold"), (2L, "silver"))) // user 3 has no dim row
+    } finally query.stop()
+  }
+
+  test("stream-stream interval join matches events within the range") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import StreamOpsSpec.IdEv
+    val clicks = MemoryStream[IdEv]
+    val errors = MemoryStream[IdEv]
+    val joined = StreamOps.intervalJoin(
+      errors.toDF().withColumnRenamed("event_id", "err_id"),
+      clicks.toDF().withColumnRenamed("event_id", "click_id"),
+      key = "user_id", range = "60 seconds")
+      .select(col("err_id"), col("click_id"))
+    val query = joined.writeStream.format("memory").queryName("interval_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // Clicks at minute 1 and 5; an error 30s after the first click
+      // (catches it) and one at minute 10 (nothing within 60s before).
+      clicks.addData(IdEv(101, 1, ts(1)), IdEv(102, 1, ts(5)))
+      errors.addData(
+        IdEv(201, 1, new Timestamp(ts(1).getTime + 30000)),
+        IdEv(202, 1, ts(10)))
+      query.processAllAvailable()
+      val rows = spark.table("interval_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((201L, 101L)), rows.toString)
     } finally query.stop()
   }
 
