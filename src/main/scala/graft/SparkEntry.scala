@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.SkewOps.defs ++
       graft.queries.JoinOps.defs ++
       graft.queries.CurateOps.defs ++
-      graft.queries.ClusterOps.defs
+      graft.queries.ClusterOps.defs ++
+      graft.queries.TpchOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

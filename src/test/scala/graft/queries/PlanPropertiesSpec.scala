@@ -29,6 +29,14 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(plan.toLowerCase.contains("semi"), plan.take(2000))
   }
 
+  test("tpch q6 pushes every predicate to the scan and prunes to 3 columns") {
+    val plan = SparkEntry.queries("q_tpch_q6")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:"), plan.take(2000))
+    assert(plan.contains("l_shipdate") && plan.contains("l_discount") && plan.contains("l_quantity"))
+    assert(!plan.contains("l_orderkey"), "scan reads columns q6 never uses")
+  }
+
   test("as-of join is one shuffle by key — no range join explosion") {
     val plan = SparkEntry.queries("q_asof_join")(spark, sfDir)
       .queryExecution.executedPlan.toString
