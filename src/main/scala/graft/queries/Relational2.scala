@@ -93,6 +93,25 @@ object Relational2 {
         |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
         |ORDER BY c_custkey""".stripMargin),
 
+    // STRING_AGG / ARRAY_AGG: ordered list aggregation (BigQuery surface).
+    // collect_list order is nondeterministic under parallelism — sort the
+    // array before joining so the result is stable (same contract as
+    // STRING_AGG ... ORDER BY).
+    "q_string_agg" -> QDef(
+      (s, dir) => {
+        val nat = t(s, dir, "nation")
+        val reg = t(s, dir, "region")
+        nat.join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+          .groupBy("r_name")
+          .agg(
+            array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+            count(lit(1)).as("n"))
+          .orderBy("r_name")
+      },
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations, COUNT(*) AS n
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin),
+
     // PIVOT: customer counts per nation pivoted by market segment
     "q_pivot" -> QDef(
       (s, dir) => {
