@@ -93,6 +93,30 @@ object Relational2 {
         |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
         |ORDER BY c_custkey""".stripMargin),
 
+    // RANGE BETWEEN interval window: per-customer rolling 30-day order
+    // total. Spark's rangeBetween needs a numeric sort key, so the date
+    // becomes epoch-days; peers (same customer, same day) aggregate
+    // together on both engines — RANGE semantics, not ROWS.
+    "q_window_range_between" -> QDef(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey")
+          .orderBy(col("epoch_day"))
+          .rangeBetween(-30, org.apache.spark.sql.expressions.Window.currentRow)
+        t(s, dir, "orders")
+          .withColumn("epoch_day", datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long"))
+          .select(
+            col("o_custkey"), col("o_orderkey"), col("epoch_day"),
+            round(sum("o_totalprice").over(w), 2).as("rolling_30d"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS epoch_day,
+        |  ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS rolling_30d
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
+
     // STRING_AGG / ARRAY_AGG: ordered list aggregation (BigQuery surface).
     // collect_list order is nondeterministic under parallelism — sort the
     // array before joining so the result is stable (same contract as

@@ -49,6 +49,21 @@ object StreamOps {
   def enrich(events: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim), keys)
 
+  /** Streaming NEAR-dup suppression: drop events whose text collapses to
+    * an already-seen 64-bit SimHash within the watermark horizon — the
+    * streaming twin of the batch dedup_simhash operator, with state
+    * bounded by the watermark. `textCol` must be a whitespace-tokenizable
+    * string column.
+    */
+  def nearDedupStream(events: DataFrame, textCol: String, watermark: String = "1 hour"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    events
+      .withColumn("__simhash", graft.queries.TextOps.simhash64(toks))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("__simhash")
+      .drop("__simhash")
+  }
+
   /** Stream-stream interval join: each left event matched to right-stream
     * events for the same user within [ts - range, ts]. Both sides are
     * watermarked so Spark can bound the join state buffer — the streaming

@@ -10,6 +10,7 @@ import graft.streaming.StreamOps.Ev
 
 object StreamOpsSpec {
   final case class IdEv(event_id: Long, user_id: Long, ts: Timestamp)
+  final case class TextEv(event_id: Long, ts: Timestamp, text: String)
 }
 
 class StreamOpsSpec extends SparkSpec {
@@ -92,6 +93,25 @@ class StreamOpsSpec extends SparkSpec {
       val rows = spark.table("enrich_out").select("user_id", "tier").collect()
         .map(r => (r.getLong(0), r.getString(1))).toSet
       assert(rows == Set((1L, "gold"), (2L, "silver"))) // user 3 has no dim row
+    } finally query.stop()
+  }
+
+  test("streaming near-dedup drops simhash-identical texts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import StreamOpsSpec.TextEv
+    val input = MemoryStream[TextEv]
+    val query = StreamOps.nearDedupStream(input.toDF(), "text")
+      .writeStream.format("memory").queryName("neardedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        TextEv(1, ts(1), "the quick brown fox jumps over the lazy dog"),
+        TextEv(2, ts(2), "the quick brown fox jumps over the lazy dog"), // exact text repeat
+        TextEv(3, ts(3), "an entirely different sentence about spark streams"))
+      query.processAllAvailable()
+      val ids = spark.table("neardedup_out").select("event_id").collect().map(_.getLong(0)).toSet
+      assert(ids.size == 2 && ids.contains(3L), ids.toString)
     } finally query.stop()
   }
 
