@@ -58,16 +58,41 @@ object DirectoryCatalog {
     discover(root).filter(d => d.project == project && d.dataset == dataset)
       .map(_.table).distinct.sorted
 
+  /** Sibling `<table>.schema.json` (a ColumnDef list, reference:
+    * src/session/loader.rs load_schema / src/rpc/types.rs ColumnDef) —
+    * when present, the declared BigQuery types are applied as casts over
+    * the parquet scan, in declared column order. Unlike the reference we
+    * don't REQUIRE the file: parquet is self-describing and Spark's
+    * inferred schema is authoritative when no declaration exists.
+    */
+  private def declaredSchema(parquetPath: String): Option[Seq[(String, String)]] = {
+    val p = Paths.get(parquetPath.replaceAll("\\.parquet$", ".schema.json"))
+    if (!Files.isRegularFile(p)) return None
+    val json = org.json4s.jackson.JsonMethods.parse(Files.readString(p))
+    import org.json4s._
+    Some(json.asInstanceOf[JArray].arr.map { c =>
+      val obj = c.asInstanceOf[JObject].obj.toMap
+      (obj("name").asInstanceOf[JString].s, obj("type").asInstanceOf[JString].s)
+    })
+  }
+
+  private def readTable(session: GraftSession, d: Discovered) = {
+    val df = session.spark.read.parquet(d.path)
+    declaredSchema(d.path) match {
+      case Some(cols) =>
+        import org.apache.spark.sql.functions.col
+        df.select(cols.map { case (n, t) => col(n).cast(GraftSession.bqType(t)).as(n) }: _*)
+      case None => df
+    }
+  }
+
   /** Register every parquet table as a view in the session. */
   def loadParquetDirectory(session: GraftSession, root: String): Seq[String] = {
     val pq = discover(root).filterNot(_.isSql)
-    pq.foreach { d =>
-      val df = session.spark.read.parquet(d.path)
-      df.createOrReplaceTempView(d.fullName)
-    }
+    pq.foreach(d => readTable(session, d).createOrReplaceTempView(d.fullName))
     // Bare-name aliases for unambiguous tables.
     pq.groupBy(_.table).collect { case (t, Seq(only)) =>
-      session.spark.read.parquet(only.path).createOrReplaceTempView(t)
+      readTable(session, only).createOrReplaceTempView(t)
     }
     pq.map(_.fullName)
   }
@@ -79,7 +104,7 @@ object DirectoryCatalog {
     val discovered = discover(root)
     val dag = new Dag(session, workDir)
     val sources = discovered.filterNot(_.isSql).map { d =>
-      DagTable.view(d.table, session.spark.read.parquet(d.path))
+      DagTable.view(d.table, readTable(session, d))
     }
     val derived = discovered.filter(_.isSql).map { d =>
       DagTable.derived(d.table, Files.readString(Paths.get(d.path)))

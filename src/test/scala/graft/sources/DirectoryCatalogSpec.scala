@@ -35,6 +35,24 @@ class DirectoryCatalogSpec extends SparkSpec {
     assert(s.sql("SELECT COUNT(*) FROM items").collect()(0).getLong(0) == 3L)
   }
 
+  test("sibling schema.json declares column types and order (reference load_schema)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("dircat_schema")
+    val ds = root.resolve("p/d")
+    Files.createDirectories(ds)
+    Seq((1, 1.5f), (2, 2.5f)).toDF("id", "score")
+      .coalesce(1).write.mode("overwrite").parquet(ds.resolve("t.parquet").toString)
+    // Declared: score first, FLOAT64; id INT64 (parquet has int32/float).
+    Files.writeString(ds.resolve("t.schema.json"),
+      """[{"name": "score", "type": "FLOAT64"}, {"name": "id", "type": "INT64"}]""")
+    val s = new SessionManager(spark).create()
+    DirectoryCatalog.loadParquetDirectory(s, root.toString)
+    val df = s.sql("SELECT * FROM t")
+    assert(df.schema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq ==
+      Seq(("score", "double"), ("id", "bigint")))
+    assert(df.collect().map(_.getDouble(0)).sorted.toSeq == Seq(1.5, 2.5))
+  }
+
   test("loadDag wires sql files as derived tables over parquet sources") {
     val root = buildTree()
     val s = new SessionManager(spark).create()
