@@ -58,29 +58,49 @@ final class GraftRpc(root: SparkSession) {
       Map("insertedRows" -> session(params).insert(params("tableName").toString, rows))
 
     case "bq.registerDag" =>
+      // Result shape = reference RegisterDagResult (rpc/types.rs:234).
       val s = session(params)
       val defs = params("tables").asInstanceOf[Seq[Map[String, Any]]].map(GraftRpc.dagTableParam)
-      dagOf(s).register(defs).map { case (n, deps) => Map("name" -> n, "dependencies" -> deps) }
+      Map(
+        "success" -> true,
+        "tables" -> dagOf(s).register(defs).map { case (n, deps) =>
+          Map("name" -> n, "dependencies" -> deps)
+        })
 
     case "bq.runDag" =>
+      // Param "tableNames" = reference RunDagParams (rpc/types.rs:246);
+      // "targets" kept as a Scala-friendly alias.
       val s = session(params)
-      val targets = params.get("targets").map(_.asInstanceOf[Seq[String]])
+      val targets = params.get("tableNames").orElse(params.get("targets"))
+        .map(_.asInstanceOf[Seq[String]])
       val res = dagOf(s).run(targets)
       lastRun.put(s.id, res)
       GraftRpc.toRunResult(res)
 
     case "bq.retryDag" =>
+      // Reference RetryDagParams carries the failed/skipped lists
+      // explicitly (rpc/types.rs:272); fall back to the last run when the
+      // caller omits them.
       val s = session(params)
-      val prev = Option(lastRun.get(s.id))
+      val explicit = for {
+        f <- params.get("failedTables").map(_.asInstanceOf[Seq[String]])
+        k <- params.get("skippedTables").map(_.asInstanceOf[Seq[String]])
+      } yield graft.engine.DagResult(
+        failed = f.map(graft.engine.TableError(_, "")), skipped = k)
+      val prev = explicit.orElse(Option(lastRun.get(s.id)))
         .getOrElse(throw new IllegalStateException("No previous DAG run to retry"))
       val res = dagOf(s).retryFailed(prev)
       lastRun.put(s.id, res)
       GraftRpc.toRunResult(res)
 
     case "bq.getDag" =>
-      dagOf(session(params)).getTables.map { case (name, sql, isSource, deps) =>
-        Map("name" -> name, "sql" -> sql, "isSource" -> isSource, "dependencies" -> deps)
-      }
+      // Result shape = reference GetDagResult/DagTableDetail
+      // (rpc/types.rs:288): sql key omitted for source tables.
+      Map("tables" -> dagOf(session(params)).getTables.map {
+        case (name, sql, isSource, deps) =>
+          Map("name" -> name, "isSource" -> isSource, "dependencies" -> deps) ++
+            sql.map("sql" -> _)
+      })
 
     case "bq.clearDag" =>
       dagOf(session(params)).clear()
@@ -175,10 +195,11 @@ object GraftRpc {
         .map(c => c("name").toString -> c("type").toString)),
       rows = m.get("rows").map(_.asInstanceOf[Seq[Seq[Any]]]).getOrElse(Nil))
 
+  /** Reference RunDagResult shape (rpc/types.rs:256). */
   private def toRunResult(res: graft.engine.DagResult): Map[String, Any] =
     Map(
-      "succeeded" -> res.succeeded,
-      "failed" -> res.failed.map(e => Map("table" -> e.table, "error" -> e.error)),
-      "skipped" -> res.skipped,
-      "allSucceeded" -> res.allSucceeded)
+      "success" -> res.allSucceeded,
+      "succeededTables" -> res.succeeded,
+      "failedTables" -> res.failed.map(e => Map("table" -> e.table, "error" -> e.error)),
+      "skippedTables" -> res.skipped)
 }

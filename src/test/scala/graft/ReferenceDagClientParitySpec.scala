@@ -19,8 +19,11 @@ class ReferenceDagClientParitySpec extends SparkSpec {
   private def call(method: String, s: String, params: (String, Any)*): Any =
     rpc.dispatch(method, (params :+ ("sessionId" -> (s: Any))).toMap)
 
-  private def registerDag(s: String, tables: Seq[Map[String, Any]]): Seq[Map[String, Any]] =
-    call("bq.registerDag", s, "tables" -> tables).asInstanceOf[Seq[Map[String, Any]]]
+  private def registerDag(s: String, tables: Seq[Map[String, Any]]): Seq[Map[String, Any]] = {
+    val resp = call("bq.registerDag", s, "tables" -> tables).asInstanceOf[Map[String, Any]]
+    assert(resp("success") == true)
+    resp("tables").asInstanceOf[Seq[Map[String, Any]]]
+  }
 
   private def src(name: String, schema: Seq[(String, String)], rows: Seq[Seq[Any]]): Map[String, Any] =
     Map("name" -> name,
@@ -68,8 +71,8 @@ class ReferenceDagClientParitySpec extends SparkSpec {
         Seq(Seq(1, "hello"), Seq(2, "world"))),
       derived("transformed", "SELECT id, UPPER(value) as upper_value FROM source_data")))
     val run = call("bq.runDag", s).asInstanceOf[Map[String, Any]]
-    assert(run("allSucceeded") == true)
-    assert(run("succeeded").asInstanceOf[Seq[String]].size == 2)
+    assert(run("success") == true)
+    assert(run("succeededTables").asInstanceOf[Seq[String]].size == 2)
     assert(q(s, "SELECT * FROM transformed ORDER BY id") ==
       Seq(Map("id" -> 1L, "upper_value" -> "HELLO"), Map("id" -> 2L, "upper_value" -> "WORLD")))
   }
@@ -81,9 +84,9 @@ class ReferenceDagClientParitySpec extends SparkSpec {
       src("b", Seq("x" -> "INT64"), Seq(Seq(2))),
       derived("from_a", "SELECT x * 10 as x FROM a"),
       derived("from_b", "SELECT x * 100 as x FROM b")))
-    val run = call("bq.runDag", s, "targets" -> Seq("from_a")).asInstanceOf[Map[String, Any]]
-    assert(run("allSucceeded") == true)
-    val ok = run("succeeded").asInstanceOf[Seq[String]]
+    val run = call("bq.runDag", s, "tableNames" -> Seq("from_a")).asInstanceOf[Map[String, Any]]
+    assert(run("success") == true)
+    val ok = run("succeededTables").asInstanceOf[Seq[String]]
     assert(ok.contains("a") && ok.contains("from_a"))
     assert(!ok.contains("from_b"))
     assert(q(s, "SELECT * FROM from_a") == Seq(Map("x" -> 10L)))
@@ -96,7 +99,7 @@ class ReferenceDagClientParitySpec extends SparkSpec {
       derived("step1", "SELECT value * 2 as value FROM raw"),
       derived("step2", "SELECT value + 1 as value FROM step1"),
       derived("final", "SELECT SUM(value) as total FROM step2")))
-    call("bq.runDag", s, "targets" -> Seq("final"))
+    call("bq.runDag", s, "tableNames" -> Seq("final"))
     assert(q(s, "SELECT * FROM final") == Seq(Map("total" -> 123L)))
   }
 
@@ -108,7 +111,7 @@ class ReferenceDagClientParitySpec extends SparkSpec {
       derived("triple_it", "SELECT n * 3 as tripled FROM source"),
       derived("combined",
         "SELECT d.doubled, t.tripled FROM double_it d, triple_it t WHERE d.doubled = t.tripled - 1")))
-    call("bq.runDag", s, "targets" -> Seq("combined"))
+    call("bq.runDag", s, "tableNames" -> Seq("combined"))
     assert(q(s, "SELECT * FROM combined") == Seq(Map("doubled" -> 2L, "tripled" -> 3L)))
   }
 
@@ -117,7 +120,8 @@ class ReferenceDagClientParitySpec extends SparkSpec {
     registerDag(s, Seq(
       src("src", Seq("x" -> "INT64"), Seq(Seq(1))),
       derived("derived", "SELECT x FROM src")))
-    val tables = call("bq.getDag", s).asInstanceOf[Seq[Map[String, Any]]]
+    val tables = call("bq.getDag", s).asInstanceOf[Map[String, Any]]("tables")
+      .asInstanceOf[Seq[Map[String, Any]]]
     assert(tables.size == 2)
     val srcT = tables.find(_("name") == "src").get
     val derT = tables.find(_("name") == "derived").get
@@ -131,9 +135,10 @@ class ReferenceDagClientParitySpec extends SparkSpec {
     registerDag(s, Seq(
       src("a", Seq("x" -> "INT64"), Seq(Seq(1))),
       derived("b", "SELECT * FROM a")))
-    assert(call("bq.getDag", s).asInstanceOf[Seq[_]].size == 2)
+    def dagTables() = call("bq.getDag", s).asInstanceOf[Map[String, Any]]("tables").asInstanceOf[Seq[_]]
+    assert(dagTables().size == 2)
     call("bq.clearDag", s)
-    assert(call("bq.getDag", s).asInstanceOf[Seq[_]].isEmpty)
+    assert(dagTables().isEmpty)
   }
 
   test("dag_test.clj test-dag-aggregation") {

@@ -44,25 +44,26 @@ class GraftRpcSpec extends SparkSpec {
       Map("name" -> "bad", "sql" -> "SELECT missing_col FROM src"),
       Map("name" -> "child", "sql" -> "SELECT * FROM bad"))))
     val run1 = rpc.dispatch("bq.runDag", Map("sessionId" -> s)).asInstanceOf[Map[String, Any]]
-    assert(run1("succeeded") == Seq("src"))
-    assert(run1("skipped") == Seq("child"))
-    assert(run1("allSucceeded") == false)
+    assert(run1("succeededTables") == Seq("src"))
+    assert(run1("skippedTables") == Seq("child"))
+    assert(run1("success") == false)
 
     // Fix and retry only failed+skipped.
     rpc.dispatch("bq.registerDag", Map("sessionId" -> s, "tables" -> Seq(
       Map("name" -> "bad", "sql" -> "SELECT v * 10 AS v FROM src"))))
     val run2 = rpc.dispatch("bq.retryDag", Map("sessionId" -> s)).asInstanceOf[Map[String, Any]]
-    assert(run2("allSucceeded") == true)
+    assert(run2("success") == true)
     val resp = rpc.dispatch("bq.query", Map("sessionId" -> s,
       "sql" -> "SELECT SUM(v) AS t FROM child")).asInstanceOf[Map[String, Any]]
     val v = resp("rows").asInstanceOf[Seq[Map[String, Any]]].head("f")
       .asInstanceOf[Seq[Map[String, Any]]].head("v")
     assert(v == 50L)
 
-    val tables = rpc.dispatch("bq.getDag", Map("sessionId" -> s)).asInstanceOf[Seq[Map[String, Any]]]
-    assert(tables.map(_("name")).toSet == Set("src", "bad", "child"))
+    def dagTables() = rpc.dispatch("bq.getDag", Map("sessionId" -> s))
+      .asInstanceOf[Map[String, Any]]("tables").asInstanceOf[Seq[Map[String, Any]]]
+    assert(dagTables().map(_("name")).toSet == Set("src", "bad", "child"))
     rpc.dispatch("bq.clearDag", Map("sessionId" -> s))
-    assert(rpc.dispatch("bq.getDag", Map("sessionId" -> s)).asInstanceOf[Seq[_]].isEmpty)
+    assert(dagTables().isEmpty)
   }
 
   test("parquet load + listTables + describeTable + catalog navigation") {
