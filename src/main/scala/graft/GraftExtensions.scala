@@ -1,9 +1,40 @@
 package graft
 
+import java.util.Locale
+
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.graftbridge.{CosineSimilarity, JaccardSimilarity, JaccardSortedLong, SimHash64}
+
+import graft.functions.BQCompat
+
+/** Rewrites BigQuery's bare unit identifiers — `TIMESTAMP_DIFF(a, b,
+  * DAY)` — to string literals before reference resolution. Spark resolves
+  * function arguments before functions, so without this rule `DAY` fails
+  * as an unresolvable column and the function builder never runs. Scoped
+  * to the known unit-taking functions and known unit names, so a real
+  * column named `day` anywhere else is untouched.
+  */
+object BQUnitArgRule extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveExpressions {
+      case f: UnresolvedFunction
+          if f.nameParts.length == 1 &&
+            BQCompat.UnitArgFunctions.contains(f.nameParts.head.toLowerCase(Locale.ROOT)) =>
+        val rewritten = f.arguments.map {
+          case a: UnresolvedAttribute
+              if a.nameParts.length == 1 &&
+                BQCompat.UnitNames.contains(a.name.toUpperCase(Locale.ROOT)) =>
+            Literal(a.name.toUpperCase(Locale.ROOT))
+          case other => other
+        }
+        f.copy(arguments = rewritten)
+    }
+}
 
 /** Spark-native installation point: `--conf
   * spark.sql.extensions=graft.GraftExtensions` injects the engine's
@@ -34,5 +65,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit SimHash of a string array"),
       { case Seq(a: Expression) => SimHash64(a) }: Seq[Expression] => Expression))
+
+    // The full BigQuery-dialect surface ships with the extension too, so a
+    // cluster configured with spark.sql.extensions needs no per-session
+    // BQCompat.install call…
+    BQCompat.builders.foreach { case (name, b) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name, name), b))
+    }
+    // …including BigQuery's bare-identifier unit arguments, which need an
+    // analyzer rule (see BQUnitArgRule).
+    ext.injectResolutionRule(_ => BQUnitArgRule)
   }
 }

@@ -11,6 +11,7 @@ object SparkEntry {
   def all: Map[String, QDef] =
     graft.queries.Relational.defs ++
       graft.queries.Relational2.defs ++
+      graft.queries.Relational3.defs ++
       graft.queries.TextOps.defs ++
       graft.queries.VectorOps.defs ++
       graft.queries.IvfOps.defs ++

@@ -1,8 +1,11 @@
 package graft.functions
 
+import java.util.Locale
+
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types.{DateType, DoubleType, LongType, TimestampType}
 
 /** BigQuery-dialect function names missing from Spark SQL, registered as
   * FunctionRegistry aliases that expand to native Catalyst expressions —
@@ -10,12 +13,36 @@ import org.apache.spark.sql.catalyst.expressions._
   *
   * Covers the BigQuery functions exercised by the reference's tests
   * (reference: adaptors/clojure/test/bq_runner/olap_test.clj:
-  * REGEXP_CONTAINS; plus SAFE_DIVIDE / FORMAT_DATE / PARSE_DATE from the
-  * BigQuery surface the YachtSQL engine emulates). Spark already ships
-  * DATE_FROM_UNIX_DATE, TIMESTAMP_MICROS, DATE_ADD, EXTRACT, and
-  * PERCENTILE_CONT ... WITHIN GROUP natively.
+  * REGEXP_CONTAINS; plus SAFE_DIVIDE / FORMAT_DATE / PARSE_DATE /
+  * TIMESTAMP_DIFF / DATE_DIFF / TIMESTAMP_TRUNC / ARRAY_LENGTH /
+  * GENERATE_ARRAY / TO_JSON_STRING from the BigQuery surface the
+  * YachtSQL engine emulates). Spark already ships DATE_FROM_UNIX_DATE,
+  * TIMESTAMP_MICROS, EXTRACT, COUNTIF (count_if) and PERCENTILE_CONT
+  * natively.
+  *
+  * Unit arguments: BigQuery spells the unit as a bare identifier —
+  * `TIMESTAMP_DIFF(a, b, DAY)`. Spark resolves function ARGUMENTS before
+  * the function itself, so a bare `DAY` dies in ResolveReferences before
+  * any builder runs. Sessions built with `spark.sql.extensions=
+  * graft.GraftExtensions` get an injected resolution rule
+  * ([[graft.GraftExtensions]]) that rewrites those identifiers to string
+  * literals; `BQCompat.install`-only sessions use the `'DAY'`
+  * string-literal spelling, which every builder below also accepts.
   */
 object BQCompat {
+
+  /** Unit identifiers that may appear as bare keywords in BigQuery
+    * date/time function calls.
+    */
+  val UnitNames: Set[String] =
+    Set("MICROSECOND", "MILLISECOND", "SECOND", "MINUTE", "HOUR",
+      "DAY", "WEEK", "MONTH", "QUARTER", "YEAR")
+
+  /** Functions whose trailing/bare-identifier unit argument the
+    * GraftExtensions resolution rule rewrites to a string literal.
+    */
+  val UnitArgFunctions: Set[String] =
+    Set("timestamp_diff", "date_diff", "timestamp_trunc", "date_trunc")
 
   /** BigQuery strftime-style pattern → java.time pattern. */
   def formatPattern(bq: String): String = {
@@ -25,54 +52,118 @@ object BQCompat {
     map.foldLeft(bq) { case (s, (k, v)) => s.replace(k, v) }
   }
 
-  private def lit(s: String): Expression = Literal(org.apache.spark.unsafe.types.UTF8String.fromString(s), org.apache.spark.sql.types.StringType)
+  private def lit(s: String): Expression =
+    Literal(org.apache.spark.unsafe.types.UTF8String.fromString(s),
+      org.apache.spark.sql.types.StringType)
 
-  def install(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
+  private def unitName(e: Expression): Option[String] = e match {
+    case a: UnresolvedAttribute => Some(a.name.toUpperCase(Locale.ROOT))
+    case Literal(u, _) if u != null => Some(u.toString.toUpperCase(Locale.ROOT))
+    case _ => None
+  }
 
-    def register(name: String, builder: Seq[Expression] => Expression): Unit =
-      reg.createOrReplaceTempFunction(name, builder, "internal")
+  private def isInterval(e: Expression): Boolean = e match {
+    case Literal(_, t) => t.isInstanceOf[org.apache.spark.sql.types.DayTimeIntervalType] ||
+      t.isInstanceOf[org.apache.spark.sql.types.YearMonthIntervalType] ||
+      t == org.apache.spark.sql.types.CalendarIntervalType
+    case _ => false
+  }
 
-    register("regexp_contains", { case Seq(s, r) => RLike(s, r) })
+  /** name → expression builder, shared by the per-session install() path
+    * and the cluster-wide GraftExtensions injectFunction path.
+    */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
 
-    register("safe_divide", { case Seq(a, b) =>
-      val div = Divide(Cast(a, org.apache.spark.sql.types.DoubleType), Cast(b, org.apache.spark.sql.types.DoubleType))
-      If(EqualTo(Cast(b, org.apache.spark.sql.types.DoubleType), Literal(0.0)), Literal.create(null, org.apache.spark.sql.types.DoubleType), div)
-    })
+    "regexp_contains" -> { case Seq(s, r) => RLike(s, r) },
+
+    "safe_divide" -> { case Seq(a, b) =>
+      val div = Divide(Cast(a, DoubleType), Cast(b, DoubleType))
+      If(EqualTo(Cast(b, DoubleType), Literal(0.0)),
+        Literal.create(null, DoubleType), div)
+    },
 
     // FORMAT_DATE('%Y-%m-%d', d) — pattern must be a literal.
-    register("format_date", {
-      case Seq(Literal(fmt, _), d) =>
-        DateFormatClass(Cast(d, org.apache.spark.sql.types.TimestampType), lit(formatPattern(fmt.toString)))
-    })
+    "format_date" -> { case Seq(Literal(fmt, _), d) =>
+      DateFormatClass(Cast(d, TimestampType), lit(formatPattern(fmt.toString)))
+    },
 
     // PARSE_DATE('%Y-%m-%d', s)
-    register("parse_date", {
-      case Seq(Literal(fmt, _), s) =>
-        new ParseToDate(s, lit(formatPattern(fmt.toString)))
-    })
+    "parse_date" -> { case Seq(Literal(fmt, _), s) =>
+      new ParseToDate(s, lit(formatPattern(fmt.toString)))
+    },
 
     // BigQuery signature DATE_ADD(date, INTERVAL n unit) — Spark's builtin
     // only takes integer days. Rewrite the interval form to binary
     // arithmetic and let the analyzer's date/interval coercion resolve it;
     // plain integer second arguments keep the builtin behavior.
-    def isInterval(e: Expression): Boolean = e match {
-      case Literal(_, t) => t.isInstanceOf[org.apache.spark.sql.types.DayTimeIntervalType] ||
-        t.isInstanceOf[org.apache.spark.sql.types.YearMonthIntervalType] ||
-        t == org.apache.spark.sql.types.CalendarIntervalType
-      case _ => false
-    }
-    register("date_add", {
+    "date_add" -> {
       case Seq(d, i) if isInterval(i) => Add(d, i)
       case Seq(d, n) => DateAdd(d, n)
-    })
-    register("date_sub", {
+    },
+    "date_sub" -> {
       case Seq(d, i) if isInterval(i) => Subtract(d, i)
       case Seq(d, n) => DateSub(d, n)
-    })
+    },
 
     // FARM_FINGERPRINT stand-in: deterministic 64-bit hash. NOT the same
     // hash family as BigQuery's farmhash — same contract (stable Long).
-    register("farm_fingerprint", { case Seq(s) => new XxHash64(Seq(s)) })
+    "farm_fingerprint" -> { case Seq(s) => new XxHash64(Seq(s)) },
+
+    // TIMESTAMP_DIFF(t1, t2, unit) = t1 - t2 in whole units, truncated
+    // toward zero (BigQuery semantics: microsecond difference div unit).
+    "timestamp_diff" -> { case Seq(a, b, u) =>
+      val micros = Map("SECOND" -> 1000000L, "MINUTE" -> 60000000L,
+        "HOUR" -> 3600000000L, "DAY" -> 86400000000L)
+      val m = micros(unitName(u).getOrElse("SECOND"))
+      IntegralDivide(
+        Subtract(UnixMicros(Cast(a, TimestampType)), UnixMicros(Cast(b, TimestampType))),
+        Literal(m))
+    },
+
+    // DATE_DIFF(d1, d2, unit) = boundary count between d2 and d1.
+    "date_diff" -> { case Seq(a, b, u) =>
+      val da = Cast(a, DateType); val db = Cast(b, DateType)
+      unitName(u).getOrElse("DAY") match {
+        case "DAY" => Cast(DateDiff(da, db), LongType)
+        case "MONTH" => Cast(Subtract(
+          Add(Multiply(Year(da), Literal(12)), Month(da)),
+          Add(Multiply(Year(db), Literal(12)), Month(db))), LongType)
+        case "YEAR" => Cast(Subtract(Year(da), Year(db)), LongType)
+      }
+    },
+
+    // TIMESTAMP_TRUNC(t, unit) / BigQuery-order DATE_TRUNC(d, unit).
+    // Spark's native date_trunc(fmt, ts) keeps working: the two-arg form
+    // with a KNOWN-UNIT literal is BigQuery order; anything else falls
+    // through to the builtin (fmt, ts) shape.
+    "timestamp_trunc" -> { case Seq(t, u) =>
+      TruncTimestamp(lit(unitName(u).getOrElse("DAY")), Cast(t, TimestampType))
+    },
+    "date_trunc" -> {
+      case Seq(d, u) if unitName(u).exists(UnitNames.contains) && !d.isInstanceOf[Literal] =>
+        Cast(TruncTimestamp(lit(unitName(u).get), Cast(d, TimestampType)), DateType)
+      case Seq(d @ Literal(v, _), u) if unitName(u).exists(UnitNames.contains) &&
+          !(v != null && UnitNames.contains(v.toString.toUpperCase(Locale.ROOT))) =>
+        Cast(TruncTimestamp(lit(unitName(u).get), Cast(d, TimestampType)), DateType)
+      case Seq(fmt, ts) => TruncTimestamp(fmt, ts)
+    },
+
+    "array_length" -> { case Seq(a) => Size(a) },
+
+    // GENERATE_ARRAY(a, b[, step]) — inclusive sequence. (BigQuery returns
+    // [] when b < a with positive step; only invoke with b >= a.)
+    "generate_array" -> {
+      case Seq(a, b) => new Sequence(a, b)
+      case Seq(a, b, step) => new Sequence(a, b, step)
+    },
+
+    "to_json_string" -> { case Seq(e) => StructsToJson(Map.empty, e) }
+  )
+
+  def install(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "internal")
+    }
   }
 }

@@ -36,6 +36,49 @@ class BQCompatSpec extends SparkSpec {
     assert(r.getLong(0) != r.getLong(2))
   }
 
+  // install()-only sessions use the 'UNIT' string-literal spelling; the
+  // bare-identifier BigQuery syntax needs the GraftExtensions analyzer
+  // rule and is covered by GraftExtensionsSpec.
+  test("TIMESTAMP_DIFF with string-literal units") {
+    val r = spark.sql(
+      "SELECT TIMESTAMP_DIFF(TIMESTAMP '2024-01-02 03:00:00', TIMESTAMP '2024-01-01 00:00:00', 'HOUR') h, " +
+        "TIMESTAMP_DIFF(TIMESTAMP '2024-01-03 00:00:00', TIMESTAMP '2024-01-01 12:00:00', 'DAY') d, " +
+        "TIMESTAMP_DIFF(TIMESTAMP '2024-01-01 00:01:30', TIMESTAMP '2024-01-01 00:00:00', 'SECOND') s").collect()(0)
+    assert(r.getLong(0) == 27L)
+    assert(r.getLong(1) == 1L) // 1.5 days truncates toward zero
+    assert(r.getLong(2) == 90L)
+  }
+
+  test("DATE_DIFF counts unit boundaries like BigQuery") {
+    val r = spark.sql(
+      "SELECT DATE_DIFF(DATE '2024-03-01', DATE '2024-02-28', 'DAY') d, " +
+        "DATE_DIFF(DATE '2024-03-01', DATE '2024-01-31', 'MONTH') m, " +
+        "DATE_DIFF(DATE '2025-01-01', DATE '2024-12-31', 'YEAR') y").collect()(0)
+    assert(r.getLong(0) == 2L)
+    assert(r.getLong(1) == 2L) // Jan→Mar crosses two month boundaries
+    assert(r.getLong(2) == 1L) // Dec 31 → Jan 1 crosses the year boundary
+  }
+
+  test("TIMESTAMP_TRUNC and BigQuery-order DATE_TRUNC") {
+    val r = spark.sql(
+      "SELECT TIMESTAMP_TRUNC(TIMESTAMP '2024-06-15 13:45:31', 'HOUR') h, " +
+        "DATE_TRUNC(DATE '2024-06-15', 'MONTH') m, " +
+        "DATE_TRUNC('month', TIMESTAMP '2024-06-15 13:45:31') spark_native").collect()(0)
+    assert(r.getTimestamp(0).toString.startsWith("2024-06-15 13:00:00"))
+    assert(r.getDate(1).toString == "2024-06-01")
+    assert(r.getTimestamp(2).toString.startsWith("2024-06-01 00:00:00"))
+  }
+
+  test("ARRAY_LENGTH / GENERATE_ARRAY / TO_JSON_STRING") {
+    val r = spark.sql(
+      "SELECT ARRAY_LENGTH(GENERATE_ARRAY(1, 5)) n, " +
+        "GENERATE_ARRAY(0, 10, 5) g, " +
+        "TO_JSON_STRING(NAMED_STRUCT('a', 1, 'b', 'x')) j").collect()(0)
+    assert(r.getInt(0) == 5)
+    assert(r.getSeq[Any](1).toList.map(_.toString) == List("0", "5", "10"))
+    assert(r.getString(2) == """{"a":1,"b":"x"}""")
+  }
+
   test("compat functions stay codegen-native (no UDF nodes in plan)") {
     val plan = spark.sql("SELECT SAFE_DIVIDE(x, 2) FROM VALUES (4.0) t(x)")
       .queryExecution.executedPlan.toString
