@@ -17,6 +17,12 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.files.maxPartitionBytes", (4 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
+      // See Bench: retained execution plan descriptions (some with huge
+      // literal arrays) otherwise accumulate GBs of heap over 70+ queries.
+      .config("spark.sql.ui.retainedExecutions", "3")
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

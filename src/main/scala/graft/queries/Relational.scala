@@ -148,11 +148,33 @@ object Relational {
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
 
     // §2.1#8 NTILE (olap_test.clj test-ntile)
+    // A bare `NTILE(k) OVER (ORDER BY …)` plans as a single-partition
+    // window — the whole table on one executor. Exact distributed NTILE
+    // instead: range-partitioned sort keeps the total order ACROSS
+    // partitions, zipWithIndex turns per-partition offsets into a global
+    // 0-based rank (one lightweight count job), and NTILE's group sizes
+    // (n/k rows, first n%k groups get one extra) come from the rank
+    // arithmetically. Same rows at any scale, no single-partition stage.
     "q_window_ntile" -> QDef(
       (s, dir) => {
-        val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-        t(s, dir, "orders")
-          .select(col("o_orderkey"), ntile(4).over(w).cast("long").as("quartile"))
+        val base = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        val n = base.count()
+        val k = 4L
+        val bsz = n / k
+        val rem = n % k
+        val ranked = base
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+          .select(col("o_orderkey"))
+          .rdd.map(_.getLong(0)).zipWithIndex()
+          .map { case (key, idx) =>
+            // idx < rem*(bsz+1) ⇒ one of the first rem (larger) groups;
+            // when n < k, rem = n and every idx lands in that branch, so
+            // the bsz=0 division below is never reached.
+            val g = if (idx < rem * (bsz + 1)) idx / (bsz + 1)
+                    else rem + (idx - rem * (bsz + 1)) / bsz
+            (key, g + 1)
+          }
+        s.createDataFrame(ranked).toDF("o_orderkey", "quartile")
           .orderBy("o_orderkey")
       },
       """SELECT o_orderkey,
@@ -163,13 +185,25 @@ object Relational {
     "q_cte_chain" -> QDef(
       (s, dir) => {
         t(s, dir, "orders").createOrReplaceTempView("orders")
+        // The rnk <= 20 filter lets the global RANK window run on a
+        // pre-filtered candidate set: the 20th-largest total (computed as
+        // a TakeOrdered + scalar MIN, fully distributed) bounds the rows
+        // that can possibly rank ≤ 20 (including total-ties, which the
+        // o_custkey tiebreak then orders). The single-partition window
+        // stage therefore sees ~20 rows at ANY input scale instead of
+        // every customer. Same result as ranking customer_totals whole:
+        // a row's rank only depends on the rows above it, all retained.
         s.sql(
           """WITH customer_totals AS (
             |  SELECT o_custkey, SUM(o_totalprice) AS total FROM orders GROUP BY o_custkey
+            |), top20 AS (
+            |  SELECT total FROM customer_totals ORDER BY total DESC LIMIT 20
+            |), candidates AS (
+            |  SELECT * FROM customer_totals WHERE total >= (SELECT MIN(total) FROM top20)
             |), ranked AS (
             |  SELECT o_custkey, ROUND(total, 2) AS total,
             |    CAST(RANK() OVER (ORDER BY total DESC, o_custkey) AS BIGINT) AS rnk
-            |  FROM customer_totals
+            |  FROM candidates
             |)
             |SELECT o_custkey, total, rnk FROM ranked WHERE rnk <= 20 ORDER BY rnk, o_custkey""".stripMargin)
       },

@@ -57,6 +57,40 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(plan.contains("ph"), "prefix-hash join key missing from plan")
   }
 
+  test("tpch q10 plans its top-20 as a TakeOrdered, not a global sort") {
+    val plan = SparkEntry.queries("q_tpch_q10")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), "nation dim should broadcast")
+  }
+
+  test("tpch q19 keeps the OR-of-ANDs out of a nested loop and broadcasts part") {
+    val plan = SparkEntry.queries("q_tpch_q19")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("semi/anti joins never materialize the probe payload") {
+    for (q <- Seq("q_semi_join", "q_anti_join")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString.toLowerCase
+      assert(plan.contains("semi") || plan.contains("anti"), s"$q: ${plan.take(1000)}")
+    }
+  }
+
+  test("distributed NTILE has no single-partition window stage") {
+    val plan = SparkEntry.queries("q_window_ntile")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"ntile fell back to a window: ${plan.take(1000)}")
+  }
+
+  test("cte-chain ranks only the thresholded top-k candidates") {
+    val plan = SparkEntry.queries("q_cte_chain")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
   test("every query is deterministic across runs (driver hash contract)") {
     // Two independent plan executions must produce identical ordered rows.
     // Binary cells render as hex (Row.toString would print array identity).
