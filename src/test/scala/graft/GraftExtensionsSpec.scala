@@ -10,6 +10,10 @@ class GraftExtensionsSpec extends SparkSpec {
     // where spark-submit --conf puts it. Builder options do NOT attach
     // extensions to a pre-existing context — so plant the conf on the
     // shared context (tests share one JVM-wide SparkContext), then build.
+    // Forcing the shared SparkSpec.session (the ONLY getOrCreate in the
+    // test tree) to initialize BEFORE the conf mutation below means no
+    // concurrently-running suite can build a session inside the window
+    // and silently inherit the extensions.
     val sc = spark.sparkContext
     val prevDefault = SparkSession.getDefaultSession
     val prevActive = SparkSession.getActiveSession
@@ -59,6 +63,13 @@ class GraftExtensionsSpec extends SparkSpec {
       // (rule is scoped to unit-position args of the unit functions).
       val col = s2.sql("SELECT day FROM VALUES (7) t(day)").collect()(0)
       assert(col.getInt(0) == 7)
+      // …including in a DATA argument position of a unit function: only
+      // the unit position (last for *_DIFF, second for *_TRUNC) is
+      // rewritten, so TIMESTAMP_DIFF(day, ts, HOUR) reads the column.
+      val dataArg = s2.sql(
+        "SELECT TIMESTAMP_DIFF(day, TIMESTAMP '2024-01-01 00:00:00', HOUR) h " +
+          "FROM VALUES (TIMESTAMP '2024-01-01 05:30:00') t(day)").collect()(0)
+      assert(dataArg.getLong(0) == 5L)
     } finally {
       scConf.remove("spark.sql.extensions")
       SparkSession.clearDefaultSession()

@@ -43,20 +43,40 @@ class BQCompatSpec extends SparkSpec {
     val r = spark.sql(
       "SELECT TIMESTAMP_DIFF(TIMESTAMP '2024-01-02 03:00:00', TIMESTAMP '2024-01-01 00:00:00', 'HOUR') h, " +
         "TIMESTAMP_DIFF(TIMESTAMP '2024-01-03 00:00:00', TIMESTAMP '2024-01-01 12:00:00', 'DAY') d, " +
-        "TIMESTAMP_DIFF(TIMESTAMP '2024-01-01 00:01:30', TIMESTAMP '2024-01-01 00:00:00', 'SECOND') s").collect()(0)
+        "TIMESTAMP_DIFF(TIMESTAMP '2024-01-01 00:01:30', TIMESTAMP '2024-01-01 00:00:00', 'SECOND') s, " +
+        "TIMESTAMP_DIFF(TIMESTAMP '2024-01-01 00:00:00.123', TIMESTAMP '2024-01-01 00:00:00', 'MILLISECOND') ms, " +
+        "TIMESTAMP_DIFF(TIMESTAMP '2024-01-01 00:00:00.000456', TIMESTAMP '2024-01-01 00:00:00', 'MICROSECOND') us").collect()(0)
     assert(r.getLong(0) == 27L)
     assert(r.getLong(1) == 1L) // 1.5 days truncates toward zero
     assert(r.getLong(2) == 90L)
+    assert(r.getLong(3) == 123L)
+    assert(r.getLong(4) == 456L)
   }
 
   test("DATE_DIFF counts unit boundaries like BigQuery") {
     val r = spark.sql(
       "SELECT DATE_DIFF(DATE '2024-03-01', DATE '2024-02-28', 'DAY') d, " +
         "DATE_DIFF(DATE '2024-03-01', DATE '2024-01-31', 'MONTH') m, " +
-        "DATE_DIFF(DATE '2025-01-01', DATE '2024-12-31', 'YEAR') y").collect()(0)
+        "DATE_DIFF(DATE '2025-01-01', DATE '2024-12-31', 'YEAR') y, " +
+        // 2024-01-06 is a Saturday, 2024-01-07 a Sunday: one week boundary.
+        "DATE_DIFF(DATE '2024-01-07', DATE '2024-01-06', 'WEEK') w1, " +
+        "DATE_DIFF(DATE '2024-01-13', DATE '2024-01-07', 'WEEK') w0, " +
+        "DATE_DIFF(DATE '2024-07-01', DATE '2024-03-31', 'QUARTER') q").collect()(0)
     assert(r.getLong(0) == 2L)
     assert(r.getLong(1) == 2L) // Jan→Mar crosses two month boundaries
     assert(r.getLong(2) == 1L) // Dec 31 → Jan 1 crosses the year boundary
+    assert(r.getLong(3) == 1L) // Sat → Sun crosses a (Sunday-start) week boundary
+    assert(r.getLong(4) == 0L) // Sun → following Sat stays inside the week
+    assert(r.getLong(5) == 2L) // Q1 → Q3
+  }
+
+  test("unsupported or non-static units fail loudly, never silently default") {
+    val e1 = intercept[Exception](
+      spark.sql("SELECT TIMESTAMP_DIFF(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-01', 'MONTH')").collect())
+    assert(e1.getMessage.contains("MONTH") || e1.getCause.getMessage.contains("MONTH"))
+    val e2 = intercept[Exception](
+      spark.sql("SELECT DATE_DIFF(DATE '2024-01-01', DATE '2024-01-01', 'FORTNIGHT')").collect())
+    assert(e2.getMessage.contains("FORTNIGHT") || e2.getCause.getMessage.contains("FORTNIGHT"))
   }
 
   test("TIMESTAMP_TRUNC and BigQuery-order DATE_TRUNC") {
