@@ -12,6 +12,9 @@ object SparkEntry {
     graft.queries.Relational.defs ++
       graft.queries.Relational2.defs ++
       graft.queries.Relational3.defs ++
+      graft.queries.Relational4.defs ++
+      graft.queries.SimHashOps.defs ++
+      graft.sources.SourceOps.defs ++
       graft.queries.TextOps.defs ++
       graft.queries.VectorOps.defs ++
       graft.queries.IvfOps.defs ++

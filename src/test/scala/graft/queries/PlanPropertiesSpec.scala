@@ -91,6 +91,22 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
+  test("partitioned scan prunes event_type directories at planning time") {
+    val plan = SparkEntry.queries("src_partitioned_scan")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_type"),
+      s"partition filter missing from scan: ${plan.take(2000)}")
+  }
+
+  test("tpch q5/q7 broadcast every dimension and keep facts in hash joins") {
+    for (q <- Seq("q_tpch_q5", "q_tpch_q7")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$q: ${plan.take(1000)}")
+      assert(!plan.contains("CartesianProduct"), s"$q: ${plan.take(1000)}")
+    }
+  }
+
   test("every query is deterministic across runs (driver hash contract)") {
     // Two independent plan executions must produce identical ordered rows.
     // Binary cells render as hex (Row.toString would print array identity).
