@@ -14,6 +14,7 @@ object SparkEntry {
       graft.queries.Relational3.defs ++
       graft.queries.Relational4.defs ++
       graft.queries.SimHashOps.defs ++
+      graft.queries.Analytics3.defs ++
       graft.sources.SourceOps.defs ++
       graft.queries.TextOps.defs ++
       graft.queries.VectorOps.defs ++

@@ -218,8 +218,8 @@ object Relational4 {
           .join(broadcast(n1), supp("s_nationkey") === col("n1_key"))
           .join(broadcast(n2), cust("c_nationkey") === col("n2_key"))
           .filter(
-            (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-              (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+            (col("supp_nation") === "NATION_20" && col("cust_nation") === "NATION_11") ||
+              (col("supp_nation") === "NATION_11" && col("cust_nation") === "NATION_20"))
           .groupBy(col("supp_nation"), col("cust_nation"),
             year(col("l_shipdate")).cast("long").as("l_year"))
           .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
@@ -234,8 +234,8 @@ object Relational4 {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |WHERE (n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
+        |   OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20')
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
   )
 }
