@@ -71,6 +71,22 @@ object SourceOps {
       """SELECT event_type, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // ORC round-trip: Spark's second columnar format (predicate pushdown
+    // and column pruning work the same as parquet).
+    "src_orc_roundtrip" -> QDef(
+      (s, dir) => {
+        val path = scratch("orc", dir)
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .write.mode("overwrite").orc(path)
+        s.read.orc(path)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      """SELECT o_orderstatus, COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // Hive-style partitioned write + partition-pruned read: the IN filter
     // on the partition column must prune directories at planning time
     // (PartitionFilters in the scan, not a post-scan Filter) — the layout
