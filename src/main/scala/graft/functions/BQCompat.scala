@@ -188,6 +188,45 @@ object BQCompat {
 
     "array_length" -> { case Seq(a) => Size(a) },
 
+    // FORMAT_TIMESTAMP / PARSE_TIMESTAMP with BigQuery %-patterns.
+    "format_timestamp" -> { case Seq(Literal(fmt, _), t) =>
+      DateFormatClass(Cast(t, TimestampType), lit(formatPattern(fmt.toString)))
+    },
+    "parse_timestamp" -> { case Seq(Literal(fmt, _), s) =>
+      new ParseToTimestamp(s, lit(formatPattern(fmt.toString)))
+    },
+
+    // BigQuery SPLIT(s, delim) treats the delimiter as a LITERAL string;
+    // Spark's builtin treats it as a regex. For the (overwhelmingly
+    // common) literal-delimiter call the pattern is quoted statically;
+    // a non-literal delimiter keeps Spark's regex behavior.
+    "split" -> {
+      case Seq(s, Literal(d, _)) if d != null =>
+        StringSplit(s, lit(java.util.regex.Pattern.quote(d.toString)), Literal(-1))
+      case Seq(s, d) => StringSplit(s, d, Literal(-1))
+      case Seq(s, d, l) => StringSplit(s, d, l)
+    },
+
+    // STRPOS(s, sub) — 1-based, 0 when absent (Spark's instr/locate).
+    "strpos" -> { case Seq(s, sub) => new StringLocate(sub, s) },
+
+    "ends_with" -> { case Seq(s, suffix) => EndsWith(s, suffix) },
+    "starts_with" -> { case Seq(s, prefix) => StartsWith(s, prefix) },
+
+    "array_reverse" -> { case Seq(a) => Reverse(a) },
+    "array_concat" -> { case as => Concat(as) },
+
+    // BigQuery REGEXP_EXTRACT: returns NULL when the pattern does not
+    // match (Spark's builtin returns ''), and extracts the first
+    // capturing group when the pattern has one, else the whole match.
+    // The pattern must be a literal to pick the group statically —
+    // BigQuery itself requires at most one capturing group.
+    "regexp_extract" -> { case Seq(s, r @ Literal(p, _)) =>
+      val groups = java.util.regex.Pattern.compile(p.toString).matcher("").groupCount()
+      val idx = Literal(if (groups >= 1) 1 else 0)
+      If(RLike(s, r), RegExpExtract(s, r, idx), Literal.create(null, org.apache.spark.sql.types.StringType))
+    },
+
     // GENERATE_ARRAY(a, b[, step]) — inclusive sequence. (BigQuery returns
     // [] when b < a with positive step; only invoke with b >= a.)
     "generate_array" -> {

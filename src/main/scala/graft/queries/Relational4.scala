@@ -236,6 +236,52 @@ object Relational4 {
         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
         |WHERE (n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
         |   OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20')
-        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+
+    // BigQuery string/array dialect surface: literal-delimiter SPLIT,
+    // STRPOS, ENDS_WITH/STARTS_WITH, NULL-on-no-match REGEXP_EXTRACT,
+    // ARRAY_REVERSE + ARRAY_LENGTH — all resolved to native codegen'd
+    // Catalyst expressions by BQCompat.
+    "q_bq_strings" -> QDef(
+      (s, dir) => {
+        graft.functions.BQCompat.install(s)
+        t(s, dir, "part").createOrReplaceTempView("part")
+        s.sql(
+          """SELECT p_partkey,
+            |  SPLIT(p_name, ' ')[0] AS first_tok,
+            |  CAST(STRPOS(p_name, 'e') AS BIGINT) AS pos_e,
+            |  ENDS_WITH(p_name, 't') AS ends_t,
+            |  STARTS_WITH(p_name, 'small') AS starts_small,
+            |  REGEXP_EXTRACT(p_name, '(red|green|blue)') AS color,
+            |  CAST(ARRAY_LENGTH(ARRAY_REVERSE(SPLIT(p_name, ' '))) AS BIGINT) AS n_toks
+            |FROM part ORDER BY p_partkey""".stripMargin)
+      },
+      """SELECT p_partkey,
+        |  string_split(p_name, ' ')[1] AS first_tok,
+        |  CAST(strpos(p_name, 'e') AS BIGINT) AS pos_e,
+        |  ends_with(p_name, 't') AS ends_t,
+        |  starts_with(p_name, 'small') AS starts_small,
+        |  CASE WHEN regexp_matches(p_name, '(red|green|blue)')
+        |       THEN regexp_extract(p_name, '(red|green|blue)', 1) END AS color,
+        |  CAST(len(list_reverse(string_split(p_name, ' '))) AS BIGINT) AS n_toks
+        |FROM part ORDER BY p_partkey""".stripMargin),
+
+    // FORMAT_TIMESTAMP / PARSE_TIMESTAMP round-trip stability.
+    "q_bq_timestamp_fmt" -> QDef(
+      (s, dir) => {
+        graft.functions.BQCompat.install(s)
+        t(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql(
+          """SELECT o_orderkey,
+            |  FORMAT_TIMESTAMP('%Y-%m-%d %H:%M:%S', o_orderdate) AS ts_str,
+            |  FORMAT_TIMESTAMP('%Y-%m-%d',
+            |    PARSE_TIMESTAMP('%Y-%m-%d %H:%M:%S',
+            |      FORMAT_TIMESTAMP('%Y-%m-%d %H:%M:%S', o_orderdate))) AS rt
+            |FROM orders ORDER BY o_orderkey""".stripMargin)
+      },
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS ts_str,
+        |  strftime(strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d') AS rt
+        |FROM orders ORDER BY o_orderkey""".stripMargin)
   )
 }

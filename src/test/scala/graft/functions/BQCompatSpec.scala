@@ -99,6 +99,42 @@ class BQCompatSpec extends SparkSpec {
     assert(r.getString(2) == """{"a":1,"b":"x"}""")
   }
 
+  test("SPLIT treats a literal delimiter literally, not as regex") {
+    val r = spark.sql("SELECT SPLIT('a.b.c', '.') s, SPLIT('x||y', '|') p").collect()(0)
+    assert(r.getSeq[String](0).toList == List("a", "b", "c"))
+    assert(r.getSeq[String](1).toList == List("x", "", "y"))
+  }
+
+  test("REGEXP_EXTRACT returns NULL on no match and the group on match") {
+    val r = spark.sql(
+      "SELECT REGEXP_EXTRACT('red widget', '(red|blue)') a, " +
+        "REGEXP_EXTRACT('hot gear', '(red|blue)') b, " +
+        "REGEXP_EXTRACT('abc123', '[0-9]+') whole").collect()(0)
+    assert(r.getString(0) == "red")
+    assert(r.isNullAt(1))
+    assert(r.getString(2) == "123") // no capturing group → whole match
+  }
+
+  test("STRPOS / ENDS_WITH / STARTS_WITH / ARRAY_REVERSE / ARRAY_CONCAT") {
+    val r = spark.sql(
+      "SELECT STRPOS('hello', 'l') p, STRPOS('hello', 'z') z, " +
+        "ENDS_WITH('widget', 't') e, STARTS_WITH('widget', 'wid') s, " +
+        "ARRAY_REVERSE(ARRAY(1, 2, 3)) rev, " +
+        "ARRAY_CONCAT(ARRAY(1), ARRAY(2, 3)) cat").collect()(0)
+    assert(r.getInt(0) == 3 && r.getInt(1) == 0)
+    assert(r.getBoolean(2) && r.getBoolean(3))
+    assert(r.getSeq[Int](4).toList == List(3, 2, 1))
+    assert(r.getSeq[Int](5).toList == List(1, 2, 3))
+  }
+
+  test("FORMAT_TIMESTAMP / PARSE_TIMESTAMP with BigQuery %-patterns") {
+    val r = spark.sql(
+      "SELECT FORMAT_TIMESTAMP('%Y-%m-%d %H:%M:%S', TIMESTAMP '2024-06-15 13:45:31') f, " +
+        "PARSE_TIMESTAMP('%Y-%m-%d %H:%M:%S', '2024-06-15 13:45:31') p").collect()(0)
+    assert(r.getString(0) == "2024-06-15 13:45:31")
+    assert(r.getTimestamp(1).toString.startsWith("2024-06-15 13:45:31"))
+  }
+
   test("compat functions stay codegen-native (no UDF nodes in plan)") {
     val plan = spark.sql("SELECT SAFE_DIVIDE(x, 2) FROM VALUES (4.0) t(x)")
       .queryExecution.executedPlan.toString
