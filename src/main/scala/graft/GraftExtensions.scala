@@ -74,8 +74,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
     // The full BigQuery-dialect surface ships with the extension too, so a
     // cluster configured with spark.sql.extensions needs no per-session
-    // BQCompat.install call…
-    BQCompat.builders.foreach { case (name, b) =>
+    // BQCompat.install call. That includes the builtin-name overrides
+    // (literal SPLIT, NULL-semantics REGEXP_EXTRACT): setting
+    // spark.sql.extensions=graft.GraftExtensions IS the opt-in to
+    // BigQuery SQL semantics…
+    (BQCompat.builders ++ BQCompat.dialectOverrides).foreach { case (name, b) =>
       ext.injectFunction((FunctionIdentifier(name), info(name, name), b))
     }
     // …including BigQuery's bare-identifier unit arguments, which need an

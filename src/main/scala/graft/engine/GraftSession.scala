@@ -123,7 +123,13 @@ final class SessionManager(root: SparkSession) {
 
   def create(): GraftSession = {
     val id = UUID.randomUUID().toString
-    val s = new GraftSession(id, root.newSession())
+    val child = root.newSession()
+    // Engine sessions speak BigQuery SQL: the full dialect (gap-filling
+    // functions plus the builtin-name overrides like literal SPLIT) goes
+    // into this session's OWN function registry — newSession() isolation
+    // keeps the root session pure Spark semantics.
+    graft.functions.BQCompat.installDialect(child)
+    val s = new GraftSession(id, child)
     sessions.put(id, s)
     s
   }

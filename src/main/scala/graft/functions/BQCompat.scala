@@ -196,17 +196,6 @@ object BQCompat {
       new ParseToTimestamp(s, lit(formatPattern(fmt.toString)))
     },
 
-    // BigQuery SPLIT(s, delim) treats the delimiter as a LITERAL string;
-    // Spark's builtin treats it as a regex. For the (overwhelmingly
-    // common) literal-delimiter call the pattern is quoted statically;
-    // a non-literal delimiter keeps Spark's regex behavior.
-    "split" -> {
-      case Seq(s, Literal(d, _)) if d != null =>
-        StringSplit(s, lit(java.util.regex.Pattern.quote(d.toString)), Literal(-1))
-      case Seq(s, d) => StringSplit(s, d, Literal(-1))
-      case Seq(s, d, l) => StringSplit(s, d, l)
-    },
-
     // STRPOS(s, sub) — 1-based, 0 when absent (Spark's instr/locate).
     "strpos" -> { case Seq(s, sub) => new StringLocate(sub, s) },
 
@@ -215,17 +204,6 @@ object BQCompat {
 
     "array_reverse" -> { case Seq(a) => Reverse(a) },
     "array_concat" -> { case as => Concat(as) },
-
-    // BigQuery REGEXP_EXTRACT: returns NULL when the pattern does not
-    // match (Spark's builtin returns ''), and extracts the first
-    // capturing group when the pattern has one, else the whole match.
-    // The pattern must be a literal to pick the group statically —
-    // BigQuery itself requires at most one capturing group.
-    "regexp_extract" -> { case Seq(s, r @ Literal(p, _)) =>
-      val groups = java.util.regex.Pattern.compile(p.toString).matcher("").groupCount()
-      val idx = Literal(if (groups >= 1) 1 else 0)
-      If(RLike(s, r), RegExpExtract(s, r, idx), Literal.create(null, org.apache.spark.sql.types.StringType))
-    },
 
     // GENERATE_ARRAY(a, b[, step]) — inclusive sequence. (BigQuery returns
     // [] when b < a with positive step; only invoke with b >= a.)
@@ -237,9 +215,54 @@ object BQCompat {
     "to_json_string" -> { case Seq(e) => StructsToJson(Map.empty, e) }
   )
 
+  /** Dialect overrides that CHANGE the semantics of a Spark builtin name
+    * (not just fill a gap). Kept out of [[builders]] so plain `install`
+    * never silently alters Spark-semantics SQL running in the same
+    * session — only BigQuery-dialect sessions ([[installDialect]],
+    * GraftSession, GraftExtensions clusters) opt in.
+    */
+  val dialectOverrides: Seq[(String, Seq[Expression] => Expression)] = Seq(
+
+    // BigQuery SPLIT(s, delim) treats the delimiter as a LITERAL string;
+    // Spark's builtin treats it as a regex. For the (overwhelmingly
+    // common) literal-delimiter call the pattern is quoted statically;
+    // a non-literal delimiter keeps Spark's regex behavior.
+    "split" -> {
+      case Seq(s, Literal(d, _)) if d != null =>
+        StringSplit(s, lit(java.util.regex.Pattern.quote(d.toString)), Literal(-1))
+      case Seq(s, d) => StringSplit(s, d, Literal(-1))
+      case Seq(s, d, l) => StringSplit(s, d, l)
+    },
+
+    // BigQuery REGEXP_EXTRACT: returns NULL when the pattern does not
+    // match (Spark's builtin returns ''), and extracts the first
+    // capturing group when the pattern has one, else the whole match.
+    // The pattern must be a literal to pick the group statically —
+    // BigQuery itself requires at most one capturing group. Spark-shape
+    // 3-arg calls keep builtin behavior.
+    "regexp_extract" -> {
+      case Seq(s, r @ Literal(p, _)) if p != null =>
+        val groups = java.util.regex.Pattern.compile(p.toString).matcher("").groupCount()
+        val idx = Literal(if (groups >= 1) 1 else 0)
+        If(RLike(s, r), RegExpExtract(s, r, idx), Literal.create(null, org.apache.spark.sql.types.StringType))
+      case Seq(s, r, idx) => RegExpExtract(s, r, idx)
+    })
+
   def install(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "internal")
+    }
+  }
+
+  /** Full BigQuery dialect: gap-filling functions PLUS the builtin
+    * overrides. Use on sessions that speak BigQuery SQL (GraftSession);
+    * never on a session that also runs Spark-semantics SQL.
+    */
+  def installDialect(spark: SparkSession): Unit = {
+    install(spark)
+    val reg = spark.sessionState.functionRegistry
+    dialectOverrides.foreach { case (name, b) =>
       reg.createOrReplaceTempFunction(name, b, "internal")
     }
   }

@@ -26,7 +26,11 @@ object Relational4 {
     // oracle verification. The DuckDB side spells the same semantics with
     // portable arithmetic (BigQuery WEEK = Sunday-start boundary count).
     "q_bq_datetime" -> QDef(
-      (s, dir) => {
+      (s0, dir) => {
+        // Child session: the dialect functions stay out of the shared
+        // session's registry (queries later in the same run may rely on
+        // Spark-builtin semantics for overlapping names).
+        val s = s0.newSession()
         graft.functions.BQCompat.install(s)
         t(s, dir, "orders").createOrReplaceTempView("orders")
         s.sql(
@@ -243,8 +247,12 @@ object Relational4 {
     // ARRAY_REVERSE + ARRAY_LENGTH — all resolved to native codegen'd
     // Catalyst expressions by BQCompat.
     "q_bq_strings" -> QDef(
-      (s, dir) => {
-        graft.functions.BQCompat.install(s)
+      (s0, dir) => {
+        // Child session + installDialect: SPLIT/REGEXP_EXTRACT here have
+        // BigQuery semantics, which must never leak into the shared
+        // session where Spark-semantics SQL also runs.
+        val s = s0.newSession()
+        graft.functions.BQCompat.installDialect(s)
         t(s, dir, "part").createOrReplaceTempView("part")
         s.sql(
           """SELECT p_partkey,
@@ -268,7 +276,8 @@ object Relational4 {
 
     // FORMAT_TIMESTAMP / PARSE_TIMESTAMP round-trip stability.
     "q_bq_timestamp_fmt" -> QDef(
-      (s, dir) => {
+      (s0, dir) => {
+        val s = s0.newSession()
         graft.functions.BQCompat.install(s)
         t(s, dir, "orders").createOrReplaceTempView("orders")
         s.sql(

@@ -79,6 +79,32 @@ object StreamOps {
       expr(s"l.$key = r.$key AND r.ts BETWEEN l.ts - INTERVAL $range AND l.ts"))
   }
 
+  /** File-source → file-sink ETL: ingest JSON-lines files landing in a
+    * directory, transform, and append day-partitioned parquet with
+    * exactly-once semantics (checkpointed source offsets + transactional
+    * file commit log). Trigger.AvailableNow drains everything present and
+    * stops — the incremental-batch pattern for scheduled 100 TB backfills:
+    * re-running with the same checkpoint processes only NEW files.
+    */
+  def fileEtl(
+      spark: org.apache.spark.sql.SparkSession,
+      inDir: String, outDir: String, checkpointDir: String,
+      schema: String = "event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .json(inDir)
+      .filter(col("value").isNotNull)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("day")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Gap-based sessionization: a session closes when its user is silent
     * for `gapSecs` (closed either by a later event or by event-time
     * timeout once the watermark passes). State per user is O(1).

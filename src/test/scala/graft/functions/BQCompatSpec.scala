@@ -99,20 +99,31 @@ class BQCompatSpec extends SparkSpec {
     assert(r.getString(2) == """{"a":1,"b":"x"}""")
   }
 
-  test("SPLIT treats a literal delimiter literally, not as regex") {
-    val r = spark.sql("SELECT SPLIT('a.b.c', '.') s, SPLIT('x||y', '|') p").collect()(0)
+  // The builtin-name OVERRIDES (dialect tier) are isolated in a child
+  // session: installDialect must never touch the shared session other
+  // suites run Spark-semantics SQL on.
+  test("dialect tier: SPLIT treats a literal delimiter literally, not as regex") {
+    val s = spark.newSession()
+    BQCompat.installDialect(s)
+    val r = s.sql("SELECT SPLIT('a.b.c', '.') s, SPLIT('x||y', '|') p").collect()(0)
     assert(r.getSeq[String](0).toList == List("a", "b", "c"))
     assert(r.getSeq[String](1).toList == List("x", "", "y"))
+    // The shared session keeps Spark's regex semantics.
+    assert(spark.sql("SELECT SPLIT('a.b.c', '.') s").collect()(0).getSeq[String](0).forall(_.isEmpty))
   }
 
-  test("REGEXP_EXTRACT returns NULL on no match and the group on match") {
-    val r = spark.sql(
+  test("dialect tier: REGEXP_EXTRACT returns NULL on no match, group on match") {
+    val s = spark.newSession()
+    BQCompat.installDialect(s)
+    val r = s.sql(
       "SELECT REGEXP_EXTRACT('red widget', '(red|blue)') a, " +
         "REGEXP_EXTRACT('hot gear', '(red|blue)') b, " +
-        "REGEXP_EXTRACT('abc123', '[0-9]+') whole").collect()(0)
+        "REGEXP_EXTRACT('abc123', '[0-9]+') whole, " +
+        "REGEXP_EXTRACT('a1b2', '([a-z])([0-9])', 2) spark_shape").collect()(0)
     assert(r.getString(0) == "red")
     assert(r.isNullAt(1))
     assert(r.getString(2) == "123") // no capturing group → whole match
+    assert(r.getString(3) == "1")   // 3-arg call keeps Spark builtin shape
   }
 
   test("STRPOS / ENDS_WITH / STARTS_WITH / ARRAY_REVERSE / ARRAY_CONCAT") {

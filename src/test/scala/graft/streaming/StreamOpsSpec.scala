@@ -143,6 +143,34 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("file ETL is exactly-once across restarts (checkpointed source)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_etl").toString
+    val (in, out, ck) = (s"$root/in", s"$root/out", s"$root/ck")
+    new java.io.File(in).mkdirs()
+    def land(name: String, lines: Seq[String]): Unit = {
+      val f = new java.io.File(in, name)
+      val w = new java.io.PrintWriter(f)
+      try lines.foreach(w.println) finally w.close()
+    }
+    land("batch1.json", Seq(
+      """{"event_id":1,"ts":"2024-06-15T10:00:00Z","event_type":"click","value":1.0}""",
+      """{"event_id":2,"ts":"2024-06-16T11:00:00Z","event_type":"view","value":2.0}"""))
+    val q1 = StreamOps.fileEtl(spark, in, out, ck)
+    q1.awaitTermination()
+    assert(spark.read.parquet(out).count() == 2)
+    // Restart with the SAME checkpoint after a new file lands: only the
+    // new file is processed (no duplicates of batch1).
+    land("batch2.json", Seq(
+      """{"event_id":3,"ts":"2024-06-15T12:00:00Z","event_type":"click","value":3.0}"""))
+    val q2 = StreamOps.fileEtl(spark, in, out, ck)
+    q2.awaitTermination()
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 3, "restart must process only the new file")
+    assert(rows.select("event_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    // Day-partitioned layout on disk.
+    assert(new java.io.File(out).listFiles().exists(_.getName.startsWith("day=2024-06-15")))
+  }
+
   test("sessionization keeps independent state per user") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
