@@ -197,6 +197,23 @@ object Analytics3 {
         |  ROUND(MIN(norm), 4) AS min_norm,
         |  ROUND(MAX(norm), 4) AS max_norm,
         |  ROUND(AVG(x0), 4) AS avg_x0
-        |FROM norms GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM norms GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Exact-dedup canonical selection with a QUALITY policy: within each
+    // content-hash group keep the longest doc (ties → lowest id) — the
+    // "keep best, not first" variant real curation pipelines use. One
+    // window over the hash key; no self-join.
+    "dedup_keep_best" -> QDef(
+      (s, dir) => {
+        val w = Window.partitionBy("h").orderBy(col("n_chars").desc, col("doc_id"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"), md5(col("text")).as("h"))
+          .withColumn("rk", row_number().over(w))
+          .select(col("doc_id"), col("h"), (col("rk") === 1).as("is_kept"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id, md5(text) AS h,
+        |  (ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY n_chars DESC, doc_id) = 1) AS is_kept
+        |FROM documents ORDER BY doc_id""".stripMargin)
   )
 }
