@@ -23,6 +23,10 @@ object Verify {
       .config("spark.ui.retainedJobs", "50")
       .config("spark.ui.retainedStages", "100")
       .config("spark.ui.retainedTasks", "1000")
+      // See Bench: let the ContextCleaner reap per-query broadcast and
+      // shuffle state promptly instead of flooding the storage pool over
+      // a 100-query run.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -33,6 +37,7 @@ object Verify {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         spark.catalog.clearCache()
+        System.gc()
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

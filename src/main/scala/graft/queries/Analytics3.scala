@@ -214,6 +214,47 @@ object Analytics3 {
       },
       """SELECT doc_id, md5(text) AS h,
         |  (ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY n_chars DESC, doc_id) = 1) AS is_kept
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Equi-width histogram via width_bucket: one map-side bucket
+    // assignment + one count shuffle keyed by bucket — the scalable
+    // histogram shape (never a sort).
+    // Bucket width 8192 = 2^13: division by a power of two is exact in
+    // binary, so Spark's width_bucket and the oracle's floor-division
+    // agree bit-for-bit even at bucket boundaries.
+    "q_histogram" -> QDef(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select(width_bucket(col("l_extendedprice"), lit(0.0), lit(131072.0), lit(16L)).as("bucket"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("bucket"),
+      """SELECT CASE WHEN l_extendedprice < 0 THEN 0
+        |            WHEN l_extendedprice >= 131072.0 THEN 17
+        |            ELSE CAST(FLOOR(l_extendedprice / 8192.0) AS BIGINT) + 1 END AS bucket,
+        |  COUNT(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // TPC-H Q13-style customer order-count distribution: left join keeps
+    // zero-order customers, then a histogram of per-customer counts.
+    "q_tpch_q13" -> QDef(
+      (s, dir) => {
+        val cust = t(s, dir, "customer").select("c_custkey")
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select("o_custkey", "o_orderkey")
+        cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) c_orders
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)
   )
 }
