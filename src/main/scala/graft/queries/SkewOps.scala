@@ -32,7 +32,39 @@ object SkewOps {
       .agg(sum("__psum").as("sum_value"), sum("__pcnt").as("cnt"))
   }
 
+  /** Salted equi-join for a skewed big-side key: the big side gets a
+    * content-hash salt, the small side is replicated once per salt value,
+    * and the join runs on (key, salt) — a single hot key spreads over
+    * `salt` reducers instead of one. Use when AQE's skew splitting can't
+    * apply (pre-aggregated exchanges, custom partitioners); result is
+    * identical to the unsalted join.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int = 16): DataFrame = {
+    val saltedBig = big.withColumn(
+      "__salt", pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salt.toLong)))
+    val replicated = small.withColumn(
+      "__salt", explode(sequence(lit(0L), lit(salt.toLong - 1L))))
+    saltedBig.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
   val defs: Map[String, QDef] = Map(
+    // Salted join returns exactly what the direct join returns — verified
+    // against the plain SQL join aggregate.
+    "q_salted_join" -> QDef(
+      (s: SparkSession, dir: String) => {
+        val li = Tables(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_quantity"))
+        val ord = Tables(s, dir, "orders").select(
+          col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+        saltedJoin(li, ord, "l_orderkey")
+          .groupBy("o_orderpriority")
+          .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+          .orderBy("o_orderpriority")
+      },
+      """SELECT o_orderpriority, ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS cnt
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // Salted aggregation returns exactly what the direct aggregate returns
     // — verified against the plain SQL GROUP BY.
     "q_salted_agg" -> QDef(
