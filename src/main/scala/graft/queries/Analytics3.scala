@@ -255,6 +255,58 @@ object Analytics3 {
         |  FROM customer LEFT JOIN orders
         |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
         |  GROUP BY c_custkey) c_orders
-        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin),
+
+    // DAU / WAU / stickiness: daily actives and the trailing-7-day active
+    // count per day. Each distinct (user, day) contributes to the WAU of
+    // days d..d+6 — a 7× explode into an EQUI-join on the day (shuffle
+    // keyed by day, cluster-parallel), never an inequality-predicate
+    // nested loop.
+    "ev_dau_wau" -> QDef(
+      (s, dir) => {
+        val ud = t(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+        val days = ud.select(col("d").as("day")).distinct()
+        val dau = ud.groupBy(col("d").as("day")).agg(countDistinct("user_id").as("dau"))
+        val contrib = ud.select(
+          col("user_id"),
+          explode(sequence(col("d"), date_add(col("d"), 6))).as("day"))
+        val wau = contrib.join(days, "day")
+          .groupBy("day")
+          .agg(countDistinct("user_id").as("wau"))
+        dau.join(wau, "day")
+          .select(
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("dau"), col("wau"),
+            round(col("dau") / col("wau"), 4).as("stickiness"))
+          .orderBy("day")
+      },
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |days AS (SELECT DISTINCT d AS day FROM ud),
+        |dau AS (SELECT d AS day, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY 1),
+        |wau AS (
+        |  SELECT days.day, COUNT(DISTINCT ud.user_id) AS wau
+        |  FROM days JOIN ud ON days.day - ud.d BETWEEN 0 AND 6
+        |  GROUP BY 1)
+        |SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau, wau,
+        |  ROUND(dau * 1.0 / wau, 4) AS stickiness
+        |FROM dau JOIN wau ON dau.day = wau.day ORDER BY 1""".stripMargin),
+
+    // GROUPING() markers distinguish "NULL because rolled up" from "NULL
+    // in the data" across ROLLUP levels.
+    "q_grouping_id" -> QDef(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(
+            count(lit(1)).as("cnt"),
+            grouping("l_returnflag").cast("long").as("g_rf"),
+            grouping("l_linestatus").cast("long").as("g_ls"))
+          .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus")),
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
   )
 }

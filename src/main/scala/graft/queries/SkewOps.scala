@@ -56,7 +56,9 @@ object SkewOps {
           col("l_orderkey"), col("l_quantity"))
         val ord = Tables(s, dir, "orders").select(
           col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-        saltedJoin(li, ord, "l_orderkey")
+        // salt=8: replication factor is a cost knob — size it to the
+        // worst key's share of a reducer, not higher.
+        saltedJoin(li, ord, "l_orderkey", salt = 8)
           .groupBy("o_orderpriority")
           .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
           .orderBy("o_orderpriority")
