@@ -74,25 +74,40 @@ object Bench {
       }
       name -> times.min
     }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    def fmt(v: Double) = f"$v%.3f"
-    def render(es: Seq[(String, Double)], rest: Double): String = {
-      val entries = es.map { case (k, v) => "\"" + k + "\":" + fmt(v) } ++
-        (if (rest > 0) Seq("\"_other_total\":" + fmt(rest)) else Nil)
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${entries.mkString("{", ",", "}")},"sf":"$sfDir"}"""
-    }
     // Full per-query record first (may be long; also mirrored on stderr).
-    println(render(results.toSeq.sortBy(_._1), 0.0))
+    println(renderLine(results.toSeq.sortBy(_._1), results.toMap, sfDir))
     spark.stop()
-    // The driver parses a JSON line out of the LAST 2000 chars of combined
-    // output, after sbt's "[success] …" trailer. The final line must
-    // therefore stay well under that: if the full map is too long, keep
-    // the slowest 40 queries and fold the rest into "_other_total".
-    val bySlowest = results.toSeq.sortBy(-_._2)
-    val fullLine = render(bySlowest, 0.0)
-    val shortLine =
-      if (fullLine.length <= 1500) fullLine
-      else render(bySlowest.take(40), bySlowest.drop(40).map(_._2).sum)
-    println(shortLine)
+    println(shortLine(results.toMap, sfDir))
+  }
+
+  private def fmt(v: Double) = f"$v%.3f"
+
+  private def renderLine(es: Seq[(String, Double)], all: Map[String, Double], sfDir: String,
+      rest: Double = 0.0): String = {
+    val total = if (all.nonEmpty) all.values.sum else 0.0
+    val entries = es.map { case (k, v) => "\"" + k + "\":" + fmt(v) } ++
+      (if (rest > 0) Seq("\"_other_total\":" + fmt(rest)) else Nil)
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${entries.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+  }
+
+  /** The FINAL stdout line. The round driver parses a JSON line out of
+    * the LAST 2000 chars of combined output (after sbt's "[success] …"
+    * trailer), so this line must stay well under that: if the full map
+    * is too long, keep the slowest 40 queries and fold the rest into
+    * "_other_total". Invariant spec-tested in BenchLineSpec.
+    */
+  def shortLine(results: Map[String, Double], sfDir: String): String = {
+    val bySlowest = results.toSeq.sortBy { case (k, v) => (-v, k) }
+    // Length-driven, not count-driven: drop the cheapest entries into
+    // "_other_total" until the line fits (long query names would
+    // otherwise defeat a fixed top-N cap).
+    var keep = bySlowest.length
+    var line = renderLine(bySlowest, results, sfDir)
+    while (line.length > 1500 && keep > 0) {
+      keep = math.max(0, keep - math.max(1, (line.length - 1500) / 30))
+      line = renderLine(bySlowest.take(keep), results, sfDir,
+        rest = bySlowest.drop(keep).map(_._2).sum)
+    }
+    line
   }
 }
