@@ -307,6 +307,36 @@ object Analytics3 {
         |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
         |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+        |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+
+    // Trailing-window anomaly score: each day's total valued against the
+    // mean/stddev of the PRECEDING 7 days (never the current row — no
+    // self-leakage). Emits the score for every day rather than a
+    // thresholded subset so float-boundary flips can't change the row
+    // set. The unpartitioned window runs over the per-DAY aggregate —
+    // bounded by calendar span, not corpus size, so the single-partition
+    // stage holds at any scale.
+    "ev_daily_anomaly" -> QDef(
+      (s, dir) => {
+        val w = Window.orderBy("day").rowsBetween(-7, -1)
+        t(s, dir, "events")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(round(sum("value"), 2).as("total"))
+          .withColumn("mu", avg("total").over(w))
+          .withColumn("sd", stddev_samp(col("total")).over(w))
+          .select(
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("total"),
+            round((col("total") - col("mu")) / col("sd"), 4).as("zscore"))
+          .orderBy("day")
+      },
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, ROUND(SUM(value), 2) AS total
+        |  FROM events GROUP BY 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, total,
+        |  ROUND((total - AVG(total) OVER w) / STDDEV_SAMP(total) OVER w, 4) AS zscore
+        |FROM daily
+        |WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        |ORDER BY day""".stripMargin)
   )
 }
