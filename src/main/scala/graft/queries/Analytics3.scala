@@ -337,6 +337,30 @@ object Analytics3 {
         |  ROUND((total - AVG(total) OVER w) / STDDEV_SAMP(total) OVER w, 4) AS zscore
         |FROM daily
         |WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
-        |ORDER BY day""".stripMargin)
+        |ORDER BY day""".stripMargin),
+
+    // Pad / trim / translate / repeat / reverse string surface.
+    "q_string_pad_trim" -> QDef(
+      (s, dir) =>
+        t(s, dir, "nation")
+          .select(
+            col("n_nationkey"),
+            lpad(col("n_name"), 12, "*").as("padded"),
+            rpad(col("n_name"), 12, ".").as("rpadded"),
+            trim(lit("  x  ")).as("trimmed"),
+            ltrim(lit("  x")).as("ltrimmed"),
+            translate(col("n_name"), "_N", "-n").as("translated"),
+            repeat(lit("ab"), 3).as("repeated"),
+            reverse(col("n_name")).as("reversed"))
+          .orderBy("n_nationkey"),
+      """SELECT n_nationkey,
+        |  lpad(n_name, 12, '*') AS padded,
+        |  rpad(n_name, 12, '.') AS rpadded,
+        |  trim('  x  ') AS trimmed,
+        |  ltrim('  x') AS ltrimmed,
+        |  translate(n_name, '_N', '-n') AS translated,
+        |  repeat('ab', 3) AS repeated,
+        |  reverse(n_name) AS reversed
+        |FROM nation ORDER BY n_nationkey""".stripMargin)
   )
 }
