@@ -1,3 +1,4 @@
+// (round 3: Q15/Q18 added at the bottom of defs)
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -73,6 +74,63 @@ object TpchOps {
         |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END) /
         |  SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-04-01'""".stripMargin)
+        |WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-04-01'""".stripMargin),
+
+    // TPC-H Q15 top supplier: revenue per supplier over a quarter, keep
+    // the max. The max-filter joins the UNROUNDED per-engine totals (a
+    // rounded compare could tie-flip at the half-cent); rounding happens
+    // only at output.
+    "q_tpch_q15" -> QDef(
+      (s, dir) => {
+        val rev = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-04-01")
+          .groupBy(col("l_suppkey"))
+          .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("tr"))
+        val mx = rev.agg(max("tr").as("mx"))
+        rev.join(broadcast(mx), rev("tr") === mx("mx"))
+          .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), round(col("tr"), 2).as("total_revenue"))
+          .orderBy("s_suppkey")
+      },
+      """WITH revenue AS (
+        |  SELECT l_suppkey, SUM(l_extendedprice * (1.0 - l_discount)) AS tr
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, ROUND(tr, 2) AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        |WHERE tr = (SELECT MAX(tr) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin),
+
+    // TPC-H Q18 large-volume customers: orders whose total quantity
+    // clears a threshold (the 150.005 cut sits between the 2-decimal
+    // quantity-sum lattice points so float noise can't flip membership),
+    // joined back for customer detail, top-100.
+    "q_tpch_q18" -> QDef(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val big = li.groupBy("l_orderkey")
+          .agg(sum("l_quantity").as("total_qty"))
+          .filter(col("total_qty") > 150.005)
+        val ord = t(s, dir, "orders")
+        val cust = t(s, dir, "customer")
+        big.join(ord, big("l_orderkey") === ord("o_orderkey"))
+          .join(cust, ord("o_custkey") === cust("c_custkey"))
+          .select(
+            col("c_custkey"), col("c_name"), col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+            col("o_totalprice"), round(col("total_qty"), 2).as("total_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      """SELECT c_custkey, c_name, o_orderkey,
+        |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+        |  o_totalprice, ROUND(total_qty, 2) AS total_qty
+        |FROM (
+        |  SELECT l_orderkey, SUM(l_quantity) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 150.005) big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)
   )
 }
