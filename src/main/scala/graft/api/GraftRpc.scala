@@ -29,38 +29,67 @@ final class GraftRpc(root: SparkSession) {
   private val catalogRoot = new ConcurrentHashMap[String, String]()
 
   private def session(params: Map[String, Any]): GraftSession = {
-    val id = params("sessionId").toString
-    sessions.get(id).getOrElse(throw new IllegalArgumentException(s"Unknown session: $id"))
+    val id = req(params, "sessionId").toString
+    sessions.get(id).getOrElse(throw GraftError.UnknownSession(id))
   }
+
+  private def req(params: Map[String, Any], key: String): Any =
+    params.getOrElse(key, throw GraftError.InvalidParams(s"Missing param: $key"))
 
   private def dagOf(s: GraftSession): Dag =
     dags.computeIfAbsent(s.id, _ => new Dag(s))
 
-  def dispatch(method: String, params: Map[String, Any] = Map.empty): Any = method match {
+  /** Dispatch with the reference's error taxonomy (src/rpc/methods.rs +
+    * src/error.rs): engine failures surface as [[GraftError]] kinds, so
+    * callers (and the JSON-RPC transport) can branch on code/kind.
+    */
+  def dispatch(method: String, params: Map[String, Any] = Map.empty): Any =
+    try dispatchImpl(method, params)
+    catch {
+      case e: GraftError => throw e
+      // Spark analysis errors over a missing relation = the reference's
+      // "table not found" executor error; everything else from the
+      // engine is a QueryError (error.rs Executor family).
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition != null && e.getCondition.startsWith("TABLE_OR_VIEW_NOT_FOUND") =>
+        val table = Option(e.getMessageParameters.get("relationName")).getOrElse("?")
+        throw GraftError.UnknownTable(table.stripPrefix("`").stripSuffix("`"))
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw GraftError.QueryError(e.getMessage)
+      case e @ (_: ClassCastException | _: NoSuchElementException | _: NumberFormatException) =>
+        throw GraftError.InvalidParams(s"Malformed params for $method: ${e.getMessage}")
+    }
+
+  private def dispatchImpl(method: String, params: Map[String, Any]): Any = method match {
     case "bq.ping" => Map("message" -> "pong")
 
     case "bq.createSession" => Map("sessionId" -> sessions.create().id)
 
     case "bq.destroySession" =>
-      val id = params("sessionId").toString
+      val id = req(params, "sessionId").toString
       dags.remove(id); lastRun.remove(id)
       Map("success" -> sessions.destroy(id))
 
     case "bq.query" =>
-      GraftRpc.toBqResponse(session(params).sql(params("sql").toString))
+      // BigQuery's own jobs.query has maxResults paging semantics; cap
+      // driver materialization the same way (default in
+      // [[GraftRpc.DefaultMaxResults]]).
+      val cap = params.get("maxResults").map(_.toString.toDouble.toInt)
+        .getOrElse(GraftRpc.DefaultMaxResults)
+      GraftRpc.toBqResponse(session(params).sql(req(params, "sql").toString), cap)
 
     case "bq.createTable" =>
-      session(params).createTable(params("tableName").toString, GraftRpc.schemaParam(params))
+      session(params).createTable(req(params, "tableName").toString, GraftRpc.schemaParam(params))
       Map("success" -> true)
 
     case "bq.insert" =>
-      val rows = params("rows").asInstanceOf[Seq[Seq[Any]]]
-      Map("insertedRows" -> session(params).insert(params("tableName").toString, rows))
+      val rows = req(params, "rows").asInstanceOf[Seq[Seq[Any]]]
+      Map("insertedRows" -> session(params).insert(req(params, "tableName").toString, rows))
 
     case "bq.registerDag" =>
       // Result shape = reference RegisterDagResult (rpc/types.rs:234).
       val s = session(params)
-      val defs = params("tables").asInstanceOf[Seq[Map[String, Any]]].map(GraftRpc.dagTableParam)
+      val defs = req(params, "tables").asInstanceOf[Seq[Map[String, Any]]].map(GraftRpc.dagTableParam)
       Map(
         "success" -> true,
         "tables" -> dagOf(s).register(defs).map { case (n, deps) =>
@@ -88,7 +117,7 @@ final class GraftRpc(root: SparkSession) {
       } yield graft.engine.DagResult(
         failed = f.map(graft.engine.TableError(_, "")), skipped = k)
       val prev = explicit.orElse(Option(lastRun.get(s.id)))
-        .getOrElse(throw new IllegalStateException("No previous DAG run to retry"))
+        .getOrElse(throw GraftError.InvalidParams("No previous DAG run to retry"))
       val res = dagOf(s).retryFailed(prev)
       lastRun.put(s.id, res)
       GraftRpc.toRunResult(res)
@@ -108,8 +137,14 @@ final class GraftRpc(root: SparkSession) {
 
     case "bq.loadParquet" =>
       val s = session(params)
-      val df = s.spark.read.parquet(params("path").toString)
-      df.createOrReplaceTempView(params("tableName").toString)
+      val path = req(params, "path").toString
+      val df =
+        try s.spark.read.parquet(path)
+        catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            throw GraftError.LoaderError(s"Failed to load parquet at $path: ${e.getMessage}")
+        }
+      df.createOrReplaceTempView(req(params, "tableName").toString)
       Map("loadedRows" -> df.count())
 
     case "bq.listTables" =>
@@ -118,7 +153,7 @@ final class GraftRpc(root: SparkSession) {
       }
 
     case "bq.describeTable" =>
-      val (schema, count) = session(params).describeTable(params("tableName").toString)
+      val (schema, count) = session(params).describeTable(req(params, "tableName").toString)
       Map(
         "schema" -> schema.map { case (n, t) => Map("name" -> n, "type" -> t) },
         "rowCount" -> count)
@@ -137,50 +172,72 @@ final class GraftRpc(root: SparkSession) {
       DirectoryCatalog.listProjects(rootOf(params))
 
     case "bq.getDatasets" =>
-      DirectoryCatalog.listDatasets(rootOf(params), params("project").toString)
+      DirectoryCatalog.listDatasets(rootOf(params), req(params, "project").toString)
 
     case "bq.getTablesInDataset" =>
-      DirectoryCatalog.listTablesIn(rootOf(params), params("project").toString, params("dataset").toString)
+      DirectoryCatalog.listTablesIn(rootOf(params), req(params, "project").toString, req(params, "dataset").toString)
 
     case "bq.loadParquetDirectory" =>
       val s = session(params)
-      catalogRoot.put(s.id, params("path").toString)
-      DirectoryCatalog.loadParquetDirectory(s, params("path").toString)
+      catalogRoot.put(s.id, req(params, "path").toString)
+      DirectoryCatalog.loadParquetDirectory(s, req(params, "path").toString)
 
     case "bq.loadSqlDirectory" | "bq.loadDagFromDirectory" =>
       val s = session(params)
-      catalogRoot.put(s.id, params("path").toString)
-      val dag = DirectoryCatalog.loadDag(s, params("path").toString)
+      catalogRoot.put(s.id, req(params, "path").toString)
+      val dag = DirectoryCatalog.loadDag(s, req(params, "path").toString)
       dags.put(s.id, dag)
       dag.getTables.map(_._1)
 
-    case other => throw new IllegalArgumentException(s"Unknown method: $other")
+    // Matches reference methods.rs:56; the transport turns this exact
+    // shape into a -32601 method-not-found response (handler.rs:66).
+    case other => throw GraftError.InvalidParams(s"Unknown method: $other")
   }
 
   private def rootOf(params: Map[String, Any]): String =
     params.get("path").map(_.toString)
       .orElse(Option(catalogRoot.get(session(params).id)))
-      .getOrElse(throw new IllegalArgumentException("No catalog root loaded for session"))
+      .getOrElse(throw GraftError.LoaderError("No catalog root loaded for session"))
 }
 
 object GraftRpc {
 
+  /** Default driver-side row cap for bq.query responses. BigQuery's
+    * jobs.query API has the same knob (maxResults); without a cap a
+    * `SELECT *` over a 100 TB table would `collect()` onto the driver.
+    */
+  val DefaultMaxResults: Int = 10000
+
   /** BigQuery queryResponse shape (reference: executor/yachtsql.rs:208
     * to_bq_response): schema fields, rows as {"f": [{"v": ...}]},
     * totalRows, jobComplete.
+    *
+    * Materialization is bounded: `limit(maxResults + 1)` plans a
+    * CollectLimit, which pulls partitions incrementally and stops once
+    * the limit is satisfied — the full result is never resident on the
+    * driver. When the result exceeds the cap, the response carries
+    * `truncated: true` so clients can re-query with a filter or a
+    * higher explicit maxResults.
     */
-  def toBqResponse(df: DataFrame): Map[String, Any] = {
+  def toBqResponse(df: DataFrame, maxResults: Int = DefaultMaxResults): Map[String, Any] = {
+    if (maxResults <= 0) throw GraftError.InvalidParams(s"maxResults must be positive: $maxResults")
     val schema = df.schema.fields.map(f =>
       Map("name" -> f.name, "type" -> GraftSession.sparkTypeToBq(f.dataType)))
-    val rows = df.collect().map { r =>
-      Map("f" -> r.toSeq.map(v => Map("v" -> v)))
+    val it = df.limit(maxResults + 1).toLocalIterator()
+    val rows = Vector.newBuilder[Map[String, Any]]
+    var n = 0
+    while (it.hasNext && n < maxResults) {
+      rows += Map("f" -> it.next().toSeq.map(v => Map("v" -> v)))
+      n += 1
     }
+    val truncated = it.hasNext
     Map(
       "kind" -> "bigquery#queryResponse",
       "schema" -> Map("fields" -> schema.toSeq),
-      "rows" -> rows.toSeq,
-      "totalRows" -> rows.length.toString,
-      "jobComplete" -> true)
+      "rows" -> rows.result(),
+      "totalRows" -> n.toString,
+      "jobComplete" -> true) ++
+      (if (truncated) Map("truncated" -> true) else Map.empty)
   }
 
   private def schemaParam(params: Map[String, Any]): Seq[(String, String)] =

@@ -73,7 +73,7 @@ final class Dag(session: GraftSession, workDir: Option[Path] = None) {
 
   def register(defs: Seq[DagTable]): Seq[(String, Seq[String])] = {
     defs.find(d => SafeName.findFirstIn(d.name).isEmpty).foreach { bad =>
-      throw new IllegalArgumentException(
+      throw graft.api.GraftError.InvalidParams(
         s"Invalid table name '${bad.name}': must match ${SafeName.regex}")
     }
     defs.foreach(d => tables.put(d.name, d))
@@ -208,8 +208,9 @@ final class Dag(session: GraftSession, workDir: Option[Path] = None) {
     var processed = 0
     while (inDeg.nonEmpty) {
       val level = inDeg.collect { case (n, 0) => n }.toSeq.sorted
+      // Reference raises cycles as InvalidRequest (session/pipeline.rs:475).
       if (level.isEmpty)
-        throw new IllegalStateException("Circular dependency detected")
+        throw graft.api.GraftError.CircularDependency()
       level.foreach { n =>
         inDeg.remove(n)
         dependents.getOrElse(n, Nil).foreach(d => inDeg.updateWith(d)(_.map(_ - 1)))

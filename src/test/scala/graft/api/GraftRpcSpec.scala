@@ -98,7 +98,7 @@ class GraftRpcSpec extends SparkSpec {
     rpc.dispatch("bq.setDefaultProject", Map("sessionId" -> s))
     assert(rpc.dispatch("bq.getDefaultProject", Map("sessionId" -> s)) == Map("project" -> null))
     assert(rpc.dispatch("bq.destroySession", Map("sessionId" -> s)) == Map("success" -> true))
-    assertThrows[IllegalArgumentException](
+    assertThrows[GraftError.UnknownSession](
       rpc.dispatch("bq.query", Map("sessionId" -> s, "sql" -> "SELECT 1")))
   }
 }

@@ -1,0 +1,321 @@
+package graft.api
+
+import java.io.{BufferedReader, InputStreamReader, PrintWriter}
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse, WebSocket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.{ConcurrentHashMap, CountDownLatch, LinkedBlockingQueue, TimeUnit}
+
+import graft.SparkSpec
+
+/** The JSON-RPC transport, tested at three levels:
+  *   1. framing semantics of [[RpcServer.processMessage]] (reference
+  *      src/rpc/handler.rs:45 + types.rs RpcResponse);
+  *   2. the typed error taxonomy through dispatch (reference src/error.rs);
+  *   3. the full reference client lifecycle across a REAL process
+  *      boundary over stdio — the client below is a faithful Scala port
+  *      of the reference adaptor's framing
+  *      (adaptors/clojure/src/bq_runner/client.clj: one JSON request per
+  *      line on stdin, responses matched to requests by id from a
+  *      reader thread) — and over a real WebSocket (JDK client).
+  */
+class RpcServerSpec extends SparkSpec {
+
+  private lazy val rpc = new GraftRpc(spark)
+
+  private def asMap(v: Any): Map[String, Any] = v.asInstanceOf[Map[String, Any]]
+  private def send(json: String): Map[String, Any] = asMap(Json.parse(RpcServer.processMessage(json, rpc)))
+  private def errOf(resp: Map[String, Any]): Map[String, Any] = asMap(resp("error"))
+
+  // ---------------------------------------------------------------- framing
+
+  test("malformed JSON yields -32700 Parse error with null id") {
+    val resp = send("""{"jsonrpc": "2.0", "method": """)
+    assert(errOf(resp)("code") == -32700L)
+    assert(errOf(resp)("message") == "Parse error")
+    assert(resp("id") == null)
+  }
+
+  test("wrong jsonrpc version yields -32600 Invalid Request") {
+    val resp = send("""{"jsonrpc":"1.0","method":"bq.ping","id":1}""")
+    assert(errOf(resp)("code") == -32600L)
+    assert(errOf(resp)("message") == "Invalid Request")
+  }
+
+  test("unknown method yields -32601 with the method name, id echoed") {
+    val resp = send("""{"jsonrpc":"2.0","method":"bq.nope","params":{},"id":"abc-123"}""")
+    assert(errOf(resp)("code") == -32601L)
+    assert(errOf(resp)("message") == "Method not found: bq.nope")
+    assert(resp("id") == "abc-123")
+  }
+
+  test("success envelope echoes numeric ids and carries no error key") {
+    val resp = send("""{"jsonrpc":"2.0","method":"bq.ping","id":42}""")
+    assert(resp("id") == 42L)
+    assert(asMap(resp("result")) == Map("message" -> "pong"))
+    assert(!resp.contains("error"))
+  }
+
+  test("unknown session yields -32002 with [method, session] context-free message") {
+    val resp = send("""{"jsonrpc":"2.0","method":"bq.query","params":{"sessionId":"nope","sql":"SELECT 1"},"id":7}""")
+    assert(errOf(resp)("code") == -32002L)
+    assert(errOf(resp)("message") == "Session not found: nope")
+    assert(asMap(errOf(resp)("data"))("kind") == "UnknownSession")
+  }
+
+  test("executor errors absorb [method=..., session=...] context like error.rs with_context") {
+    val s = asMap(rpc.dispatch("bq.createSession"))("sessionId").toString
+    val resp = send(s"""{"jsonrpc":"2.0","method":"bq.query","params":{"sessionId":"$s","sql":"SELECT * FROM no_such_table"},"id":9}""")
+    assert(errOf(resp)("code") == -32000L)
+    val msg = errOf(resp)("message").toString
+    assert(msg.startsWith("Executor error: [method=bq.query, session="))
+    assert(msg.contains("Table not found"))
+    assert(asMap(errOf(resp)("data"))("kind") == "UnknownTable")
+  }
+
+  // ---------------------------------------------------------- error taxonomy
+
+  test("dispatch throws typed GraftError kinds for the client_test.clj failure paths") {
+    val unknownSession = intercept[GraftError.UnknownSession] {
+      rpc.dispatch("bq.query", Map("sessionId" -> "missing", "sql" -> "SELECT 1"))
+    }
+    assert(unknownSession.code == -32002)
+
+    val s = asMap(rpc.dispatch("bq.createSession"))("sessionId").toString
+
+    val unknownTable = intercept[GraftError.UnknownTable] {
+      rpc.dispatch("bq.query", Map("sessionId" -> s, "sql" -> "SELECT * FROM ghost"))
+    }
+    assert(unknownTable.code == -32000 && unknownTable.table.contains("ghost"))
+
+    val missingParam = intercept[GraftError.InvalidParams] {
+      rpc.dispatch("bq.query", Map("sessionId" -> s))
+    }
+    assert(missingParam.code == -32600 && missingParam.getMessage.contains("Missing param: sql"))
+
+    rpc.dispatch("bq.registerDag", Map("sessionId" -> s, "tables" -> Seq(
+      Map("name" -> "a", "sql" -> "SELECT * FROM b"),
+      Map("name" -> "b", "sql" -> "SELECT * FROM a"))))
+    val cycle = intercept[GraftError.CircularDependency] {
+      rpc.dispatch("bq.runDag", Map("sessionId" -> s))
+    }
+    assert(cycle.code == -32600)
+    assert(cycle.getMessage == "Invalid request: Circular dependency detected")
+    rpc.dispatch("bq.clearDag", Map("sessionId" -> s))
+
+    val sqlError = intercept[GraftError.QueryError] {
+      rpc.dispatch("bq.query", Map("sessionId" -> s, "sql" -> "SELECT undefined_fn_xyz(1)"))
+    }
+    assert(sqlError.code == -32000)
+
+    val loader = intercept[GraftError.LoaderError] {
+      rpc.dispatch("bq.loadParquet", Map("sessionId" -> s, "tableName" -> "t", "path" -> "/no/such/path.parquet"))
+    }
+    assert(loader.code == -32001)
+  }
+
+  // ------------------------------------------------- bounded materialization
+
+  test("bq.query caps driver materialization: 10M-row result returns maxResults rows + truncated") {
+    val s = asMap(rpc.dispatch("bq.createSession"))("sessionId").toString
+    val resp = asMap(GraftRpc.toBqResponse(spark.range(10000000L).toDF("id"), maxResults = 1000))
+    assert(resp("totalRows") == "1000")
+    assert(resp("rows").asInstanceOf[Seq[_]].size == 1000)
+    assert(resp("truncated") == true)
+
+    // Under the cap: no truncation marker.
+    val small = asMap(GraftRpc.toBqResponse(spark.range(5L).toDF("id")))
+    assert(small("totalRows") == "5" && !small.contains("truncated"))
+
+    // Explicit maxResults flows through the RPC param.
+    rpc.dispatch("bq.createTable", Map("sessionId" -> s, "tableName" -> "caps",
+      "schema" -> Seq(Map("name" -> "v", "type" -> "INT64"))))
+    rpc.dispatch("bq.insert", Map("sessionId" -> s, "tableName" -> "caps",
+      "rows" -> (1 to 10).map(i => Seq(i))))
+    val capped = asMap(rpc.dispatch("bq.query",
+      Map("sessionId" -> s, "sql" -> "SELECT * FROM caps", "maxResults" -> 3)))
+    assert(capped("totalRows") == "3" && capped("truncated") == true)
+  }
+
+  // ----------------------------------------------------- process boundary
+
+  /** Scala port of the reference stdio client framing (client.clj):
+    * requests are single JSON lines with UUID ids; a daemon reader
+    * thread routes response lines to per-id queues.
+    */
+  private final class StdioRpcClient(cmd: Seq[String]) {
+    private val process = new ProcessBuilder(cmd: _*).start()
+    private val writer = new PrintWriter(process.getOutputStream, true)
+    private val reader = new BufferedReader(new InputStreamReader(process.getInputStream, UTF_8))
+    private val pending = new ConcurrentHashMap[String, LinkedBlockingQueue[Map[String, Any]]]()
+    @volatile private var closed = false
+
+    // Drain stderr (Spark logs) so the child never blocks on a full pipe.
+    private val errDrain = new Thread(() => {
+      val r = new BufferedReader(new InputStreamReader(process.getErrorStream, UTF_8))
+      try { while (r.readLine() != null) () } catch { case _: Exception => () }
+    })
+    errDrain.setDaemon(true); errDrain.start()
+
+    private val readerThread = new Thread(() => {
+      try {
+        var line = reader.readLine()
+        while (!closed && line != null) {
+          val resp = Json.parse(line).asInstanceOf[Map[String, Any]]
+          Option(resp.getOrElse("id", null)).map(_.toString).foreach { id =>
+            Option(pending.remove(id)).foreach(_.put(resp))
+          }
+          line = reader.readLine()
+        }
+      } catch { case _: Exception => closed = true }
+    })
+    readerThread.setDaemon(true); readerThread.start()
+
+    def sendRequest(method: String, params: Map[String, Any], timeoutMs: Long = 120000): Map[String, Any] = {
+      val id = java.util.UUID.randomUUID().toString
+      val queue = new LinkedBlockingQueue[Map[String, Any]](1)
+      pending.put(id, queue)
+      writer.println(Json.write(Map("jsonrpc" -> "2.0", "method" -> method, "params" -> params, "id" -> id)))
+      val resp = queue.poll(timeoutMs, TimeUnit.MILLISECONDS)
+      assert(resp != null, s"timed out waiting for $method response")
+      resp
+    }
+
+    def result(method: String, params: Map[String, Any] = Map.empty): Map[String, Any] = {
+      val resp = sendRequest(method, params)
+      assert(!resp.contains("error"), s"$method failed: ${resp.get("error")}")
+      resp("result") match {
+        case m: Map[String, Any] @unchecked => m
+        case other => Map("value" -> other)
+      }
+    }
+
+    def close(): Unit = { closed = true; process.destroy() }
+    def alive: Boolean = process.isAlive
+  }
+
+  private def serverCommand(transport: String): Seq[String] = {
+    val java = sys.props("java.home") + "/bin/java"
+    val cp = sys.props("java.class.path")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke", "java.base/java.lang.reflect",
+      "java.base/java.io", "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent", "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs", "java.base/sun.security.action",
+      "java.base/sun.util.calendar").flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    Seq(java) ++ addOpens ++ Seq(
+      "-Xmx2g", "-Dspark.ui.enabled=false", "-Dgraft.rpc.master=local[2]",
+      "-cp", cp, "graft.api.RpcServer", "--transport", transport)
+  }
+
+  test("stdio transport: full reference client lifecycle across a real process boundary") {
+    val client = new StdioRpcClient(serverCommand("stdio"))
+    try {
+      assert(client.result("bq.ping") == Map("message" -> "pong"))
+      val s = client.result("bq.createSession")("sessionId").toString
+
+      assert(client.result("bq.createTable", Map("sessionId" -> s, "tableName" -> "users",
+        "schema" -> Seq(Map("name" -> "id", "type" -> "INT64"), Map("name" -> "name", "type" -> "STRING"))))("success") == true)
+
+      assert(client.result("bq.insert", Map("sessionId" -> s, "tableName" -> "users",
+        "rows" -> Seq(Seq(1, "Alice"), Seq(2, "Bob"))))("insertedRows") == 2L)
+
+      val q = client.result("bq.query", Map("sessionId" -> s, "sql" -> "SELECT name FROM users ORDER BY id"))
+      assert(q("totalRows") == "2")
+      val names = q("rows").asInstanceOf[Seq[Map[String, Any]]]
+        .map(_("f").asInstanceOf[Seq[Map[String, Any]]].head("v"))
+      assert(names == Seq("Alice", "Bob"))
+
+      val reg = client.result("bq.registerDag", Map("sessionId" -> s, "tables" -> Seq(
+        Map("name" -> "doubled", "sql" -> "SELECT id * 2 AS id2 FROM users"))))
+      assert(reg("success") == true)
+      val run = client.result("bq.runDag", Map("sessionId" -> s))
+      assert(run("success") == true && run("succeededTables") == Seq("doubled"))
+
+      val q2 = client.result("bq.query", Map("sessionId" -> s, "sql" -> "SELECT SUM(id2) AS t FROM doubled"))
+      assert(q2("rows").asInstanceOf[Seq[Map[String, Any]]].head("f")
+        .asInstanceOf[Seq[Map[String, Any]]].head("v") == 6L)
+
+      // Error envelope across the wire: unknown session keeps code -32002.
+      val bad = client.sendRequest("bq.query", Map("sessionId" -> "nope", "sql" -> "SELECT 1"))
+      assert(asMap(bad("error"))("code") == -32002L)
+
+      assert(client.result("bq.destroySession", Map("sessionId" -> s))("success") == true)
+    } finally client.close()
+  }
+
+  // ------------------------------------------------------------- WebSocket
+
+  private def freePort(): Int = {
+    val ss = new java.net.ServerSocket(0)
+    try ss.getLocalPort finally ss.close()
+  }
+
+  test("WebSocket transport: JDK client handshake, JSON-RPC round trip, /health probe") {
+    val port = freePort()
+    val serverRpc = new GraftRpc(spark)
+    val t = new Thread(() => {
+      try RpcServer.runWebSocket(serverRpc, port)
+      catch { case _: Exception => () }
+    }, "ws-server")
+    t.setDaemon(true)
+    t.start()
+
+    // Wait for the port to accept.
+    eventuallyConnects(port)
+
+    // Plain HTTP health probe (reference main.rs:186 /health route).
+    val http = HttpClient.newHttpClient()
+    val health = http.send(
+      HttpRequest.newBuilder(URI.create(s"http://localhost:$port/health")).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(health.statusCode() == 200)
+    assert(asMap(Json.parse(health.body()))("message") == "pong")
+
+    // Real WebSocket client (JDK implementation — independent framing).
+    val messages = new LinkedBlockingQueue[String]()
+    val buf = new StringBuilder
+    val opened = new CountDownLatch(1)
+    val listener = new WebSocket.Listener {
+      override def onOpen(ws: WebSocket): Unit = { opened.countDown(); ws.request(1) }
+      override def onText(ws: WebSocket, data: CharSequence, last: Boolean): java.util.concurrent.CompletionStage[_] = {
+        buf.append(data)
+        if (last) { messages.put(buf.toString); buf.clear() }
+        ws.request(1)
+        null
+      }
+    }
+    val ws = HttpClient.newHttpClient().newWebSocketBuilder()
+      .buildAsync(URI.create(s"ws://localhost:$port/"), listener)
+      .get(30, TimeUnit.SECONDS)
+    opened.await(10, TimeUnit.SECONDS)
+
+    def call(method: String, params: Map[String, Any], id: Long): Map[String, Any] = {
+      ws.sendText(Json.write(Map("jsonrpc" -> "2.0", "method" -> method, "params" -> params, "id" -> id)), true)
+      val resp = asMap(Json.parse(messages.poll(60, TimeUnit.SECONDS)))
+      assert(resp("id") == id)
+      resp
+    }
+
+    assert(asMap(call("bq.ping", Map.empty, 1)("result")) == Map("message" -> "pong"))
+    val s = asMap(call("bq.createSession", Map.empty, 2)("result"))("sessionId").toString
+    val one = call("bq.query", Map("sessionId" -> s, "sql" -> "SELECT 41 + 1 AS answer"), 3)
+    val v = asMap(one("result"))("rows").asInstanceOf[Seq[Map[String, Any]]]
+      .head("f").asInstanceOf[Seq[Map[String, Any]]].head("v")
+    assert(v == 42L)
+    assert(asMap(call("bq.destroySession", Map("sessionId" -> s), 4)("result"))("success") == true)
+    ws.sendClose(WebSocket.NORMAL_CLOSURE, "done")
+  }
+
+  private def eventuallyConnects(port: Int): Unit = {
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var connected = false
+    while (!connected && System.nanoTime() < deadline) {
+      try {
+        val s = new java.net.Socket("localhost", port)
+        s.close(); connected = true
+      } catch { case _: Exception => Thread.sleep(100) }
+    }
+    assert(connected, s"server never bound port $port")
+  }
+}

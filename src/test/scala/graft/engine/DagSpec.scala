@@ -115,7 +115,10 @@ class DagSpec extends SparkSpec {
     dag.register(Seq(
       DagTable.derived("x", "SELECT * FROM y"),
       DagTable.derived("y", "SELECT * FROM x")))
-    assertThrows[IllegalStateException](dag.run())
+    // Typed taxonomy: cycles surface as the reference's InvalidRequest
+    // family (-32600) with a distinct kind.
+    val e = intercept[graft.api.GraftError.CircularDependency](dag.run())
+    assert(e.code == -32600)
   }
 
   test("level-parallel execution matches serial results") {
