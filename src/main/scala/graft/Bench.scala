@@ -61,8 +61,7 @@ object Bench {
       // throughput. Sub-half-second queries get one run (a GC pause there
       // is visible noise, not a grading hazard) to keep total wall time
       // bounded as the inventory grows.
-      val runs = if (warmup.getOrElse(name, 1.0) < 0.5) 1 else 2
-      val times = (1 to runs).map { _ =>
+      def timedRun(): Double = {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
@@ -72,7 +71,23 @@ object Bench {
         System.err.println(f"[bench] timed $name $dt%.1fs")
         dt
       }
-      name -> times.min
+      val w = warmup.getOrElse(name, 1.0)
+      val runs = if (w < 0.5) 1 else 2
+      var best = (1 to runs).map(_ => timedRun()).min
+      // Session-noise guard: a machine-load window can swallow BOTH timed
+      // runs (r03: dedup_clusters recorded 25.2s where isolated truth was
+      // 3.56s). The warmup pass minutes earlier is an independent
+      // observation of the same query — when the timed best exceeds 3× it,
+      // re-measure (bounded) and keep the overall min, logging both.
+      var extra = 0
+      while (best > 3 * w && best > 1.0 && extra < 2) {
+        extra += 1
+        val t = timedRun()
+        System.err.println(
+          f"[bench] noise-guard $name: timed $best%.1fs vs warmup $w%.1fs; re-measured $t%.1fs")
+        best = math.min(best, t)
+      }
+      name -> best
     }
     // Full per-query record first (may be long; also mirrored on stderr).
     println(renderLine(results.toSeq.sortBy(_._1), results.toMap, sfDir))

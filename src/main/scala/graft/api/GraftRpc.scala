@@ -20,9 +20,17 @@ import graft.sources.DirectoryCatalog
   * of the reference is out of scope for a library; every method and its
   * semantics are preserved so a bq-runner client port is mechanical).
   */
-final class GraftRpc(root: SparkSession) {
+final class GraftRpc(root: SparkSession, backend: graft.engine.ExecutorMode = graft.engine.ExecutorMode.Local) {
 
   private val sessions = new SessionManager(root)
+
+  /** Sessions inherit the server's backend (reference: main.rs:80
+    * `--backend mock|bigquery` → SessionManager::with_mode).
+    */
+  private val resolver: graft.engine.TableResolver = backend match {
+    case graft.engine.ExecutorMode.Local => graft.engine.LocalResolver
+    case graft.engine.ExecutorMode.BigQuery => new graft.engine.BigQueryResolver()
+  }
   private val dags = new ConcurrentHashMap[String, Dag]()
   private val lastRun = new ConcurrentHashMap[String, graft.engine.DagResult]()
   private val defaultProject = new ConcurrentHashMap[String, String]()
@@ -63,7 +71,7 @@ final class GraftRpc(root: SparkSession) {
   private def dispatchImpl(method: String, params: Map[String, Any]): Any = method match {
     case "bq.ping" => Map("message" -> "pong")
 
-    case "bq.createSession" => Map("sessionId" -> sessions.create().id)
+    case "bq.createSession" => Map("sessionId" -> sessions.create(resolver).id)
 
     case "bq.destroySession" =>
       val id = req(params, "sessionId").toString

@@ -68,6 +68,8 @@ object RpcServer {
   def main(args: Array[String]): Unit = {
     val transport = args.sliding(2).collectFirst { case Array("--transport", t) => t }
       .getOrElse("ws://localhost:3000")
+    val backend = graft.engine.ExecutorMode.parse(
+      args.sliding(2).collectFirst { case Array("--backend", b) => b }.getOrElse("mock"))
     // Spark and friends occasionally print to stdout; on the stdio
     // transport stdout IS the wire, so reserve it before the session
     // spins up and route all stray prints to stderr.
@@ -81,7 +83,7 @@ object RpcServer {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
-    val rpc = new GraftRpc(spark)
+    val rpc = new GraftRpc(spark, backend)
 
     if (transport == "stdio") runStdio(rpc, wire)
     else transport match {

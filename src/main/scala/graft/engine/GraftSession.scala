@@ -19,9 +19,21 @@ import org.apache.spark.sql.types._
   * That is exactly the reference's per-session database semantics without
   * per-session process cost.
   */
-final class GraftSession private[engine] (val id: String, val spark: SparkSession) {
+final class GraftSession private[engine] (
+    val id: String,
+    val spark: SparkSession,
+    val resolver: TableResolver = LocalResolver) {
 
   import GraftSession._
+
+  /** Resolve a table through this session's backend (reference:
+    * executor/mod.rs dispatch): session temp views win, then the
+    * resolver (remote backends register their reads as views so SQL
+    * sees them).
+    */
+  def table(name: String): org.apache.spark.sql.DataFrame =
+    if (spark.catalog.tableExists(name)) spark.table(name)
+    else resolver.resolve(spark, name)
 
   /** Create an (initially empty) table from a BigQuery-typed schema. */
   def createTable(name: String, schema: Seq[(String, String)]): Unit = {
@@ -52,7 +64,7 @@ final class GraftSession private[engine] (val id: String, val spark: SparkSessio
     spark.catalog.listTables().collect().map(_.name).toSeq.sorted
 
   def describeTable(name: String): (Seq[(String, String)], Long) = {
-    val df = spark.table(name)
+    val df = table(name)
     (df.schema.fields.map(f => f.name -> sparkTypeToBq(f.dataType)).toSeq, df.count())
   }
 
@@ -121,7 +133,7 @@ object GraftSession {
 final class SessionManager(root: SparkSession) {
   private val sessions = new ConcurrentHashMap[String, GraftSession]()
 
-  def create(): GraftSession = {
+  def create(resolver: TableResolver = LocalResolver): GraftSession = {
     val id = UUID.randomUUID().toString
     val child = root.newSession()
     // Engine sessions speak BigQuery SQL: the full dialect (gap-filling
@@ -129,7 +141,7 @@ final class SessionManager(root: SparkSession) {
     // into this session's OWN function registry — newSession() isolation
     // keeps the root session pure Spark semantics.
     graft.functions.BQCompat.installDialect(child)
-    val s = new GraftSession(id, child)
+    val s = new GraftSession(id, child, resolver)
     sessions.put(id, s)
     s
   }

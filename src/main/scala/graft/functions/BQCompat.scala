@@ -188,12 +188,21 @@ object BQCompat {
 
     "array_length" -> { case Seq(a) => Size(a) },
 
-    // FORMAT_TIMESTAMP / PARSE_TIMESTAMP with BigQuery %-patterns.
-    "format_timestamp" -> { case Seq(Literal(fmt, _), t) =>
-      DateFormatClass(Cast(t, TimestampType), lit(formatPattern(fmt.toString)))
+    // FORMAT_TIMESTAMP / PARSE_TIMESTAMP with BigQuery %-patterns. The
+    // %-pattern must be rewritten statically, so a computed format is a
+    // clear analysis error rather than a MatchError (same posture as
+    // requireUnit).
+    "format_timestamp" -> {
+      case Seq(Literal(fmt, _), t) if fmt != null =>
+        DateFormatClass(Cast(t, TimestampType), lit(formatPattern(fmt.toString)))
+      case Seq(fmt, _) => throw new IllegalArgumentException(
+        s"FORMAT_TIMESTAMP: format must be a string literal, got: ${fmt.sql}")
     },
-    "parse_timestamp" -> { case Seq(Literal(fmt, _), s) =>
-      new ParseToTimestamp(s, lit(formatPattern(fmt.toString)))
+    "parse_timestamp" -> {
+      case Seq(Literal(fmt, _), s) if fmt != null =>
+        new ParseToTimestamp(s, lit(formatPattern(fmt.toString)))
+      case Seq(fmt, _) => throw new IllegalArgumentException(
+        s"PARSE_TIMESTAMP: format must be a string literal, got: ${fmt.sql}")
     },
 
     // STRPOS(s, sub) — 1-based, 0 when absent (Spark's instr/locate).
@@ -235,16 +244,22 @@ object BQCompat {
     },
 
     // BigQuery REGEXP_EXTRACT: returns NULL when the pattern does not
-    // match (Spark's builtin returns ''), and extracts the first
-    // capturing group when the pattern has one, else the whole match.
-    // The pattern must be a literal to pick the group statically —
-    // BigQuery itself requires at most one capturing group. Spark-shape
-    // 3-arg calls keep builtin behavior.
+    // match (Spark's builtin returns ''), and extracts the capturing
+    // group when the pattern has exactly one, else the whole match.
+    // BigQuery raises an error on >1 capturing groups — mirror that
+    // instead of silently extracting group 1. The pattern must be a
+    // literal to pick the group statically; a computed pattern is a
+    // clear analysis error. Spark-shape 3-arg calls keep builtin
+    // behavior.
     "regexp_extract" -> {
       case Seq(s, r @ Literal(p, _)) if p != null =>
         val groups = java.util.regex.Pattern.compile(p.toString).matcher("").groupCount()
-        val idx = Literal(if (groups >= 1) 1 else 0)
+        if (groups > 1) throw new IllegalArgumentException(
+          s"REGEXP_EXTRACT: regexp may contain at most one capturing group, got $groups: $p")
+        val idx = Literal(if (groups == 1) 1 else 0)
         If(RLike(s, r), RegExpExtract(s, r, idx), Literal.create(null, org.apache.spark.sql.types.StringType))
+      case Seq(_, r) => throw new IllegalArgumentException(
+        s"REGEXP_EXTRACT: regexp must be a non-null string literal, got: ${r.sql}")
       case Seq(s, r, idx) => RegExpExtract(s, r, idx)
     })
 

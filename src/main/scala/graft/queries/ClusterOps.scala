@@ -39,8 +39,13 @@ object ClusterOps {
       .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
+    // Explicit cast: sum over a non-integral label type would return
+    // Double/Decimal (ClassCastException here) or — worse — null→0,
+    // which would report convergence after one round. Fail loudly on a
+    // schema change instead.
     def labelSum(df: DataFrame): Long =
-      Option(df.agg(sum("label")).head.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      Option(df.agg(sum(col("label").cast("long"))).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
     var prevSum = labelSum(labels)
     var converged = labels.isEmpty
     var iter = 0

