@@ -27,7 +27,8 @@ object SparkEntry {
       graft.queries.JoinOps.defs ++
       graft.queries.CurateOps.defs ++
       graft.queries.ClusterOps.defs ++
-      graft.queries.TpchOps.defs
+      graft.queries.TpchOps.defs ++
+      graft.queries.TpchOps2.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -88,6 +88,94 @@ object Multimodal {
       .toDF()
   }
 
+  final case class AudioMeta(
+      doc_id: Long, format: String, channels: Int, sample_rate: Int,
+      bits_per_sample: Int, n_samples: Long, duration_ms: Long)
+
+  /** Minimal canonical RIFF/WAVE writer (44-byte header + PCM data) used
+    * to synthesize test payloads from document bytes. Little-endian
+    * throughout, as the format requires.
+    */
+  def wavBytes(pcm: Array[Byte], sampleRate: Int = 16000, channels: Short = 1,
+      bitsPerSample: Short = 8): Array[Byte] = {
+    val blockAlign = (channels * bitsPerSample / 8).toShort
+    val bb = java.nio.ByteBuffer
+      .allocate(44 + pcm.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + pcm.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels).putInt(sampleRate)
+      .putInt(sampleRate * blockAlign).putShort(blockAlign).putShort(bitsPerSample)
+      .put("data".getBytes("US-ASCII")).putInt(pcm.length)
+      .put(pcm)
+    bb.array()
+  }
+
+  /** REAL RIFF/WAVE header parser: verifies the RIFF/WAVE magic, then
+    * walks the chunk list (word-aligned, unknown chunks skipped) for
+    * `fmt ` and `data`, so files with extra LIST/INFO/fact chunks parse
+    * correctly — not just our own writer's canonical layout. Reads only
+    * chunk headers plus the 16-byte fmt body; the PCM payload is never
+    * touched, so cost per record is O(#chunks), not O(bytes). Malformed
+    * payloads degrade to format "unknown" with -1 fields (a poisoned
+    * record must not kill a 100 TB pipeline stage).
+    */
+  def decodeWav(id: Long, payload: Array[Byte]): AudioMeta = {
+    val bad = AudioMeta(id, "unknown", -1, -1, -1, -1L, -1L)
+    if (payload.length < 12) return bad
+    val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+    }
+    if (fourcc() != "RIFF") return bad
+    bb.getInt() // declared RIFF size; trust actual buffer bounds instead
+    if (fourcc() != "WAVE") return bad
+    var channels, sampleRate, bits = -1
+    var dataLen = -1L
+    var blockAlign = -1
+    while (bb.remaining() >= 8 && (dataLen < 0 || channels < 0)) {
+      val id4 = fourcc()
+      val size = bb.getInt()
+      if (size < 0 || size > bb.remaining()) return bad
+      // chunks are word-aligned, but a final odd-sized chunk may omit
+      // its pad byte — clamp the skip to the buffer end
+      val next = math.min(bb.limit(), bb.position() + size + (size & 1))
+      id4 match {
+        case "fmt " if size >= 16 =>
+          bb.getShort() // audio format tag
+          channels = bb.getShort().toInt
+          sampleRate = bb.getInt()
+          bb.getInt() // byte rate
+          blockAlign = bb.getShort().toInt
+          bits = bb.getShort().toInt
+        case "data" =>
+          dataLen = size.toLong
+        case _ => ()
+      }
+      bb.position(next)
+    }
+    if (channels <= 0 || sampleRate <= 0 || blockAlign <= 0 || dataLen < 0) bad
+    else {
+      val nSamples = dataLen / blockAlign
+      AudioMeta(id, "wav", channels, sampleRate, bits, nSamples,
+        nSamples * 1000L / sampleRate)
+    }
+  }
+
+  /** Distributed audio-metadata extraction: same per-partition batch
+    * shape as [[imageMeta]], with the RIFF walker in the inner loop.
+    */
+  def audioMeta(s: SparkSession, audio: DataFrame): DataFrame = {
+    import s.implicits._
+    audio
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) => decodeWav(id, payload) })
+      .toDF()
+  }
+
   final case class MediaFrames(
       doc_id: Long, mime: String, n_frames: Long,
       frame_lens: Seq[Long], thumb: Array[Byte])
@@ -138,6 +226,28 @@ object Multimodal {
          |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
          |  ${(0 to 7).map(oracleFeature).mkString(",\n  ")}
          |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Audio-metadata plumbing with a REAL codec: payloads are RIFF/WAVE
+    // files synthesized from the document bytes (8-bit mono PCM @16kHz),
+    // and the query's decode step is the actual chunk-walking header
+    // parser — if either the writer or the parser mis-handles the
+    // little-endian layout, every oracle row breaks.
+    "mm_audio" -> QDef(
+      (s, dir) => {
+        import s.implicits._
+        Eval.fanOut(
+          Tables(s, dir, "documents")
+            .select(col("doc_id"), encode(col("text"), "UTF-8").as("pcm")))
+          .as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, pcm) => decodeWav(id, wavBytes(pcm)) })
+          .toDF()
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id, 'wav' AS format, CAST(1 AS INT) AS channels,
+        |  CAST(16000 AS INT) AS sample_rate, CAST(8 AS INT) AS bits_per_sample,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_samples,
+        |  CAST(octet_length(encode(text)) * 1000 // 16000 AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin),
 
     // Frame-sampling plumbing (decode stubbed), flattened to scalar
     // columns. The oracle re-derives frame slice lengths and the

@@ -155,6 +155,36 @@ class OpsSpec extends SparkSpec {
     assert(r.getAs[Array[Byte]](4).length <= 64)
   }
 
+  test("wav writer/parser round-trip and chunk-walking robustness") {
+    val pcm = Array.tabulate(320)(i => (i % 251).toByte)
+    // canonical layout from our own writer
+    val m = Multimodal.decodeWav(7L, Multimodal.wavBytes(pcm, sampleRate = 8000))
+    assert(m == Multimodal.AudioMeta(7L, "wav", 1, 8000, 8, 320L, 40L))
+    // 16-bit stereo: n_samples counts frames (bytes / blockAlign)
+    val st = Multimodal.decodeWav(8L,
+      Multimodal.wavBytes(new Array[Byte](400), sampleRate = 100, channels = 2, bitsPerSample = 16))
+    assert(st.channels == 2 && st.bits_per_sample == 16 && st.n_samples == 100L)
+    assert(st.duration_ms == 1000L)
+    // a LIST chunk (odd-sized, so word alignment matters) before fmt/data
+    // must be skipped, as real-world WAV files carry INFO metadata
+    val canonical = Multimodal.wavBytes(pcm, sampleRate = 8000)
+    val list = java.nio.ByteBuffer.allocate(8 + 6)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("LIST".getBytes("US-ASCII")).putInt(5).put(Array[Byte](1, 2, 3, 4, 5, 0))
+      .array()
+    val withList = canonical.take(12) ++ list ++ canonical.drop(12)
+    assert(Multimodal.decodeWav(9L, withList).n_samples == 320L)
+    // odd-length final data chunk without its pad byte (common in the
+    // wild, and what our writer emits) must not run past the buffer
+    val odd = Multimodal.decodeWav(10L, Multimodal.wavBytes(new Array[Byte](321)))
+    assert(odd.format == "wav" && odd.n_samples == 321L)
+    // malformed payloads degrade instead of throwing
+    assert(Multimodal.decodeWav(1L, Array[Byte](1, 2, 3)).format == "unknown")
+    assert(Multimodal.decodeWav(2L, "RIFFxxxxNOPE".getBytes("US-ASCII")).format == "unknown")
+    val truncated = canonical.take(30) // fmt chunk cut short
+    assert(Multimodal.decodeWav(3L, truncated).format == "unknown")
+  }
+
   test("every declared query runs at sf0.001 and returns rows") {
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sfDir).count()

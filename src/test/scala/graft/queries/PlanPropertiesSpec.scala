@@ -114,6 +114,48 @@ class PlanPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("tpch q2/q17 correlated subqueries become partitioned windows, not loops") {
+    for (q <- Seq("q_tpch_q2", "q_tpch_q17")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+        s"$q: ${plan.take(1000)}")
+      // the per-part min/avg is a window over the part key, so the
+      // window shuffle is partitioned — never a single-partition sort
+      assert(plan.contains("windowspecdefinition(l_partkey"), s"$q: ${plan.take(2000)}")
+      assert(plan.contains("BroadcastHashJoin"), s"$q: ${plan.take(1000)}")
+    }
+  }
+
+  test("tpch q16/q20/q22 plan NOT-IN / nested-IN / NOT-EXISTS as broadcast semi or anti joins") {
+    for (q <- Seq("q_tpch_q16", "q_tpch_q20", "q_tpch_q22")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString.toLowerCase
+      assert(!plan.contains("cartesianproduct"), s"$q: ${plan.take(1000)}")
+      assert(plan.contains("semi") || plan.contains("anti"), s"$q: ${plan.take(1000)}")
+    }
+    // q22's scalar-average threshold may attach as a nested loop against
+    // a ONE-ROW broadcast frame (how scalar subqueries join); the big
+    // tables must not. q16/q20 have no scalar side at all.
+    for (q <- Seq("q_tpch_q16", "q_tpch_q20")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString.toLowerCase
+      assert(!plan.contains("broadcastnestedloop"), s"$q: ${plan.take(1000)}")
+    }
+  }
+
+  test("tpch q21 is one aggregation over orderkey — no lineitem self-join explosion") {
+    val qe = SparkEntry.queries("q_tpch_q21")(spark, sfDir).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(1000))
+    // the EXISTS / NOT-EXISTS pair collapses to ONE scan of lineitem
+    val lineitemScans = "lineitem".r.findAllIn(
+      qe.sparkPlan.collect { case s if s.nodeName.contains("Scan") => s.toString }
+        .mkString("\n")).size
+    assert(lineitemScans <= 2, s"lineitem scanned $lineitemScans times")
+  }
+
   test("every query is deterministic across runs (driver hash contract)") {
     // Two independent plan executions must produce identical ordered rows.
     // Binary cells render as hex (Row.toString would print array identity).
