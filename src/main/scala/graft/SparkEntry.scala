@@ -28,7 +28,8 @@ object SparkEntry {
       graft.queries.CurateOps.defs ++
       graft.queries.ClusterOps.defs ++
       graft.queries.TpchOps.defs ++
-      graft.queries.TpchOps2.defs
+      graft.queries.TpchOps2.defs ++
+      graft.queries.LayoutOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

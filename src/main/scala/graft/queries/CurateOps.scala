@@ -86,6 +86,43 @@ object CurateOps {
         |  true AS within_tol
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // Approximate frequent-items (DataSketches approx_top_k): the
+    // constant-memory path for "top terms over 100 TB of text" where an
+    // exact groupBy-count's shuffle is the bottleneck and only the head
+    // of the distribution matters. Same driver-checkable contract as the
+    // other sketches: exact counts (hash-comparable) + sketch-vs-exact
+    // booleans. With the synthetic vocabulary the sketch tracks every
+    // item (maxItemsTracked >> distinct words) so the booleans are
+    // deterministically true; at real scale the error bound n/maxItems
+    // applies and the 1%+1 tolerance absorbs it.
+    "q_approx_topk" -> QDef(
+      (s, dir) => {
+        val words = docs(s, dir)
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) > 0)
+        val top = words
+          .groupBy("word").agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("word"))
+          .limit(10)
+        val sketch = words.agg(expr("approx_top_k(word, 20, 10000)").as("tk"))
+        top.join(broadcast(sketch))
+          .select(
+            col("word"), col("exact_cnt"),
+            exists(col("tk"), e => e("item") === col("word")).as("in_approx"),
+            exists(col("tk"), e =>
+              e("item") === col("word") &&
+                abs(e("count") - col("exact_cnt")) <=
+                  greatest(lit(1.0), col("exact_cnt") * 0.01)).as("cnt_ok"))
+          .orderBy(col("exact_cnt").desc, col("word"))
+      },
+      """WITH words AS (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |counts AS (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+        |  FROM words WHERE length(word) > 0 GROUP BY 1)
+        |SELECT word, exact_cnt, true AS in_approx, true AS cnt_ok
+        |FROM counts ORDER BY exact_cnt DESC, word LIMIT 10""".stripMargin),
+
     // §2.3#54 quantile sketch of order totals per order priority —
     // percentile_approx is a mergeable sketch (one pass, bounded memory).
     // Approximate, so the sketch values have no oracle; the

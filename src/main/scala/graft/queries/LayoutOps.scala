@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Z-order (Morton-curve) data layout: multi-dimensional clustering so
+  * that files written from a z-sorted frame carry tight min/max ranges
+  * on EVERY clustered dimension — the layout prerequisite for file- and
+  * row-group-level skipping when queries filter boxes in (x, y) rather
+  * than prefixes of a lexicographic sort.
+  *
+  * At 100 TB this is the difference between "predicate pushdown prunes
+  * 99% of row groups" and "every file straddles the whole key range and
+  * nothing prunes": a lexicographic ORDER BY (x, y) gives tight ranges
+  * on x only, while the interleaved curve bounds both. The write path is
+  * `repartitionByRange(zval)` + sort-within-partitions — a single range
+  * shuffle, exactly what a daily compaction job would run.
+  *
+  * The z-value itself is a pure bit-interleave over Catalyst shift/mask
+  * primitives — codegen'd, no UDF, usable inside any filter/projection.
+  */
+object LayoutOps {
+
+  /** Morton value of two non-negative integer columns, `bits` bits each:
+    * bit i of x lands at position 2i, bit i of y at 2i+1.
+    */
+  def zValue(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftright(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Write `df` clustered along the curve: one range shuffle on the
+    * z-value, sorted inside each partition so parquet row groups inherit
+    * the locality. `partitions` ≈ target file count.
+    */
+  def writeZClustered(
+      df: DataFrame, x: Column, y: Column, path: String,
+      partitions: Int, maxRecordsPerFile: Long = 0L): Unit = {
+    val withZ = df.withColumn("__z", zValue(x, y))
+    val writer = withZ
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write
+      .mode("overwrite")
+    (if (maxRecordsPerFile > 0)
+       writer.option("maxRecordsPerFile", maxRecordsPerFile)
+     else writer).parquet(path)
+  }
+
+  /** Per-file bounding-box area over (x, y) — the direct measure of how
+    * prunable a layout is for box predicates (smaller = fewer files
+    * overlap any query box). Used by the layout spec to prove the curve
+    * beats a lexicographic sort on the second dimension.
+    */
+  def fileBoxArea(s: SparkSession, path: String, xCol: String, yCol: String): DataFrame =
+    s.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(
+        ((max(xCol) - min(xCol) + 1) * (max(yCol) - min(yCol) + 1)).as("box_area"),
+        count(lit(1)).as("rows"))
+
+  val defs: Map[String, QDef] = Map(
+
+    // The z-value computation itself, oracle-checked bit-for-bit: both
+    // engines interleave the low 16 bits of two derived dimensions.
+    "q_zorder_value" -> QDef(
+      (s, dir) => {
+        val x = pmod(col("user_id"), lit(256L))
+        val y = pmod(col("event_id"), lit(256L))
+        Tables(s, dir, "events")
+          .select(
+            col("event_id"),
+            x.as("zx"), y.as("zy"),
+            zValue(x, y).as("zval"))
+          .orderBy("event_id")
+      },
+      """SELECT event_id, user_id % 256 AS zx, event_id % 256 AS zy,
+        |  CAST(list_sum(list_transform(range(0, 16),
+        |    i -> (((user_id % 256 >> i) & 1) << (2 * i))
+        |       + (((event_id % 256 >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS zval
+        |FROM events ORDER BY event_id""".stripMargin)
+  )
+}

@@ -266,13 +266,22 @@ object TpchOps2 {
     "q_tpch_q21" -> QDef(
       (s, dir) => {
         val isR = col("l_returnflag") === "R"
-        val perOrder = t(s, dir, "lineitem")
+        // Two-stage exact aggregation instead of a double COUNT DISTINCT:
+        // countDistinct×2 would plan an Expand (3 row copies through the
+        // shuffle); aggregating per (order, supplier) first then per
+        // order moves each row through a shuffle once.
+        val perPair = t(s, dir, "lineitem")
+          .groupBy("l_orderkey", "l_suppkey")
+          .agg(
+            max(when(isR, lit(1)).otherwise(lit(0))).as("has_r"),
+            sum(when(isR, lit(1L)).otherwise(lit(0L))).as("pair_r_lines"))
+        val perOrder = perPair
           .groupBy("l_orderkey")
           .agg(
-            countDistinct(col("l_suppkey")).as("nsupp"),
-            countDistinct(when(isR, col("l_suppkey"))).as("nrsupp"),
-            max(when(isR, col("l_suppkey"))).as("r_supp"),
-            sum(when(isR, lit(1L)).otherwise(lit(0L))).as("r_lines"))
+            count(lit(1)).as("nsupp"),
+            sum("has_r").as("nrsupp"),
+            max(when(col("has_r") === 1, col("l_suppkey"))).as("r_supp"),
+            sum("pair_r_lines").as("r_lines"))
           .filter(col("nsupp") > 1 && col("nrsupp") === 1)
         val finished = t(s, dir, "orders")
           .filter(col("o_orderstatus") === "F").select("o_orderkey")
