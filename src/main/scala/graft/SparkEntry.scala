@@ -29,7 +29,8 @@ object SparkEntry {
       graft.queries.ClusterOps.defs ++
       graft.queries.TpchOps.defs ++
       graft.queries.TpchOps2.defs ++
-      graft.queries.LayoutOps.defs
+      graft.queries.LayoutOps.defs ++
+      graft.queries.StatsOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -26,13 +26,22 @@ object LayoutOps {
   /** Morton value of two non-negative integer columns, `bits` bits each:
     * bit i of x lands at position 2i, bit i of y at 2i+1.
     */
-  def zValue(x: Column, y: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
-    (0 until bits).map { i =>
-      shiftleft(shiftright(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(
-          shiftleft(shiftright(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }.reduce(_.bitwiseOR(_))
+  def zValue(x: Column, y: Column, bits: Int = 16): Column =
+    zValueN(Seq(x, y), bits)
+
+  /** N-dimensional Morton value: bit i of dimension d lands at position
+    * i*n + d, so all dimensions interleave evenly. n*bits must fit in a
+    * long (≤ 63 bits). Pure shift/mask Catalyst primitives — codegen'd.
+    */
+  def zValueN(dims: Seq[Column], bits: Int = 16): Column = {
+    val n = dims.size
+    require(n >= 2, s"need at least 2 dimensions, got $n")
+    require(bits >= 1 && n * bits <= 63, s"$n dims × $bits bits exceeds a long")
+    (for {
+      (d, dIdx) <- dims.zipWithIndex
+      i <- 0 until bits
+    } yield shiftleft(shiftright(d.cast("long"), i).bitwiseAND(lit(1L)), i * n + dIdx))
+      .reduce(_.bitwiseOR(_))
   }
 
   /** Write `df` clustered along the curve: one range shuffle on the
@@ -52,6 +61,32 @@ object LayoutOps {
     (if (maxRecordsPerFile > 0)
        writer.option("maxRecordsPerFile", maxRecordsPerFile)
      else writer).parquet(path)
+  }
+
+  /** Small-file compaction: rewrite a parquet directory into files of
+    * ~`targetBytes` (sized from the actual on-disk footprint), optionally
+    * re-clustering on `sortCols` while at it. The everyday 100 TB hygiene
+    * job — streaming sinks and fine-grained partition writes accrete
+    * small files whose per-file open + footer cost comes to dominate
+    * scans; compaction is one read + one (optional range) shuffle.
+    * Returns the partition count it rewrote to.
+    */
+  def compact(
+      s: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long, sortCols: Seq[String] = Nil): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val hp = new org.apache.hadoop.fs.Path(inPath)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(hp).getLength
+    val nParts = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val df = s.read.parquet(inPath)
+    val shaped =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(nParts, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
+      else df.repartition(nParts)
+    shaped.write.mode("overwrite").parquet(outPath)
+    nParts
   }
 
   /** Per-file bounding-box area over (x, y) — the direct measure of how

@@ -25,6 +25,25 @@ object StreamOps {
   final case class SessState(start: Long, last: Long, cnt: Long, total: Double)
 
 
+  /** Watermarked windowed SKETCH aggregation: approximate distinct users
+    * per tumbling window. approx_count_distinct is a mergeable HLL, so
+    * partial sketches combine across micro-batches and shuffle
+    * partitions — streaming state is O(open windows × sketch bytes),
+    * independent of user cardinality. The exact COUNT DISTINCT is not
+    * expressible in streaming at all (unbounded per-window state); the
+    * sketch is the only 100 TB-viable form, which is why it gets its own
+    * streaming entry rather than only the batch one (q_approx_distinct).
+    */
+  def windowSketchAgg(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("approx_users"), col("n_events"))
+
   /** Watermarked tumbling-window aggregation per event type. */
   def tumblingAgg(events: DataFrame, windowLen: String = "1 hour", watermark: String = "2 hours"): DataFrame =
     events

@@ -59,6 +59,42 @@ class LayoutSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
   }
 
+  test("zValueN interleaves three dimensions evenly") {
+    val r = spark.range(1)
+      .select(
+        LayoutOps.zValueN(Seq(lit(1), lit(0), lit(0)), 8).as("a"),
+        LayoutOps.zValueN(Seq(lit(0), lit(1), lit(0)), 8).as("b"),
+        LayoutOps.zValueN(Seq(lit(0), lit(0), lit(1)), 8).as("c"),
+        LayoutOps.zValueN(Seq(lit(2), lit(0), lit(0)), 8).as("d"),
+        LayoutOps.zValueN(Seq(lit(7), lit(7), lit(7)), 8).as("e"))
+      .collect()(0)
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L && r.getLong(2) == 4L)
+    assert(r.getLong(3) == 8L) // x bit 1 -> position 3 with 3 dims
+    assert(r.getLong(4) == 511L) // 3 dims × 3 low bits all set
+    intercept[IllegalArgumentException] {
+      LayoutOps.zValueN(Seq(lit(1), lit(1), lit(1)), 31) // 93 bits > long
+    }
+  }
+
+  test("compaction rewrites a shattered directory into size-targeted files") {
+    val base = java.nio.file.Files.createTempDirectory("compact").toString
+    val events = graft.Tables(spark, sfDir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    events.repartition(64).write.mode("overwrite").parquet(s"$base/small")
+    val nSmall = new java.io.File(s"$base/small").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(nSmall == 64, s"expected 64 shattered files, got $nSmall")
+    val nParts = LayoutOps.compact(spark, s"$base/small", s"$base/big",
+      targetBytes = 512L * 1024, sortCols = Seq("user_id"))
+    val nBig = new java.io.File(s"$base/big").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(nBig == nParts && nBig <= 4, s"compacted to $nBig files (planned $nParts)")
+    // content preserved, and the range-partitioned sort means per-file
+    // user_id ranges can overlap only at partition boundaries
+    assert(spark.read.parquet(s"$base/big").count() == events.count())
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
+
   test("runtime bloom filter prunes the fact side of a selective join") {
     // At 100 TB the fact-side scan of a selective dim join is the cost;
     // Spark's InjectRuntimeFilter turns the dim keys into a bloom filter

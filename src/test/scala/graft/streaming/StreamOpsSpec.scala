@@ -39,6 +39,30 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("windowed HLL sketch merges across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val query = StreamOps.windowSketchAgg(input.toDF(), windowLen = "1 hour")
+      .writeStream.format("memory").queryName("sketch_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // users 1..4 in window 0, user 4 twice ACROSS batches: the merged
+      // sketch must not double-count, and at this cardinality the HLL
+      // (rsd 0.02) is exact
+      input.addData(Ev(1, ts(5), "c", 1.0), Ev(2, ts(10), "c", 1.0))
+      query.processAllAvailable()
+      input.addData(Ev(3, ts(20), "c", 1.0), Ev(4, ts(25), "c", 1.0),
+        Ev(4, ts(40), "c", 1.0), Ev(5, ts(65), "c", 1.0))
+      query.processAllAvailable()
+      val rows = spark.table("sketch_out")
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000 - 60, r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(rows == Set((0L, 4L, 5L), (60L, 1L, 1L)))
+    } finally query.stop()
+  }
+
   test("stateful sessionization closes sessions on gap") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
