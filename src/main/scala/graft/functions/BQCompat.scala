@@ -97,6 +97,15 @@ object BQCompat {
 
     "regexp_contains" -> { case Seq(s, r) => RLike(s, r) },
 
+    // FarmHash Fingerprint64 — the ACTUAL BigQuery FARM_FINGERPRINT hash
+    // family (round 4 replaces the earlier XxHash64 stand-in): a native
+    // codegen'd expression, spec'd bit-for-bit against an independent
+    // implementation. Real fingerprints migrate: a user's persisted
+    // BigQuery hashes now match what this engine computes.
+    "farm_fingerprint" -> { case Seq(e) =>
+      org.apache.spark.sql.graftbridge.FarmFingerprint64(e)
+    },
+
     "safe_divide" -> { case Seq(a, b) =>
       val div = Divide(Cast(a, DoubleType), Cast(b, DoubleType))
       If(EqualTo(Cast(b, DoubleType), Literal(0.0)),
@@ -125,10 +134,6 @@ object BQCompat {
       case Seq(d, i) if isInterval(i) => Subtract(d, i)
       case Seq(d, n) => DateSub(d, n)
     },
-
-    // FARM_FINGERPRINT stand-in: deterministic 64-bit hash. NOT the same
-    // hash family as BigQuery's farmhash — same contract (stable Long).
-    "farm_fingerprint" -> { case Seq(s) => new XxHash64(Seq(s)) },
 
     // TIMESTAMP_DIFF(t1, t2, unit) = t1 - t2 in whole units, truncated
     // toward zero (BigQuery semantics: microsecond difference div unit).

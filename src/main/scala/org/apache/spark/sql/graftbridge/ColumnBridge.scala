@@ -167,6 +167,32 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** FarmHash Fingerprint64 over a string or byte payload — BigQuery's
+  * FARM_FINGERPRINT. One static call into [[graft.functions.FarmHash]]
+  * from both interpreted eval and generated code.
+  */
+case class FarmFingerprint64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TypeCollection(StringType, BinaryType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "farm_fingerprint"
+
+  override def nullSafeEval(a: Any): Any = child.dataType match {
+    case StringType => graft.functions.FarmHash.hash(a.asInstanceOf[UTF8String].getBytes)
+    case _ => graft.functions.FarmHash.hash(a.asInstanceOf[Array[Byte]])
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => child.dataType match {
+      case StringType => s"graft.functions.FarmHash.hash($c.getBytes())"
+      case _ => s"graft.functions.FarmHash.hash($c)"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Merge-count kernel for two SORTED ASCENDING distinct long arrays. */
 object SortedLongJaccardKernel {
   def compute(a: ArrayData, b: ArrayData): Double = {

@@ -9,6 +9,33 @@ class BQCompatSpec extends SparkSpec {
     BQCompat.install(spark)
   }
 
+  test("FARM_FINGERPRINT matches the independent FarmHash implementation bit-for-bit") {
+    // Guava ships farmHashFingerprint64 — the same published algorithm,
+    // independently implemented. Deterministic pseudo-random payloads at
+    // every length 0..200 exercise all branches (empty, 1-3, 4-7, 8-16,
+    // 17-32, 33-64, single >64 chunk, multi-chunk + overlapping tail),
+    // plus large sizes with every (len-1)%64 class hit above.
+    val guava = com.google.common.hash.Hashing.farmHashFingerprint64()
+    val rnd = new scala.util.Random(42)
+    for (len <- (0 to 200) ++ Seq(1000, 4096, 4099)) {
+      val bytes = new Array[Byte](len)
+      rnd.nextBytes(bytes)
+      assert(
+        FarmHash.hash(bytes) == guava.hashBytes(bytes).asLong(),
+        s"farmhash mismatch at len=$len")
+    }
+    // SQL surface: string input hashes its UTF-8 bytes (incl. multibyte)
+    val s = "café 日本語"
+    val viaSql = spark.sql(s"SELECT FARM_FINGERPRINT('$s') h").collect()(0).getLong(0)
+    assert(viaSql == guava.hashBytes(s.getBytes("UTF-8")).asLong())
+    // codegen path over a column (not constant-folded)
+    import spark.implicits._
+    val fromCol = Seq("a", "bb", s).toDF("t")
+      .selectExpr("FARM_FINGERPRINT(t) h").collect().map(_.getLong(0)).toSeq
+    assert(fromCol == Seq("a", "bb", s).map(x =>
+      guava.hashBytes(x.getBytes("UTF-8")).asLong()))
+  }
+
   test("REGEXP_CONTAINS behaves like the BigQuery function") {
     val r = spark.sql("SELECT REGEXP_CONTAINS('hello123', '[0-9]+') a, REGEXP_CONTAINS('hello', '[0-9]+') b").collect()(0)
     assert(r.getBoolean(0) && !r.getBoolean(1))
