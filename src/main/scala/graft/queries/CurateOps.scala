@@ -86,6 +86,59 @@ object CurateOps {
         |  true AS within_tol
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // Deterministic train/val/test assignment: the split is a pure
+    // function of the doc id (md5 bucket), so any engine, any re-run and
+    // any downstream job reproduces the same membership without a stored
+    // assignment table — the property that matters when the corpus is
+    // re-materialized weekly at 100 TB. 90/5/5 by construction.
+    // The bucket is the first two md5 hex chars (256 uniform values,
+    // compared as strings — engine-parity-trivial): train < 'e6'
+    // (230/256 ≈ 89.8%), val < 'f3' (+13/256 ≈ 5.1%), else test.
+    "q_split_assign" -> QDef(
+      (s, dir) => {
+        val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
+        docs(s, dir)
+          .select(
+            col("doc_id"),
+            bucket.as("bucket"),
+            when(bucket < "e6", "train").when(bucket < "f3", "val").otherwise("test").as("split"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id,
+        |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Sequence packing: assign documents to fixed-token-budget training
+    // bins (the standard pretraining pack step). Deterministic streaming
+    // pack — docs in stable doc_id order, bin = floor(cumulative tokens /
+    // budget) — PARTITIONED BY LANGUAGE so the window never becomes a
+    // single-partition global sort: each language packs independently and
+    // in parallel, which is also what a sharded 100 TB pack job does.
+    "curate_pack" -> QDef(
+      (s, dir) => {
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs(s, dir)
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .withColumn("cum_tokens", sum("n_tokens").over(w))
+          .withColumn("bin", expr("(cum_tokens - n_tokens) div 512"))
+          .orderBy("lang", "doc_id")
+      },
+      """SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(len(string_split(text, ' '))) OVER (
+        |    PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+        |  CAST((SUM(len(string_split(text, ' '))) OVER (
+        |    PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    - len(string_split(text, ' '))) // 512 AS BIGINT) AS bin
+        |FROM documents ORDER BY lang, doc_id""".stripMargin),
+
     // Approximate frequent-items (DataSketches approx_top_k): the
     // constant-memory path for "top terms over 100 TB of text" where an
     // exact groupBy-count's shuffle is the bottleneck and only the head

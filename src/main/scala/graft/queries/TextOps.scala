@@ -152,7 +152,68 @@ object TextOps {
     "fr" -> "(le|la|et|les|des)",
     "es" -> "(el|la|de|que|los)")
 
+  /** Distinct word n-grams from a materialized token array — the
+    * generalized form of [[shinglesFromToks]] for decontamination-length
+    * grams.
+    */
+  def ngramShingles(toks: Column, n: Int): Column =
+    array_distinct(
+      transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*)))
+
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * n-gram with a benchmark/eval set — the training-data hygiene step
+    * that keeps test sets out of the training corpus. The benchmark side
+    * is tiny by nature, so its distinct grams BROADCAST and the corpus
+    * side is a map-only semi-join (no corpus shuffle); the only shuffle
+    * is the per-doc match-count aggregation. Production would use longer
+    * grams (8-13) and xxhash64'd shingles ([[shingleHashes]]) to shrink
+    * the broadcast; raw gram strings here keep the DuckDB oracle an
+    * exact-equality parity check, and n=4 is scaled to the synthetic
+    * vocabulary so both outcomes (clean/contaminated) are exercised.
+    */
+  def decontaminate(s: SparkSession, dir: String, n: Int = 4, benchBelow: Long = 20L): DataFrame = {
+    val base = Eval.barrier(
+      Eval.fanOut(
+        docs(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= n)))
+    val grams = base.select(col("doc_id"), explode(ngramShingles(col("toks"), n)).as("g"))
+    val bench = grams.filter(col("doc_id") < benchBelow).select("g").distinct()
+    val hits = grams.filter(col("doc_id") >= benchBelow)
+      .join(broadcast(bench), Seq("g"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matched"))
+    base.filter(col("doc_id") >= benchBelow).select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        col("n_matched").isNotNull.as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, QDef] = Map(
+
+    "text_decontaminate" -> QDef(
+      (s, dir) => decontaminate(s, dir),
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 4),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 2),
+        |    i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3])))) AS g
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 20),
+        |hits AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched
+        |  FROM grams WHERE doc_id >= 20 AND g IN (SELECT g FROM bench)
+        |  GROUP BY 1)
+        |SELECT t.doc_id, COALESCE(n_matched, 0) AS n_matched,
+        |  n_matched IS NOT NULL AS contaminated
+        |FROM toks t LEFT JOIN hits USING (doc_id)
+        |WHERE t.doc_id >= 20 ORDER BY doc_id""".stripMargin),
 
     // §2.3#35 exact dedup via content hash: every doc annotated with its
     // duplicate rank inside its md5(text) group (rank>1 == drop candidate).
