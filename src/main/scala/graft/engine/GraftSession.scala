@@ -82,8 +82,19 @@ object GraftSession {
   def rewriteBqSyntax(q: String): String = {
     val unnestAliased = "(?i)UNNEST\\(\\[([^\\]]*)\\]\\)\\s+AS\\s+(\\w+)".r
     val unnestBare = "(?i)UNNEST\\(\\[([^\\]]*)\\]\\)".r
-    val step = unnestAliased.replaceAllIn(q, m => s"(SELECT explode(array(${m.group(1)})) AS ${m.group(2)})")
-    unnestBare.replaceAllIn(step, m => s"(SELECT explode(array(${m.group(1)})) AS col)")
+    val step0 = unnestAliased.replaceAllIn(q, m => s"(SELECT explode(array(${m.group(1)})) AS ${m.group(2)})")
+    val step1 = unnestBare.replaceAllIn(step0, m => s"(SELECT explode(array(${m.group(1)})) AS col)")
+    // SAFE_CAST(x AS T) is cast SYNTAX, not a function call, so no
+    // FunctionRegistry builder can see it; Spark's TRY_CAST has the
+    // identical NULL-on-failure contract. BigQuery type names inside any
+    // cast are mapped to Spark's (INT64→BIGINT etc.) in the same pass.
+    val step2 = "(?i)\\bSAFE_CAST\\s*\\(".r.replaceAllIn(step1, "TRY_CAST(")
+    val typeMap = Seq(
+      "INT64" -> "BIGINT", "FLOAT64" -> "DOUBLE", "BOOL" -> "BOOLEAN",
+      "BYTES" -> "BINARY", "NUMERIC" -> "DECIMAL(38,9)")
+    typeMap.foldLeft(step2) { case (acc, (bq, sp)) =>
+      s"(?i)\\bAS\\s+$bq\\b".r.replaceAllIn(acc, s"AS $sp")
+    }
   }
 
   /** BigQuery type name → Spark type (reference: rpc/types.rs ColumnDef). */

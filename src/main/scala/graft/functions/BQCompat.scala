@@ -135,6 +135,35 @@ object BQCompat {
       case Seq(d, n) => DateSub(d, n)
     },
 
+    // TIMESTAMP_ADD/SUB(ts, INTERVAL n unit) — the interval literal
+    // parses natively; the analyzer resolves Add/Subtract on
+    // timestamp+interval to the proper TimeAdd.
+    "timestamp_add" -> { case Seq(t, i) if isInterval(i) => Add(t, i) },
+    "timestamp_sub" -> { case Seq(t, i) if isInterval(i) => Subtract(t, i) },
+
+    // Epoch extraction family (BigQuery UNIX_SECONDS/MILLIS/MICROS).
+    "unix_seconds" -> { case Seq(t) => UnixSeconds(t) },
+    "unix_millis" -> { case Seq(t) => UnixMillis(t) },
+    "unix_micros" -> { case Seq(t) => UnixMicros(t) },
+
+    // JSON scalar extraction: BigQuery JSON_EXTRACT_SCALAR / JSON_VALUE
+    // use the same $-rooted JSONPath subset as Spark's get_json_object
+    // and return an unquoted string scalar (NULL for objects/arrays —
+    // matching semantics). JSON_VALUE defaults to the root path.
+    "json_extract_scalar" -> { case Seq(j, p) => GetJsonObject(j, p) },
+    "json_value" -> {
+      case Seq(j) => GetJsonObject(j, Literal("$"))
+      case Seq(j, p) => GetJsonObject(j, p)
+    },
+
+    // SAFE_ arithmetic: NULL instead of error on overflow/bad input.
+    "safe_add" -> { case Seq(a, b) => new TryAdd(a, b) },
+    "safe_subtract" -> { case Seq(a, b) => new TrySubtract(a, b) },
+    "safe_multiply" -> { case Seq(a, b) => new TryMultiply(a, b) },
+
+    // BigQuery DIV(x, y): integer division (the function form of `div`).
+    "div" -> { case Seq(a, b) => IntegralDivide(a, b) },
+
     // TIMESTAMP_DIFF(t1, t2, unit) = t1 - t2 in whole units, truncated
     // toward zero (BigQuery semantics: microsecond difference div unit).
     // BigQuery supports exactly MICROSECOND..DAY here (no WEEK/MONTH/YEAR).

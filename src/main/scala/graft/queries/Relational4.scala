@@ -291,6 +291,31 @@ object Relational4 {
       """SELECT o_orderkey,
         |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS ts_str,
         |  strftime(strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d') AS rt
-        |FROM orders ORDER BY o_orderkey""".stripMargin)
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+
+    // Round-4 dialect additions through the SQL surface: epoch
+    // extraction, interval arithmetic, JSON scalar extraction, SAFE_
+    // arithmetic and integral DIV — one oracle pass over events.
+    "q_bq_safe_funcs" -> QDef(
+      (s0, dir) => {
+        val s = s0.newSession()
+        graft.functions.BQCompat.install(s)
+        t(s, dir, "events").createOrReplaceTempView("events")
+        s.sql(
+          """SELECT event_id,
+            |  UNIX_MILLIS(ts) AS ts_ms,
+            |  UNIX_MICROS(TIMESTAMP_ADD(ts, INTERVAL 90 MINUTE)) AS plus90m_us,
+            |  CAST(JSON_EXTRACT_SCALAR(props, '$.k') AS BIGINT) AS k,
+            |  DIV(CAST(JSON_VALUE(props, '$.k') AS BIGINT), 7) AS k_div7,
+            |  SAFE_ADD(event_id, 1) AS next_id
+            |FROM events ORDER BY event_id""".stripMargin)
+      },
+      """SELECT event_id,
+        |  epoch_ms(ts) AS ts_ms,
+        |  epoch_us(ts + INTERVAL 90 MINUTE) AS plus90m_us,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) // 7 AS k_div7,
+        |  event_id + 1 AS next_id
+        |FROM events ORDER BY event_id""".stripMargin)
   )
 }

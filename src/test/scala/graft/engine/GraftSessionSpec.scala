@@ -67,6 +67,18 @@ class GraftSessionSpec extends SparkSpec {
     assert(!m.destroy(id))
   }
 
+  test("SAFE_CAST syntax rewrites to TRY_CAST with BigQuery type names mapped") {
+    val s = new SessionManager(spark).create()
+    val r = s.sql(
+      "SELECT SAFE_CAST('12' AS INT64) a, SAFE_CAST('nope' AS INT64) b, " +
+        "SAFE_CAST('1.5' AS FLOAT64) c, CAST('true' AS BOOL) d").collect()(0)
+    assert(r.getLong(0) == 12L && r.isNullAt(1))
+    assert(r.getDouble(2) == 1.5 && r.getBoolean(3))
+    // the rewrite is textual — verify it leaves ordinary SQL alone
+    assert(GraftSession.rewriteBqSyntax("SELECT broadcast FROM t") ==
+      "SELECT broadcast FROM t")
+  }
+
   test("BigQuery type mapping covers arrays and rejects junk") {
     import org.apache.spark.sql.types._
     assert(GraftSession.bqType("ARRAY<INT64>") == ArrayType(LongType))
