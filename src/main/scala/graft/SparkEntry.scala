@@ -19,6 +19,7 @@ object SparkEntry {
       graft.queries.TextOps.defs ++
       graft.queries.VectorOps.defs ++
       graft.queries.IvfOps.defs ++
+      graft.queries.PqOps.defs ++
       graft.queries.EventOps.defs ++
       graft.queries.Multimodal.defs ++
       graft.queries.EngineQueries.defs ++

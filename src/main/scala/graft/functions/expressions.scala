@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graftbridge.{ColumnBridge, CosineSimilarity, JaccardSimilarity, JaccardSortedLong}
+import org.apache.spark.sql.graftbridge.{ColumnBridge, CosineSimilarity, DotProduct, JaccardSimilarity, JaccardSortedLong}
 
 /** Column-level entry points + SQL registration for the native codegen
   * kernels defined in org.apache.spark.sql.graftbridge.
@@ -16,6 +16,9 @@ object GraftFunctions {
 
   def jaccardSortedLong(a: Column, b: Column): Column =
     ColumnBridge.column(JaccardSortedLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Expose to spark.sql as COSINE_SIM / JACCARD_SIM. */
   def install(spark: SparkSession): Unit = {

@@ -28,13 +28,44 @@ object IvfOps {
 
   private def emb(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "embeddings")
 
-  /** Map-only nearest-centroid id against a literal codebook. */
-  private def assignLiteral(vectors: DataFrame, cents: Seq[Seq[Double]]): DataFrame = {
+  /** Map-only nearest-centroid assignment against a literal codebook:
+    * adds `cid` (argmax cosine, ties to the lowest id) and `csim` (the
+    * winning similarity — the quantizer objective's raw material).
+    */
+  private[queries] def assignLiteral(vectors: DataFrame, cents: Seq[Seq[Double]]): DataFrame = {
     val scored: Seq[Column] = cents.zipWithIndex.map { case (cv, cid) =>
       struct(cosineSim(col("v"), typedlit(cv)).as("sim"), lit(-cid).as("negcid"))
     }
-    vectors.withColumn("cid", -greatest(scored: _*).getField("negcid"))
+    val best = greatest(scored: _*)
+    vectors
+      .withColumn("cid", -best.getField("negcid"))
+      .withColumn("csim", best.getField("sim"))
   }
+
+  /** Iterative Lloyd training of a coarse quantizer: assign (map-only
+    * against the literal codebook) → re-center (one partial-aggregated
+    * shuffle keyed by (cell, dim)) → repeat. Driver traffic per round is
+    * the k×dim centroid table — a few KB at any corpus size. Cells that
+    * lose every member keep their previous centroid instead of vanishing
+    * (k must stay stable for the assignment expression).
+    */
+  def trainCodebook(sample: DataFrame, seeds: Seq[Seq[Double]], iters: Int): Seq[Seq[Double]] = {
+    var cents = seeds
+    for (_ <- 0 until iters) {
+      val updated = recenter(assignLiteral(sample, cents).select(col("cid"), col("v")))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1))
+        .toMap
+      cents = cents.indices.map(i => updated.getOrElse(i, cents(i)))
+    }
+    cents
+  }
+
+  /** Mean best-centroid cosine over the sample — the (maximization-form)
+    * quantizer objective; Lloyd must not decrease it.
+    */
+  def quantizerObjective(sample: DataFrame, cents: Seq[Seq[Double]]): Double =
+    assignLiteral(sample, cents).agg(avg("csim")).collect()(0).getDouble(0)
 
   /** One Lloyd iteration: per-(cell, dim) means → new centroid arrays. */
   private def recenter(assigned: DataFrame): DataFrame =
@@ -58,9 +89,7 @@ object IvfOps {
           .sort("vec_id").limit(k)
           .select("v").collect().map(_.getSeq[Double](0)).toSeq
         val sample = e.filter(col("vec_id") % lit(5) === 0)
-        val cents: Seq[Seq[Double]] =
-          recenter(assignLiteral(sample, seeds).select(col("cid"), col("v")))
-            .sort("cid").collect().map(_.getSeq[Double](1)).toSeq
+        val cents: Seq[Seq[Double]] = trainCodebook(sample, seeds, iters = 2)
         val cells = assignLiteral(e, cents)
 
         // Probe selection: rank every centroid per query (k×10 rows) and

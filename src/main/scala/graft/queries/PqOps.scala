@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions.dot
+
+/** Product quantization (PQ) approximate nearest neighbour: vectors are
+  * split into m subspaces, each quantized independently against a
+  * 16-code sub-codebook, so the corpus compresses to m small codes per
+  * vector (m bytes here vs m·sub·8 bytes of raw doubles — the layout
+  * that lets billion-vector indexes live in RAM).
+  *
+  * Scoring is asymmetric-distance (ADC): a dot product decomposes over
+  * subspaces, dot(q, x) = Σ_m dot(q_m, x_m), so each query precomputes a
+  * 16-entry table of sub-dots per subspace (driver-side — m×16 doubles
+  * per query) and corpus scoring is m table lookups per vector: a
+  * MAP-ONLY pass over the encoded corpus with the query tables
+  * broadcast. No raw vectors are touched at query time; only the
+  * candidate top-k rows ever shuffle.
+  *
+  * Training reuses [[IvfOps.trainCodebook]] per subspace (Lloyd on a
+  * sample); encoding is the same literal-codebook argmax as IVF cell
+  * assignment, per subspace.
+  */
+object PqOps {
+
+  import VectorOps.asDouble
+
+  private def emb(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "embeddings")
+
+  final case class PqModel(m: Int, sub: Int, books: Seq[Seq[Seq[Double]]])
+
+  /** Add the `code` column (array of m sub-codes): per subspace, argmax
+    * dot against the literal sub-codebook (ties to the lowest code) —
+    * map-only, same literal-codebook pattern as IVF cell assignment.
+    */
+  private def withCodes(df: DataFrame, model: PqModel): DataFrame = {
+    val codeCols: Seq[Column] = (0 until model.m).map { mi =>
+      val sv = slice(col("v"), mi * model.sub + 1, model.sub)
+      val scored = model.books(mi).zipWithIndex.map { case (cv, c) =>
+        struct(dot(sv, typedlit(cv)).as("d"), lit(-c).as("negc"))
+      }
+      -greatest(scored: _*).getField("negc")
+    }
+    df.withColumn("code", array(codeCols: _*))
+  }
+
+  /** Train ALL subspace codebooks together: each Lloyd iteration is ONE
+    * assignment pass + ONE partial-aggregated shuffle keyed by
+    * (subspace, code, dim) — not m separate jobs. Driver traffic per
+    * iteration is the m×codes×sub codebook (a few KB at any scale).
+    * Empty cells keep their previous centroid.
+    */
+  def train(e: DataFrame, m: Int, sub: Int, codes: Int, iters: Int): PqModel = {
+    val sample = e.filter(col("vec_id") % lit(5) === 0).select("v")
+    val seedVecs = e.filter(col("vec_id") % lit(31) === 0)
+      .sort("vec_id").limit(codes)
+      .select("v").collect().map(_.getSeq[Double](0)).toSeq
+    var model = PqModel(m, sub,
+      (0 until m).map(mi => seedVecs.map(_.slice(mi * sub, (mi + 1) * sub))))
+    for (_ <- 0 until iters) {
+      val mi = (col("pos") / sub).cast("int")
+      val updated = withCodes(sample, model)
+        .select(col("code"), posexplode(col("v")).as(Seq("pos", "x")))
+        .select(
+          mi.as("mi"), pmod(col("pos"), lit(sub)).as("subpos"),
+          element_at(col("code"), mi + 1).as("c"), col("x"))
+        .groupBy("mi", "c", "subpos")
+        .agg(avg("x").as("mval"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))
+        .toMap
+      model = model.copy(books = (0 until m).map { b =>
+        (0 until codes).map { c =>
+          val prev = model.books(b)(c)
+          (0 until sub).map(sp => updated.getOrElse((b, c, sp), prev(sp)))
+        }
+      })
+    }
+    model
+  }
+
+  /** Map-only PQ encoding: `code` is the array of m small ints — the
+    * entire index payload.
+    */
+  def encode(e: DataFrame, model: PqModel): DataFrame =
+    withCodes(e, model).select("vec_id", "code")
+
+  /** ADC shortlist + exact re-rank (the production PQ pipeline): query
+    * sub-dot tables (computed on the driver from the collected probe
+    * vectors — the standard broadcast-the-queries pattern) score the
+    * encoded corpus with m array lookups per vector (map-only, raw
+    * vectors untouched); the ADC top-`shortlist` candidates per query —
+    * the only rows that ever shuffle — are then re-ranked with exact
+    * cosine against their raw vectors.
+    */
+  def pqTopK(s: SparkSession, dir: String, k: Int = 10, shortlist: Int = 50): DataFrame = {
+    import s.implicits._
+    val m = 8; val sub = 8; val codes = 16
+    val e = Eval.barrier(Eval.fanOut(
+      emb(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v")))).cache()
+    val model = train(e, m, sub, codes, iters = 2)
+    val encoded = encode(e, model)
+
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val tables = probes.map { case (qid, qv) =>
+      val t: Seq[Seq[Double]] = (0 until m).map { mi =>
+        val qsub = qv.slice(mi * sub, (mi + 1) * sub)
+        model.books(mi).map(cv => cv.iterator.zip(qsub.iterator).map { case (a, b) => a * b }.sum)
+      }
+      (qid, t, qv)
+    }
+    val qdf = tables.toDF("q_id", "qt", "qv")
+
+    val score = aggregate(
+      zip_with(col("code"), col("qt"), (c, t) => element_at(t, c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val wAdc = Window.partitionBy("q_id").orderBy(col("adc").desc, col("neighbor_id"))
+    val candidates = encoded.crossJoin(broadcast(qdf.select("q_id", "qt")))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), score.as("adc"))
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= shortlist)
+
+    // Exact re-rank of the shortlist only: shortlist×queries rows join
+    // raw vectors by id; the query vector comes broadcast.
+    val wTop = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    candidates
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v")), "neighbor_id")
+      .join(broadcast(qdf.select("q_id", "qv")), "q_id")
+      .select(col("q_id"), col("neighbor_id"),
+        round(graft.functions.GraftFunctions.cosineSim(col("qv"), col("v")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  def defs: Map[String, QDef] = Map(
+    // PQ ANN recall gate, same driver-checkable contract as IVF/LSH:
+    // structural booleans + recall-vs-exact floor as hashable output.
+    // Measured recall@10 with the 50-candidate shortlist + exact re-rank
+    // is ~0.6 at both test scale factors (ADC-only ranks ~0.2-0.3); the
+    // 0.3 floor keeps 2× margin while still proving the codes carry
+    // real signal (random floor is 10/499 ≈ 2%).
+    "ann_pq_topk" -> QDef(
+      (s, dir) => {
+        val pq = pqTopK(s, dir).select(col("q_id"), col("neighbor_id"))
+        val brute = VectorOps.bruteTopK(s, dir).select(col("q_id"), col("neighbor_id"))
+        val hits = pq.join(brute, Seq("q_id", "neighbor_id")).agg(count(lit(1)).as("hits"))
+        val shape = pq.groupBy("q_id").agg(count(lit(1)).as("k"))
+          .agg(min("k").as("kmin"), max("k").as("kmax"), count(lit(1)).as("nq"))
+        brute.agg(count(lit(1)).as("n_exact")).crossJoin(hits).crossJoin(shape)
+          .select(
+            col("n_exact").cast("long").as("n_exact"),
+            (col("kmin") === 10 && col("kmax") === 10 &&
+              col("nq") * 10 === col("n_exact")).as("k_ok"),
+            (col("hits") >= col("n_exact") * 0.3).as("recall_ok"))
+      },
+      """SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 10)
+        |  * LEAST(10, (SELECT COUNT(*) FROM embeddings) - 1) AS BIGINT) AS n_exact,
+        |  true AS k_ok, true AS recall_ok""".stripMargin)
+  )
+}

@@ -185,6 +185,23 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.decodeWav(3L, truncated).format == "unknown")
   }
 
+  test("lloyd training improves the quantizer and PQ clears its recall gate") {
+    import graft.queries.VectorOps.asDouble
+    val e = graft.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v")).cache()
+    val seeds = e.filter(col("vec_id") % lit(29) === 0)
+      .sort("vec_id").limit(16).select("v").collect().map(_.getSeq[Double](0)).toSeq
+    val sample = e.filter(col("vec_id") % lit(5) === 0)
+    val obj0 = IvfOps.quantizerObjective(sample, seeds)
+    val obj2 = IvfOps.quantizerObjective(sample, IvfOps.trainCodebook(sample, seeds, 2))
+    // mean-recentered cosine Lloyd is not provably monotone per step,
+    // but two iterations must materially improve on raw seeds
+    assert(obj2 > obj0, s"training regressed the quantizer: $obj0 -> $obj2")
+    val r = graft.SparkEntry.queries("ann_pq_topk")(spark, sfDir).collect()(0)
+    assert(r.getBoolean(1), "PQ structure (k per query) broken")
+    assert(r.getBoolean(2), "PQ ADC recall below floor")
+  }
+
   test("every declared query runs at sf0.001 and returns rows") {
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sfDir).count()
