@@ -124,6 +124,60 @@ object StreamOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming upsert (MERGE) sink: maintain a latest-row-per-key
+    * parquet snapshot from a stream of updates via foreachBatch — the
+    * merge pattern without a transactional table format. Each micro-batch
+    * merges the previous snapshot with its new rows (latest ts per
+    * user_id wins; exact-ts ties break deterministically on the payload
+    * columns) and writes snapshot
+    * directory `snap_<batchId>`. Exactly-once across restarts comes from
+    * the idempotence of the merge, not from luck: a REPLAYED batch id
+    * reads the latest snapshot with id strictly BELOW itself — the same
+    * input state as the first attempt — and overwrites its own output
+    * directory, converging to the identical snapshot. Readers take the
+    * highest complete snapshot ([[latestSnapshot]]).
+    */
+  def mergeSink(
+      updates: DataFrame, tableDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val prev = latestSnapshot(spark, tableDir, below = Some(batchId))
+        val all = prev match {
+          case Some(p) => p.unionByName(batch)
+          case None => batch
+        }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_type").desc, col("value").desc)
+        all
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+          .write.mode("overwrite").parquet(s"$tableDir/snap_$batchId")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** The current merged state: the highest-numbered snapshot directory
+    * (optionally restricted to ids strictly below `below` — what a
+    * replaying batch must read to stay idempotent).
+    */
+  def latestSnapshot(
+      spark: org.apache.spark.sql.SparkSession, tableDir: String,
+      below: Option[Long] = None): Option[DataFrame] = {
+    val root = new java.io.File(tableDir)
+    val ids = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("snap_"))
+      // only COMMITTED snapshots (Spark writes _SUCCESS on completion)
+      .filter(f => new java.io.File(f, "_SUCCESS").exists())
+      .map(_.getName.stripPrefix("snap_").toLong)
+      .filter(id => below.forall(id < _))
+    if (ids.isEmpty) None
+    else Some(spark.read.parquet(s"$tableDir/snap_${ids.max}"))
+  }
+
   /** Gap-based sessionization: a session closes when its user is silent
     * for `gapSecs` (closed either by a later event or by event-time
     * timeout once the watermark passes). State per user is O(1).

@@ -95,6 +95,36 @@ class LayoutSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
   }
 
+  test("clustered layout makes parquet stats skip data at the scan") {
+    // The end-to-end point of layout work: with rows clustered on the
+    // predicate column, parquet min/max stats let the reader skip whole
+    // files/row-groups, so the scan DECODES far fewer rows (scan metric
+    // numOutputRows is pre-filter). Unclustered, every file straddles
+    // the full key range and nothing skips.
+    val events = graft.Tables(spark, sfDir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    val base = java.nio.file.Files.createTempDirectory("skip").toString
+    events.orderBy("event_id") // uncorrelated with user_id -> no locality
+      .coalesce(1).write.option("maxRecordsPerFile", 100)
+      .mode("overwrite").parquet(s"$base/shuffled")
+    events.orderBy("user_id")
+      .coalesce(1).write.option("maxRecordsPerFile", 100)
+      .mode("overwrite").parquet(s"$base/clustered")
+    def decodedRows(path: String): Long = {
+      val df = spark.read.parquet(path).filter(col("user_id") === 3)
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().head
+        .metrics("numOutputRows").value
+    }
+    val full = decodedRows(s"$base/shuffled")
+    val pruned = decodedRows(s"$base/clustered")
+    assert(spark.read.parquet(s"$base/clustered").filter(col("user_id") === 3).count() ==
+      spark.read.parquet(s"$base/shuffled").filter(col("user_id") === 3).count())
+    assert(pruned < full / 2,
+      s"clustered scan decoded $pruned rows, expected far fewer than unclustered $full")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
+
   test("runtime bloom filter prunes the fact side of a selective join") {
     // At 100 TB the fact-side scan of a selective dim join is the cost;
     // Spark's InjectRuntimeFilter turns the dim keys into a bloom filter

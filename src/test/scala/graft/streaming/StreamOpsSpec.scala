@@ -167,6 +167,32 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming merge sink keeps the latest row per key across batches and restarts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("merge").toString
+    val table = s"$base/table"; val ckpt = s"$base/ckpt"
+    val input = MemoryStream[Ev]
+    def drain(): Unit = {
+      val q = StreamOps.mergeSink(input.toDF(), table, ckpt)
+      q.awaitTermination() // AvailableNow: drains what's present, stops
+    }
+    input.addData(Ev(1, ts(5), "a", 1.0), Ev(2, ts(6), "a", 2.0))
+    drain()
+    def state(): Map[Long, (String, Double)] =
+      StreamOps.latestSnapshot(spark, table).get
+        .collect().map(r => r.getLong(0) -> (r.getString(2), r.getDouble(3))).toMap
+    assert(state() == Map(1L -> ("a", 1.0), 2L -> ("a", 2.0)))
+    // second run (restart: same checkpoint): user 1 updated, user 3 new
+    input.addData(Ev(1, ts(9), "b", 9.0), Ev(3, ts(7), "a", 3.0))
+    drain()
+    assert(state() == Map(1L -> ("b", 9.0), 2L -> ("a", 2.0), 3L -> ("a", 3.0)))
+    // idle restart: nothing new to process, state unchanged
+    drain()
+    assert(state() == Map(1L -> ("b", 9.0), 2L -> ("a", 2.0), 3L -> ("a", 3.0)))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
+
   test("file ETL is exactly-once across restarts (checkpointed source)") {
     val root = java.nio.file.Files.createTempDirectory("graft_etl").toString
     val (in, out, ck) = (s"$root/in", s"$root/out", s"$root/ck")
