@@ -176,6 +176,44 @@ object CurateOps {
         |SELECT word, exact_cnt, true AS in_approx, true AS cnt_ok
         |FROM counts ORDER BY exact_cnt DESC, word LIMIT 10""".stripMargin),
 
+    // Sketch MATERIALIZATION + re-aggregation (DataSketches HLL): build
+    // one user sketch per day — the artifact a 100 TB pipeline stores —
+    // then hll_union_agg the stored sketches into the monthly cardinality
+    // WITHOUT rescanning events. This is the property plain
+    // approx_count_distinct can't give you: its per-group results don't
+    // merge, sketches do. Driver-checkable contract as usual: exact
+    // counts (hashable) + sketch-vs-exact booleans per day and for the
+    // merged month.
+    "q_hll_merge" -> QDef(
+      (s, dir) => {
+        val evDay = ev(s, dir)
+          .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+        val daily = evDay.groupBy("day").agg(
+          expr("hll_sketch_agg(user_id, 14)").as("sk"),
+          countDistinct("user_id").as("exact_users"))
+        val month = daily.agg(
+          expr("CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)").as("est_month"))
+        val exactMonth = evDay.agg(countDistinct("user_id").as("exact_month"))
+        daily
+          .select(
+            col("day"), col("exact_users"),
+            (abs(expr("CAST(hll_sketch_estimate(sk) AS BIGINT)") - col("exact_users"))
+              <= col("exact_users") * 0.05 + lit(1)).as("day_ok"))
+          .crossJoin(broadcast(month)).crossJoin(broadcast(exactMonth))
+          .select(
+            col("day"), col("exact_users"), col("day_ok"),
+            col("exact_month"),
+            (abs(col("est_month") - col("exact_month"))
+              <= col("exact_month") * 0.05 + lit(1)).as("month_ok"))
+          .orderBy("day")
+      },
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  true AS day_ok,
+        |  (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events) AS exact_month,
+        |  true AS month_ok
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin),
+
     // §2.3#54 quantile sketch of order totals per order priority —
     // percentile_approx is a mergeable sketch (one pass, bounded memory).
     // Approximate, so the sketch values have no oracle; the
