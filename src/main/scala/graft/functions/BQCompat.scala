@@ -164,6 +164,31 @@ object BQCompat {
     // BigQuery DIV(x, y): integer division (the function form of `div`).
     "div" -> { case Seq(a, b) => IntegralDivide(a, b) },
 
+    // APPROX_TOP_COUNT(e, k): DataSketches frequent-items, re-shaped to
+    // BigQuery's array<struct<value, count>> field names (Spark's
+    // approx_top_k calls the element "item").
+    "approx_top_count" -> { case Seq(e, k) =>
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      val entry = CreateNamedStruct(Seq(
+        lit("value"), org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(x, lit("item")),
+        lit("count"), org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(x, lit("count"))))
+      ArrayTransform(
+        new aggregate.ApproxTopK(e, k).toAggregateExpression(),
+        LambdaFunction(entry, Seq(x)))
+    },
+
+    // APPROX_QUANTILES(e, n): n+1 evenly spaced quantile boundaries from
+    // the mergeable percentile sketch. n must be a literal (it shapes
+    // the result array).
+    "approx_quantiles" -> {
+      case Seq(e, Literal(n, _)) if n != null && n.toString.forall(_.isDigit) && n.toString.toInt >= 1 =>
+        val k = n.toString.toInt
+        val fracs: Seq[Expression] = (0 to k).map(i => Literal(i.toDouble / k))
+        new aggregate.ApproximatePercentile(e, CreateArray(fracs)).toAggregateExpression()
+      case Seq(_, bad) => throw new IllegalArgumentException(
+        s"APPROX_QUANTILES: number of quantiles must be a positive integer literal, got: ${bad.sql}")
+    },
+
     // TIMESTAMP_DIFF(t1, t2, unit) = t1 - t2 in whole units, truncated
     // toward zero (BigQuery semantics: microsecond difference div unit).
     // BigQuery supports exactly MICROSECOND..DAY here (no WEEK/MONTH/YEAR).

@@ -74,6 +74,26 @@ class BQCompatSpec extends SparkSpec {
     assert(r.getInt(2) == 7 && r.getLong(3) == 3L)
   }
 
+  test("APPROX_TOP_COUNT reshapes to value/count structs; APPROX_QUANTILES spans min..max") {
+    import spark.implicits._
+    Seq("a", "a", "a", "b", "b", "c").toDF("s").createOrReplaceTempView("letters")
+    val top = spark.sql(
+      "SELECT APPROX_TOP_COUNT(s, 2) t FROM letters").collect()(0)
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(top.map(r => (r.getString(0), r.get(1).toString.toLong)) ==
+      Seq(("a", 3L), ("b", 2L)))
+    assert(top.head.schema.fieldNames.toSeq == Seq("value", "count"))
+    // int input -> int quantiles (percentile sketch preserves input type)
+    val q = spark.sql(
+      "SELECT APPROX_QUANTILES(x, 4) q FROM (SELECT explode(sequence(1, 100)) x)")
+      .collect()(0).getSeq[Int](0)
+    assert(q.length == 5 && q.head == 1 && q.last == 100)
+    assert(q(2) >= 40 && q(2) <= 60) // median of 1..100
+    intercept[Exception] {
+      spark.sql("SELECT APPROX_QUANTILES(x, 0) FROM (SELECT 1 x)").collect()
+    }
+  }
+
   test("REGEXP_CONTAINS behaves like the BigQuery function") {
     val r = spark.sql("SELECT REGEXP_CONTAINS('hello123', '[0-9]+') a, REGEXP_CONTAINS('hello', '[0-9]+') b").collect()(0)
     assert(r.getBoolean(0) && !r.getBoolean(1))
