@@ -214,6 +214,36 @@ object CurateOps {
         |  true AS month_ok
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin),
 
+    // KLL quantile-sketch materialization + merge — the quantile twin of
+    // q_hll_merge: per-day KLL sketches of event values (the stored
+    // artifact) merge via kll_merge_agg_double into month-level
+    // quantiles without rescanning events. Gate brackets the merged
+    // sketch's p50/p90 between exact percentiles at ±3% rank slack
+    // (KLL k=200 ⇒ ~1.65% normalized rank error).
+    "q_kll_merge" -> QDef(
+      (s, dir) => {
+        val evDay = ev(s, dir)
+          .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("value"))
+        val daily = evDay.groupBy("day").agg(
+          expr("kll_sketch_agg_double(value, 200)").as("sk"),
+          count(lit(1)).as("n"))
+        val merged = daily.agg(
+          sum("n").as("n_total"),
+          expr("kll_sketch_get_quantile_double(kll_merge_agg_double(sk), array(0.5D, 0.9D))").as("mq"))
+        val exact = evDay.agg(
+          expr("percentile(value, array(0.47D, 0.53D, 0.87D, 0.93D))").as("ex"))
+        merged.crossJoin(broadcast(exact))
+          .select(
+            col("n_total"),
+            (element_at(col("mq"), 1).between(
+              element_at(col("ex"), 1), element_at(col("ex"), 2))).as("p50_ok"),
+            (element_at(col("mq"), 2).between(
+              element_at(col("ex"), 3), element_at(col("ex"), 4))).as("p90_ok"))
+      },
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+        |  true AS p50_ok, true AS p90_ok
+        |FROM events""".stripMargin),
+
     // §2.3#54 quantile sketch of order totals per order priority —
     // percentile_approx is a mergeable sketch (one pass, bounded memory).
     // Approximate, so the sketch values have no oracle; the

@@ -307,6 +307,81 @@ class RpcServerSpec extends SparkSpec {
     ws.sendClose(WebSocket.NORMAL_CLOSURE, "done")
   }
 
+  test("WebSocket transport: concurrent clients run isolated sessions in parallel") {
+    val port = freePort()
+    val serverRpc = new GraftRpc(spark)
+    val t = new Thread(() => {
+      try RpcServer.runWebSocket(serverRpc, port)
+      catch { case _: Exception => () }
+    }, "ws-server-conc")
+    t.setDaemon(true)
+    t.start()
+    eventuallyConnects(port)
+
+    class Client {
+      private val messages = new LinkedBlockingQueue[String]()
+      private val buf = new StringBuilder
+      private val opened = new CountDownLatch(1)
+      private val ids = new java.util.concurrent.atomic.AtomicLong(1)
+      private val ws = HttpClient.newHttpClient().newWebSocketBuilder()
+        .buildAsync(URI.create(s"ws://localhost:$port/"), new WebSocket.Listener {
+          override def onOpen(w: WebSocket): Unit = { opened.countDown(); w.request(1) }
+          override def onText(w: WebSocket, data: CharSequence, last: Boolean)
+              : java.util.concurrent.CompletionStage[_] = {
+            buf.append(data)
+            if (last) { messages.put(buf.toString); buf.clear() }
+            w.request(1)
+            null
+          }
+        }).get(30, TimeUnit.SECONDS)
+      opened.await(10, TimeUnit.SECONDS)
+      def call(method: String, params: Map[String, Any]): Map[String, Any] = {
+        val id = ids.getAndIncrement()
+        ws.sendText(Json.write(
+          Map("jsonrpc" -> "2.0", "method" -> method, "params" -> params, "id" -> id)), true)
+        val resp = asMap(Json.parse(messages.poll(120, TimeUnit.SECONDS)))
+        assert(resp("id") == id, s"response matched wrong request: $resp")
+        resp
+      }
+      def close(): Unit = ws.sendClose(WebSocket.NORMAL_CLOSURE, "done")
+    }
+
+    // Same table name, different data, FULL lifecycle on two threads at
+    // once: isolation must hold under actual concurrency, not just
+    // sequential interleaving.
+    def flow(seedValue: Long): Long = {
+      val c = new Client
+      try {
+        val s = asMap(c.call("bq.createSession", Map.empty)("result"))("sessionId").toString
+        c.call("bq.createTable", Map("sessionId" -> s, "tableName" -> "t",
+          "schema" -> Seq(Map("name" -> "x", "type" -> "INT64"))))
+        (1 to 5).foreach { i =>
+          c.call("bq.insert", Map("sessionId" -> s, "tableName" -> "t",
+            "rows" -> Seq(Seq(seedValue * i))))
+        }
+        val q = c.call("bq.query", Map("sessionId" -> s, "sql" -> "SELECT SUM(x) AS sx FROM t"))
+        val v = asMap(q("result"))("rows").asInstanceOf[Seq[Map[String, Any]]]
+          .head("f").asInstanceOf[Seq[Map[String, Any]]].head("v")
+        c.call("bq.destroySession", Map("sessionId" -> s))
+        v.toString.toLong
+      } finally c.close()
+    }
+
+    val results = new LinkedBlockingQueue[(Long, Long)]()
+    val errors = new LinkedBlockingQueue[Throwable]()
+    val workers = Seq(7L, 11L).map { seed =>
+      new Thread(() =>
+        try results.put(seed -> flow(seed))
+        catch { case e: Throwable => errors.put(e) })
+    }
+    workers.foreach(_.start())
+    workers.foreach(_.join(180000))
+    assert(errors.isEmpty, s"concurrent client failed: ${Option(errors.poll())}")
+    val out = Iterator.continually(results.poll()).takeWhile(_ != null).toMap
+    // sum(seed * i, i=1..5) = seed * 15 — each client saw ONLY its rows
+    assert(out == Map(7L -> 105L, 11L -> 165L), s"cross-session contamination: $out")
+  }
+
   private def eventuallyConnects(port: Int): Unit = {
     val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
     var connected = false
