@@ -34,6 +34,12 @@ object GraftConf {
       // reading 100 TB and reading the 2 columns × 3 partitions asked for.
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // Runtime filters: plant a bloom filter from the selective side of
+      // a join onto the fact-side scan (LayoutSpec proves the plans
+      // accept it). Size thresholds stay at defaults — they are tuned
+      // for cluster-scale inputs, which is exactly the deployment here.
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      .config("spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled", "true")
       // BigQuery-style arithmetic (NULL on overflow/bad cast, not errors).
       .config("spark.sql.ansi.enabled", "false")
       // The engine's extension point: native kernels + BigQuery dialect
