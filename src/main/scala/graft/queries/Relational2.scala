@@ -16,6 +16,34 @@ object Relational2 {
 
   val defs: Map[String, QDef] = Map(
 
+    // WITH RECURSIVE (Spark 4's recursive CTE): an iterative graph walk
+    // over the supplier table — each recursion level JOINS the previous
+    // frontier against a real table, the org-chart/BOM pattern.
+    // IDENTICAL SQL runs on both engines; the functional successor
+    // (sk*3+1 mod 100) plus the depth bound keeps the recursion finite
+    // and deterministic.
+    "q_recursive_cte" -> QDef(
+      (s, dir) => {
+        t(s, dir, "supplier").createOrReplaceTempView("supplier_rec")
+        s.sql(
+          """WITH RECURSIVE reach AS (
+            |  SELECT CAST(0 AS BIGINT) AS sk, 0 AS depth
+            |  UNION ALL
+            |  SELECT (s.s_suppkey * 3 + 1) % 100, r.depth + 1
+            |  FROM reach r JOIN supplier_rec s ON s.s_suppkey = r.sk
+            |  WHERE r.depth < 15)
+            |SELECT sk, CAST(MIN(depth) AS BIGINT) AS first_seen
+            |FROM reach GROUP BY sk ORDER BY sk""".stripMargin)
+      },
+      """WITH RECURSIVE reach AS (
+        |  SELECT CAST(0 AS BIGINT) AS sk, 0 AS depth
+        |  UNION ALL
+        |  SELECT (s.s_suppkey * 3 + 1) % 100, r.depth + 1
+        |  FROM reach r JOIN supplier s ON s.s_suppkey = r.sk
+        |  WHERE r.depth < 15)
+        |SELECT sk, CAST(MIN(depth) AS BIGINT) AS first_seen
+        |FROM reach GROUP BY sk ORDER BY sk""".stripMargin),
+
     // ROLLUP: region → nation revenue hierarchy with subtotals + grand total
     "q_rollup" -> QDef(
       (s, dir) => {
