@@ -44,6 +44,48 @@ object Relational2 {
         |SELECT sk, CAST(MIN(depth) AS BIGINT) AS first_seen
         |FROM reach GROUP BY sk ORDER BY sk""".stripMargin),
 
+    // VARIANT (Spark 4's semi-structured type, the analog of BigQuery's
+    // JSON type): parse once, typed extraction via variant_get. Unlike
+    // string re-parsing per path, the variant value is a parsed binary —
+    // the right shape for wide semi-structured scans.
+    "q_variant_json" -> QDef(
+      (s, dir) =>
+        t(s, dir, "events")
+          .selectExpr(
+            "event_id",
+            "variant_get(parse_json(props), '$.k', 'long') AS k_long",
+            "variant_get(parse_json(props), '$.k', 'string') AS k_str",
+            "variant_get(parse_json(props), '$.missing', 'long') IS NULL AS missing_is_null")
+          .orderBy("event_id"),
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  json_extract(props, '$.missing') IS NULL AS missing_is_null
+        |FROM events ORDER BY event_id""".stripMargin),
+
+    // Correlated LATERAL subquery with ORDER BY + LIMIT (top order per
+    // customer) — the per-row-subquery shape; Spark decorrelates it into
+    // a ranked join rather than executing a query per row. Identical
+    // SQL runs on DuckDB.
+    "q_lateral_join" -> QDef(
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("customer_lat")
+        t(s, dir, "orders").createOrReplaceTempView("orders_lat")
+        s.sql(
+          """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+            |FROM customer_lat c,
+            |LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lat
+            |  WHERE o_custkey = c.c_custkey
+            |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) AS o
+            |WHERE c.c_custkey < 200 ORDER BY c.c_custkey""".stripMargin)
+      },
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) AS o
+        |WHERE c.c_custkey < 200 ORDER BY c.c_custkey""".stripMargin),
+
     // ROLLUP: region → nation revenue hierarchy with subtotals + grand total
     "q_rollup" -> QDef(
       (s, dir) => {

@@ -155,6 +155,28 @@ class OpsSpec extends SparkSpec {
     assert(r.getAs[Array[Byte]](4).length <= 64)
   }
 
+  test("image header decode on real PNG/JPEG bytes via the distributed path") {
+    import spark.implicits._
+    // Real codec fixtures: rendered images encoded by the JDK's own
+    // PNG and JPEG writers — not hand-built headers.
+    def imageBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y => img.setRGB(x, y, (x * 31 + y) & 0xffffff)))
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out), s"JDK cannot encode $fmt")
+      out.toByteArray
+    }
+    val rows = Seq(
+      (1L, "image/png", imageBytes(37, 21, "png")),
+      (2L, "image/jpeg", imageBytes(64, 48, "jpg")),
+      (3L, "image/png", "not an image at all".getBytes("UTF-8")))
+    val out = Multimodal.imageMeta(spark, rows.toDF("doc_id", "mime", "payload"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(out(1L) == (("png", 37, 21)))
+    assert(out(2L)._1.startsWith("jp") && out(2L)._2 == 64 && out(2L)._3 == 48)
+    assert(out(3L) == (("unknown", -1, -1))) // poisoned record degrades, not throws
+  }
+
   test("wav writer/parser round-trip and chunk-walking robustness") {
     val pcm = Array.tabulate(320)(i => (i % 251).toByte)
     // canonical layout from our own writer
