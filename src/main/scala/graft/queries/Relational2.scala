@@ -86,6 +86,37 @@ object Relational2 {
         |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) AS o
         |WHERE c.c_custkey < 200 ORDER BY c.c_custkey""".stripMargin),
 
+    // UNPIVOT (wide → long melt), the inverse of q_pivot: identical
+    // Snowflake-style syntax on both engines; mixed int/double value
+    // columns coerce to the common double type in both.
+    "q_unpivot" -> QDef(
+      (s, dir) => {
+        t(s, dir, "part").createOrReplaceTempView("part_unp")
+        s.sql(
+          """SELECT p_partkey, metric, val FROM part_unp
+            |UNPIVOT (val FOR metric IN (p_retailprice, p_size))
+            |ORDER BY p_partkey, metric""".stripMargin)
+      },
+      """SELECT p_partkey, metric, val FROM part
+        |UNPIVOT (val FOR metric IN (p_retailprice, p_size))
+        |ORDER BY p_partkey, metric""".stripMargin),
+
+    // GROUP BY ALL: grouping keys inferred from the non-aggregate select
+    // list — same inference rules on both engines.
+    "q_group_by_all" -> QDef(
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gba")
+        s.sql(
+          """SELECT l_returnflag, l_linestatus,
+            |  ROUND(SUM(l_extendedprice), 2) AS rev, COUNT(*) AS n
+            |FROM lineitem_gba GROUP BY ALL
+            |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+      },
+      """SELECT l_returnflag, l_linestatus,
+        |  ROUND(SUM(l_extendedprice), 2) AS rev, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY ALL
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
     // ROLLUP: region → nation revenue hierarchy with subtotals + grand total
     "q_rollup" -> QDef(
       (s, dir) => {
