@@ -117,6 +117,24 @@ object Relational2 {
         |FROM lineitem GROUP BY ALL
         |ORDER BY l_returnflag, l_linestatus""".stripMargin),
 
+    // Higher-order array functions with lambdas (transform / filter /
+    // aggregate-fold) — codegen-adjacent Catalyst HOFs on the Spark
+    // side, list_* lambdas on DuckDB, same results.
+    "q_hof_arrays" -> QDef(
+      (s, dir) =>
+        t(s, dir, "part")
+          .selectExpr(
+            "p_partkey",
+            "size(filter(split(p_name, ' '), w -> length(w) > 4)) AS n_long",
+            "array_join(transform(split(p_name, ' '), w -> upper(w)), '-') AS upname",
+            "aggregate(split(p_name, ' '), 0, (acc, w) -> acc + length(w)) AS n_chars")
+          .orderBy("p_partkey"),
+      """SELECT p_partkey,
+        |  CAST(len(list_filter(string_split(p_name, ' '), w -> length(w) > 4)) AS INT) AS n_long,
+        |  array_to_string(list_transform(string_split(p_name, ' '), w -> upper(w)), '-') AS upname,
+        |  CAST(list_sum(list_transform(string_split(p_name, ' '), w -> length(w))) AS INT) AS n_chars
+        |FROM part ORDER BY p_partkey""".stripMargin),
+
     // ROLLUP: region → nation revenue hierarchy with subtotals + grand total
     "q_rollup" -> QDef(
       (s, dir) => {
