@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graftbridge.{ColumnBridge, CosineSimilarity, DotProduct, JaccardSimilarity, JaccardSortedLong}
+import org.apache.spark.sql.graftbridge.{BoundedTopK, ColumnBridge, CosineSimilarity, DotProduct, JaccardSimilarity, JaccardSortedLong}
 
 /** Column-level entry points + SQL registration for the native codegen
   * kernels defined in org.apache.spark.sql.graftbridge.
@@ -19,6 +19,16 @@ object GraftFunctions {
 
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Bounded top-k aggregate (score DESC, id ASC): map-side partial
+    * buffers hold at most k entries, so a top-k-per-group over a scored
+    * corpus shuffles O(partitions × groups × k) entries — never the
+    * corpus. Returns array<struct<score, id>> sorted best-first.
+    */
+  def boundedTopK(score: Column, id: Column, k: Int): Column =
+    ColumnBridge.column(
+      BoundedTopK(ColumnBridge.expression(score), ColumnBridge.expression(id), k)
+        .toAggregateExpression())
 
   /** Expose to spark.sql as COSINE_SIM / JACCARD_SIM. */
   def install(spark: SparkSession): Unit = {

@@ -105,13 +105,15 @@ object IvfOps {
           .filter(col("rk") <= nprobe)
           .select(col("q_id"), col("qv"), col("cid"))
 
-    val wTop = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    cells.join(broadcast(probed), Seq("cid"))
+    // Probed-cell candidates are scored map-side (probes broadcast) and
+    // ranked with the two-phase bounded top-k (VectorOps.topKPerQuery):
+    // partial buffers cap at 10 entries per query per partition, so the
+    // candidate set itself never crosses an exchange.
+    val scored = cells.join(broadcast(probed), Seq("cid"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         round(cosineSim(col("qv"), col("v")), 6).as("cosine"))
-      .withColumn("rank", row_number().over(wTop).cast("long"))
-      .filter(col("rank") <= 10)
+    VectorOps.topKPerQuery(scored, "cosine", 10)
   }
 
   def defs: Map[String, QDef] = Map(

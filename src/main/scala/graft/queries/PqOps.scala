@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -117,26 +116,29 @@ object PqOps {
     }
     val qdf = tables.toDF("q_id", "qt", "qv")
 
+    // ADC scoring is map-only (query tables broadcast); the shortlist is
+    // the two-phase bounded top-k (VectorOps.topKPerQuery), whose partial
+    // buffers cap at `shortlist` entries per query per map partition — so
+    // the exchange carries partitions × queries × shortlist entries, never
+    // the scored corpus. (The previous per-query row_number window moved
+    // every scored row through one reducer per query — the 10⁹-row
+    // scale-killer this two-phase rank exists to avoid.)
     val score = aggregate(
       zip_with(col("code"), col("qt"), (c, t) => element_at(t, c + 1)),
       lit(0.0), (acc, x) => acc + x)
-    val wAdc = Window.partitionBy("q_id").orderBy(col("adc").desc, col("neighbor_id"))
-    val candidates = encoded.crossJoin(broadcast(qdf.select("q_id", "qt")))
+    val adcScored = encoded.crossJoin(broadcast(qdf.select("q_id", "qt")))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"), score.as("adc"))
-      .withColumn("adc_rank", row_number().over(wAdc))
-      .filter(col("adc_rank") <= shortlist)
+    val candidates = VectorOps.topKPerQuery(adcScored, "adc", shortlist).drop("rank")
 
     // Exact re-rank of the shortlist only: shortlist×queries rows join
     // raw vectors by id; the query vector comes broadcast.
-    val wTop = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    candidates
+    val reranked = candidates
       .join(e.select(col("vec_id").as("neighbor_id"), col("v")), "neighbor_id")
       .join(broadcast(qdf.select("q_id", "qv")), "q_id")
       .select(col("q_id"), col("neighbor_id"),
         round(graft.functions.GraftFunctions.cosineSim(col("qv"), col("v")), 6).as("cosine"))
-      .withColumn("rank", row_number().over(wTop).cast("long"))
-      .filter(col("rank") <= k)
+    VectorOps.topKPerQuery(reranked, "cosine", k)
   }
 
   def defs: Map[String, QDef] = Map(

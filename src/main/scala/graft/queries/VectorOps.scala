@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -57,8 +56,29 @@ object VectorOps {
     array((0 until tables).map(t =>
       hyperplaneBucket(v, planes, t, dim) * lit(tables.toLong) + lit(t.toLong)): _*)
 
+  /** Two-phase top-k per query over a scored candidate frame
+    * `(q_id, neighbor_id, <scoreName>)`: the bounded-heap aggregate
+    * (graftbridge.BoundedTopK) keeps at most k entries in each MAP-SIDE
+    * partial buffer, so only partitions × queries × k entries ever cross
+    * the exchange — never the scored corpus. Replaces the
+    * `row_number() OVER (PARTITION BY q_id ORDER BY score DESC, id)`
+    * pattern, which shuffles every scored row into one partition per
+    * query before it can rank. Output: (q_id, neighbor_id, score, rank),
+    * rank 1-based by (score DESC, neighbor_id ASC) — identical ordering
+    * and tie-break to the window it replaces.
+    */
+  private[queries] def topKPerQuery(scored: DataFrame, scoreName: String, k: Int): DataFrame =
+    scored.groupBy("q_id")
+      .agg(graft.functions.GraftFunctions
+        .boundedTopK(col(scoreName), col("neighbor_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), col("t.id").as("neighbor_id"), col("t.score").as(scoreName),
+        (col("pos") + 1).cast("long").as("rank"))
+
   /** Brute-force cosine top-10 for the 10 probe vectors — the exact
-    * baseline every approximate ANN path is gated against.
+    * baseline every approximate ANN path is gated against. Scoring is a
+    * map-only pass over the corpus (queries broadcast); the rank is the
+    * two-phase [[topKPerQuery]], so the scored corpus never shuffles.
     */
   def bruteTopK(s: SparkSession, dir: String): DataFrame = {
     val e = Eval.barrier(Eval.fanOut(
@@ -68,10 +88,7 @@ object VectorOps {
     val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         round(cosine(col("qv"), col("v")), 6).as("cosine"))
-    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 10)
+    topKPerQuery(scored, "cosine", 10)
   }
 
   /** LSH-bucketed approximate top-10 (8 tables × 4 hyperplanes): bucket
@@ -86,16 +103,17 @@ object VectorOps {
     val corpus = e.select(col("vec_id"), col("v"), explode(col("keys")).as("key"))
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), explode(col("keys")).as("key"))
+    // Multi-table candidates are deduped by (q_id, neighbor_id) — a
+    // hash aggregate with map-side partial dedup, keyed well across
+    // reducers — then ranked with the two-phase bounded top-k, so the
+    // only per-query exchange carries partitions × queries × 10 entries.
     val scored = corpus.join(broadcast(q), Seq("key"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("qv"), col("v"))
       .dropDuplicates("q_id", "neighbor_id")
       .select(col("q_id"), col("neighbor_id"),
         round(cosine(col("qv"), col("v")), 6).as("cosine"))
-    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 10)
+    topKPerQuery(scored, "cosine", 10)
   }
 
   val defs: Map[String, QDef] = Map(
