@@ -33,15 +33,27 @@ object Bench {
       .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Shuffle-write accounting rides the whole run: wall-clock is
+    // machine-noisy, but bytes crossing an exchange only change when the
+    // PLAN changes — the signal that distinguishes a real regression
+    // from a GC pause (the r03 25.2s-vs-3.6s incident).
+    val accounting = new org.apache.spark.graftbridge.ShuffleAccounting
+    spark.sparkContext.addSparkListener(accounting)
+    val shuffleBytes = scala.collection.mutable.Map[String, Long]()
     // Full untimed warmup pass: JIT, codegen cache, parquet footers.
     // Otherwise whichever query happens to run first absorbs ~4s of JVM
-    // warmup and the per-query numbers are order-dependent.
+    // warmup and the per-query numbers are order-dependent. Shuffle
+    // volume is attributed here (one clean measured pass per query;
+    // plan-shape, so the warmup and timed plans are identical).
     val warmup = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      val (sb, _) = accounting.measure(spark.sparkContext) {
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
       val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] warmup $name $dt%.1fs")
+      shuffleBytes(name) = sb
+      System.err.println(f"[bench] warmup $name $dt%.1fs shuffle ${sb / 1024 / 1024}mb")
       // Queries that cache() build fresh lineage per invocation; without
       // this the cached blocks of every past run accumulate and GC
       // pressure lands on random later queries.
@@ -89,39 +101,49 @@ object Bench {
       }
       name -> best
     }
-    // Full per-query record first (may be long; also mirrored on stderr).
-    println(renderLine(results.toSeq.sortBy(_._1), results.toMap, sfDir))
+    // Full per-query record first (may be long; also mirrored on stderr):
+    // carries shuffle_bytes for EVERY query.
+    println(renderLine(results.toSeq.sortBy(_._1), results.toMap, sfDir,
+      shuffle = shuffleBytes.toSeq.sortBy(_._1)))
     spark.stop()
-    println(shortLine(results.toMap, sfDir))
+    println(shortLine(results.toMap, sfDir, shuffleBytes.toMap))
   }
 
   private def fmt(v: Double) = f"$v%.3f"
 
   private def renderLine(es: Seq[(String, Double)], all: Map[String, Double], sfDir: String,
-      rest: Double = 0.0): String = {
+      rest: Double = 0.0, shuffle: Seq[(String, Long)] = Nil): String = {
     val total = if (all.nonEmpty) all.values.sum else 0.0
     val entries = es.map { case (k, v) => "\"" + k + "\":" + fmt(v) } ++
       (if (rest > 0) Seq("\"_other_total\":" + fmt(rest)) else Nil)
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${entries.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+    val shufPart =
+      if (shuffle.isEmpty) ""
+      else ""","shuffle_bytes":""" +
+        shuffle.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${entries.mkString("{", ",", "}")}$shufPart,"sf":"$sfDir"}"""
   }
 
   /** The FINAL stdout line. The round driver parses a JSON line out of
     * the LAST 2000 chars of combined output (after sbt's "[success] …"
     * trailer), so this line must stay well under that: if the full map
     * is too long, keep the slowest 40 queries and fold the rest into
-    * "_other_total". Invariant spec-tested in BenchLineSpec.
+    * "_other_total". The heaviest shuffle writers ride along as a compact
+    * "shuffle_bytes" map (plan-shape signal — see accounting note in
+    * main). Invariants spec-tested in BenchLineSpec.
     */
-  def shortLine(results: Map[String, Double], sfDir: String): String = {
+  def shortLine(results: Map[String, Double], sfDir: String,
+      shuffle: Map[String, Long] = Map.empty): String = {
     val bySlowest = results.toSeq.sortBy { case (k, v) => (-v, k) }
+    val topShuffle = shuffle.toSeq.sortBy { case (k, v) => (-v, k) }.take(8)
     // Length-driven, not count-driven: drop the cheapest entries into
     // "_other_total" until the line fits (long query names would
     // otherwise defeat a fixed top-N cap).
     var keep = bySlowest.length
-    var line = renderLine(bySlowest, results, sfDir)
+    var line = renderLine(bySlowest, results, sfDir, shuffle = topShuffle)
     while (line.length > 1500 && keep > 0) {
       keep = math.max(0, keep - math.max(1, (line.length - 1500) / 30))
       line = renderLine(bySlowest.take(keep), results, sfDir,
-        rest = bySlowest.drop(keep).map(_._2).sum)
+        rest = bySlowest.drop(keep).map(_._2).sum, shuffle = topShuffle)
     }
     line
   }

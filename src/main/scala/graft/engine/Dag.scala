@@ -57,6 +57,16 @@ final case class DagResult(
   * `retryFailed` re-runs failed+skipped only; `register` upserts and
   * re-resolves dependencies; cycles are rejected.
   */
+object Dag {
+  /** Reference default + env knob: BQ_MAX_CONCURRENCY, default 8
+    * (reference src/session/pipeline.rs:48,278).
+    */
+  val DefaultMaxConcurrency: Int = 8
+  def envMaxConcurrency: Int =
+    sys.env.get("BQ_MAX_CONCURRENCY").flatMap(_.toIntOption).filter(_ > 0)
+      .getOrElse(DefaultMaxConcurrency)
+}
+
 final class Dag(session: GraftSession, workDir: Option[Path] = None) {
 
   private val tables = mutable.LinkedHashMap[String, DagTable]()
@@ -115,7 +125,9 @@ final class Dag(session: GraftSession, workDir: Option[Path] = None) {
   def getTables: Seq[(String, Option[String], Boolean, Seq[String])] =
     tables.values.map(t => (t.name, t.sql, t.isSource, deps.getOrElse(t.name, Nil))).toSeq
 
-  def run(targets: Option[Seq[String]] = None, maxConcurrency: Int = 1): DagResult = {
+  def run(
+      targets: Option[Seq[String]] = None,
+      maxConcurrency: Int = Dag.envMaxConcurrency): DagResult = {
     val subset = targets match {
       case Some(ts) => closure(ts)
       case None => tables.keySet.toSet
@@ -123,7 +135,7 @@ final class Dag(session: GraftSession, workDir: Option[Path] = None) {
     runSubset(subset, maxConcurrency)
   }
 
-  def retryFailed(prev: DagResult, maxConcurrency: Int = 1): DagResult =
+  def retryFailed(prev: DagResult, maxConcurrency: Int = Dag.envMaxConcurrency): DagResult =
     runSubset(prev.failed.map(_.table).toSet ++ prev.skipped.toSet, maxConcurrency)
 
   def clear(): Unit = {
@@ -141,36 +153,80 @@ final class Dag(session: GraftSession, workDir: Option[Path] = None) {
     needed.toSet
   }
 
+  /** Slot-based streaming execution (reference pipeline.rs:50-104
+    * StreamState::ready_tables): a table starts the moment its last
+    * dependency completes, bounded by `maxConcurrency` in-flight slots —
+    * there is NO barrier between topological levels, so a fast branch's
+    * dependents never wait for a slow sibling elsewhere in the DAG.
+    * Concurrent tables become concurrent Spark jobs; the scheduler
+    * interleaves their stages across the cluster.
+    *
+    * All scheduler state is owned by this (driver) thread; workers only
+    * post completion events. One deliberate divergence from the
+    * reference: its post-failure skip pass runs once per event
+    * (pipeline.rs:327-341), which can strand a skip chain deeper than
+    * one level with nothing in flight; here skips propagate to a
+    * fixpoint so every downstream table resolves immediately.
+    */
   private def runSubset(subset: Set[String], maxConcurrency: Int): DagResult = {
     if (subset.isEmpty) return DagResult()
-    val levels = topoLevels(subset)
+    topoLevels(subset) // cycle detection: raises CircularDependency
+    val slots = math.max(1, maxConcurrency)
+    // Per-table unresolved deps (completed deps are removed; blocked
+    // deps stay, which is what marks the table skippable).
+    val pendingDeps = mutable.Map.empty[String, mutable.Set[String]]
+    subset.foreach { n =>
+      pendingDeps(n) = mutable.Set(deps.getOrElse(n, Nil).filter(subset.contains): _*)
+    }
+    val inFlight = mutable.Set[String]()
+    val completed = mutable.Set[String]()
     val blocked = mutable.Set[String]()
     val succeeded = mutable.ArrayBuffer[String]()
     val failed = mutable.ArrayBuffer[TableError]()
     val skipped = mutable.ArrayBuffer[String]()
+    var processed = 0
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(slots, subset.size))
+    val events = new java.util.concurrent.LinkedBlockingQueue[(String, Option[Throwable])]()
 
-    for (level <- levels) {
-      val (toSkip, toRun) = level.partition(n => deps.getOrElse(n, Nil).exists(blocked.contains))
-      toSkip.foreach { n => blocked += n; skipped += n }
-      val results: Seq[(String, Option[Throwable])] =
-        if (maxConcurrency <= 1 || toRun.size <= 1) toRun.map(n => n -> execute(n))
-        else {
-          // Level-parallel execution: independent tables become concurrent
-          // Spark jobs (the scheduler interleaves their stages), bounded
-          // like the reference's streaming mode (pipeline.rs:48).
-          import java.util.concurrent.Executors
-          import scala.concurrent._
-          import scala.concurrent.duration.Duration
-          val pool = Executors.newFixedThreadPool(math.min(maxConcurrency, toRun.size))
-          implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-          try Await.result(Future.sequence(toRun.map(n => Future(n -> execute(n)))), Duration.Inf)
-          finally pool.shutdown()
-        }
-      results.foreach {
-        case (n, None) => succeeded += n
-        case (n, Some(e)) => blocked += n; failed += TableError(n, e.getMessage)
+    def isPending(n: String) = !completed(n) && !blocked(n) && !inFlight(n)
+    def spawnReady(): Unit = {
+      val free = slots - inFlight.size
+      if (free > 0) {
+        pendingDeps.keys.toSeq.sorted
+          .filter(n => isPending(n) && pendingDeps(n).isEmpty)
+          .take(free)
+          .foreach { n =>
+            inFlight += n
+            pool.execute(() => events.put(n -> execute(n)))
+          }
       }
     }
+
+    try {
+      spawnReady()
+      while (processed < subset.size) {
+        val (name, outcome) = events.take()
+        processed += 1
+        inFlight -= name
+        outcome match {
+          case None =>
+            completed += name; succeeded += name
+            pendingDeps.values.foreach(_ -= name)
+          case Some(e) =>
+            blocked += name; failed += TableError(name, e.getMessage)
+        }
+        var changed = true
+        while (changed) {
+          changed = false
+          pendingDeps.keys.toSeq.sorted.foreach { n =>
+            if (isPending(n) && pendingDeps(n).exists(blocked.contains)) {
+              blocked += n; skipped += n; processed += 1; changed = true
+            }
+          }
+        }
+        spawnReady()
+      }
+    } finally pool.shutdown()
     DagResult(succeeded.toSeq, failed.toSeq, skipped.toSeq)
   }
 

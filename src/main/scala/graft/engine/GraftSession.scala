@@ -86,14 +86,21 @@ object GraftSession {
     val step1 = unnestBare.replaceAllIn(step0, m => s"(SELECT explode(array(${m.group(1)})) AS col)")
     // SAFE_CAST(x AS T) is cast SYNTAX, not a function call, so no
     // FunctionRegistry builder can see it; Spark's TRY_CAST has the
-    // identical NULL-on-failure contract. BigQuery type names inside any
-    // cast are mapped to Spark's (INT64→BIGINT etc.) in the same pass.
+    // identical NULL-on-failure contract. BigQuery type names are mapped
+    // to Spark's (INT64→BIGINT etc.) only in cast-tail position — `AS
+    // <type>` immediately followed by `)` — so a column alias that
+    // happens to be named INT64/BOOL/… is left alone. KNOWN LIMITATION
+    // of this textual layer (tested): the patterns are applied to the
+    // raw query text, so a string LITERAL containing `SAFE_CAST(` or a
+    // cast-tail like `AS INT64)` is still rewritten; exact scoping needs
+    // a parser, which is what the Catalyst path (BQCompat builders +
+    // GraftExtensions) provides for everything that parses.
     val step2 = "(?i)\\bSAFE_CAST\\s*\\(".r.replaceAllIn(step1, "TRY_CAST(")
     val typeMap = Seq(
       "INT64" -> "BIGINT", "FLOAT64" -> "DOUBLE", "BOOL" -> "BOOLEAN",
       "BYTES" -> "BINARY", "NUMERIC" -> "DECIMAL(38,9)")
     typeMap.foldLeft(step2) { case (acc, (bq, sp)) =>
-      s"(?i)\\bAS\\s+$bq\\b".r.replaceAllIn(acc, s"AS $sp")
+      s"(?i)\\bAS\\s+$bq\\s*\\)".r.replaceAllIn(acc, s"AS $sp)")
     }
   }
 

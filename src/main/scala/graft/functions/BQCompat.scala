@@ -83,6 +83,20 @@ object BQCompat {
     u
   }
 
+  /** get_json_object with BigQuery's non-scalar contract: paths landing
+    * on an object/array yield NULL, not their JSON text. The extraction
+    * appears twice in the tree; Spark's common-subexpression elimination
+    * collapses the duplicate inside codegen.
+    */
+  private def jsonScalar(j: Expression, p: Expression): Expression = {
+    val raw = GetJsonObject(j, p)
+    val trimmed = StringTrim(raw)
+    CaseWhen(
+      Seq((Or(StartsWith(trimmed, lit("{")), StartsWith(trimmed, lit("["))),
+        Literal(null, org.apache.spark.sql.types.StringType))),
+      Some(raw))
+  }
+
   private def isInterval(e: Expression): Boolean = e match {
     case Literal(_, t) => t.isInstanceOf[org.apache.spark.sql.types.DayTimeIntervalType] ||
       t.isInstanceOf[org.apache.spark.sql.types.YearMonthIntervalType] ||
@@ -147,13 +161,18 @@ object BQCompat {
     "unix_micros" -> { case Seq(t) => UnixMicros(t) },
 
     // JSON scalar extraction: BigQuery JSON_EXTRACT_SCALAR / JSON_VALUE
-    // use the same $-rooted JSONPath subset as Spark's get_json_object
-    // and return an unquoted string scalar (NULL for objects/arrays —
-    // matching semantics). JSON_VALUE defaults to the root path.
-    "json_extract_scalar" -> { case Seq(j, p) => GetJsonObject(j, p) },
+    // use the same $-rooted JSONPath subset as Spark's get_json_object,
+    // but BigQuery returns NULL when the path lands on an object or
+    // array, while get_json_object returns their JSON text — so results
+    // whose trimmed text opens with '{' or '[' are nulled out. (Known
+    // residual divergence: a STRING scalar whose value itself starts
+    // with '{'/'[' is indistinguishable from serialized JSON here and
+    // also nulls; exact parity would need a JSON-type-aware extractor.)
+    // JSON_VALUE defaults to the root path.
+    "json_extract_scalar" -> { case Seq(j, p) => jsonScalar(j, p) },
     "json_value" -> {
-      case Seq(j) => GetJsonObject(j, Literal("$"))
-      case Seq(j, p) => GetJsonObject(j, p)
+      case Seq(j) => jsonScalar(j, Literal("$"))
+      case Seq(j, p) => jsonScalar(j, p)
     },
 
     // SAFE_ arithmetic: NULL instead of error on overflow/bad input.

@@ -151,10 +151,16 @@ object TpchOps2 {
           .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("value"))
           .cache()
         val total = perPart.agg(sum("value").as("tot"))
-        perPart.join(broadcast(total))
+        val out = perPart.join(broadcast(total))
           .filter(col("value") > col("tot") * 0.001)
           .select(col("l_partkey").as("p_partkey"), round(col("value"), 2).as("part_value"))
           .orderBy("p_partkey")
+          // Pin the single evaluation, then release the cache: the suite
+          // runs 130 queries in one JVM, and a left-behind cache leaks
+          // storage-pool pages into every later query.
+          .localCheckpoint()
+        perPart.unpersist()
+        out
       },
       """WITH perpart AS (
         |  SELECT l_partkey, SUM(l_extendedprice * (1.0 - l_discount)) AS value

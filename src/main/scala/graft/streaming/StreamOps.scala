@@ -138,7 +138,8 @@ object StreamOps {
     * highest complete snapshot ([[latestSnapshot]]).
     */
   def mergeSink(
-      updates: DataFrame, tableDir: String, checkpointDir: String)
+      updates: DataFrame, tableDir: String, checkpointDir: String,
+      retainSnapshots: Int = 3)
       : org.apache.spark.sql.streaming.StreamingQuery =
     updates.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -156,9 +157,38 @@ object StreamOps {
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
           .write.mode("overwrite").parquet(s"$tableDir/snap_$batchId")
+        // Retention: snapshots older than the last `retainSnapshots` are
+        // dead weight (replay only ever needs the latest id strictly
+        // below the replayed batch). Prune AFTER the new snapshot
+        // commits, so a crash mid-prune still leaves a complete chain.
+        val (fs, root) = fsOf(spark, tableDir)
+        committedSnapshotIds(fs, root)
+          .filter(_ <= batchId - math.max(1, retainSnapshots))
+          .foreach { id =>
+            fs.delete(new org.apache.hadoop.fs.Path(root, s"snap_$id"), true)
+          }
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+
+  /** `tableDir`'s FileSystem from the session's Hadoop conf — resolves
+    * HDFS/S3A/file URIs alike, unlike java.io.File which silently only
+    * works on the local filesystem.
+    */
+  private def fsOf(spark: org.apache.spark.sql.SparkSession, tableDir: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val root = new org.apache.hadoop.fs.Path(tableDir)
+    (root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
+  }
+
+  /** Ids of COMMITTED snapshots (Spark writes _SUCCESS on completion). */
+  private def committedSnapshotIds(
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("snap_"))
+      .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("snap_").toLong)
 
   /** The current merged state: the highest-numbered snapshot directory
     * (optionally restricted to ids strictly below `below` — what a
@@ -167,13 +197,8 @@ object StreamOps {
   def latestSnapshot(
       spark: org.apache.spark.sql.SparkSession, tableDir: String,
       below: Option[Long] = None): Option[DataFrame] = {
-    val root = new java.io.File(tableDir)
-    val ids = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("snap_"))
-      // only COMMITTED snapshots (Spark writes _SUCCESS on completion)
-      .filter(f => new java.io.File(f, "_SUCCESS").exists())
-      .map(_.getName.stripPrefix("snap_").toLong)
-      .filter(id => below.forall(id < _))
+    val (fs, root) = fsOf(spark, tableDir)
+    val ids = committedSnapshotIds(fs, root).filter(id => below.forall(id < _))
     if (ids.isEmpty) None
     else Some(spark.read.parquet(s"$tableDir/snap_${ids.max}"))
   }

@@ -45,4 +45,19 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!line.contains("_other_total"))
     (1 to 10).foreach(i => assert(line.contains(f"q_generated_operator_name_$i%03d")))
   }
+
+  test("shuffle_bytes rides the short line compactly and under budget") {
+    val shuffle = (1 to 150).map(i => f"q_generated_operator_name_$i%03d" -> i * 1000L).toMap
+    val line = Bench.shortLine(queries(106), sf, shuffle)
+    assert(line.length <= 1500, s"line length ${line.length}")
+    assert(line.contains(""""shuffle_bytes":{"""))
+    assert(line.count(_ == '{') == 3 && line.count(_ == '}') == 3)
+    // top-8 by bytes only: the heaviest writer is present, the lightest absent
+    assert(line.contains(""""q_generated_operator_name_150":150000"""))
+    assert(!line.contains(""""q_generated_operator_name_001":1000"""))
+    assert(line.endsWith(s""","sf":"$sf"}"""))
+    // without a shuffle map the line shape is unchanged (2 braces)
+    val plain = Bench.shortLine(queries(106), sf)
+    assert(plain.count(_ == '{') == 2 && plain.count(_ == '}') == 2)
+  }
 }

@@ -133,6 +133,58 @@ class DagSpec extends SparkSpec {
     }
   }
 
+  test("slot scheduling: a fast branch's dependent finishes while the slow sibling still runs") {
+    // Diamond-ish DAG: root → {slow, fast}, fast → fast_child. Under the
+    // old level-barrier executor fast_child could not START until slow
+    // finished; under ready-queue slots it must COMPLETE before slow does
+    // (slow sleeps 3s; fast_child is a trivial 1-row materialization).
+    val (s, dag) = freshDag()
+    s.spark.udf.register("dagspec_sleep_ident",
+      (ms: Int, x: Long) => { Thread.sleep(ms); x })
+    dag.register(Seq(
+      DagTable.source("root", Seq("x" -> "INT64"), Seq(Seq(10))),
+      DagTable.derived("slow", "SELECT dagspec_sleep_ident(3000, x) AS x FROM root"),
+      DagTable.derived("fast", "SELECT x + 1 AS x FROM root"),
+      DagTable.derived("fast_child", "SELECT x * 2 AS x FROM fast")))
+    val res = dag.run(maxConcurrency = 4)
+    assert(res.allSucceeded)
+    // succeeded is appended in completion order.
+    assert(res.succeeded.indexOf("fast_child") < res.succeeded.indexOf("slow"),
+      s"fast_child waited for the slow sibling: ${res.succeeded}")
+    assert(s.sql("SELECT x FROM fast_child").collect()(0).getLong(0) == 22L)
+    assert(s.sql("SELECT x FROM slow").collect()(0).getLong(0) == 10L)
+  }
+
+  test("a skip chain deeper than one level fully resolves (no stranded tables)") {
+    // a fails → b skipped → c skipped: the reference's single-pass skip
+    // (pipeline.rs:327) would strand c with nothing in flight; the
+    // fixpoint propagation must mark both in one run.
+    val (_, dag) = freshDag()
+    dag.register(Seq(
+      DagTable.source("src2", Seq("v" -> "INT64"), Seq(Seq(1))),
+      DagTable.derived("a", "SELECT no_such FROM src2"),
+      DagTable.derived("b", "SELECT * FROM a"),
+      DagTable.derived("c", "SELECT * FROM b")))
+    val res = dag.run(maxConcurrency = 2)
+    assert(res.succeeded == Seq("src2"))
+    assert(res.failed.map(_.table) == Seq("a"))
+    assert(res.skipped.sorted == Seq("b", "c"))
+  }
+
+  test("BQ_MAX_CONCURRENCY-style default keeps full-run results identical to serial") {
+    val (s, dag) = freshDag()
+    dag.register(
+      DagTable.source("base2", Seq("v" -> "INT64"), Seq(Seq(3))) +:
+        (0 until 5).map(i => DagTable.derived(s"t2_$i", s"SELECT v * ${i + 1} AS v FROM base2")))
+    val par = dag.run() // default: env BQ_MAX_CONCURRENCY or 8 slots
+    val ser = dag.run(maxConcurrency = 1)
+    assert(par.allSucceeded && ser.allSucceeded)
+    assert(par.succeeded.toSet == ser.succeeded.toSet)
+    (0 until 5).foreach { i =>
+      assert(s.sql(s"SELECT v FROM t2_$i").collect()(0).getLong(0) == 3L * (i + 1))
+    }
+  }
+
   test("clear drops views and registry") {
     val (s, dag) = freshDag()
     dag.register(Seq(DagTable.source("tmp", Seq("v" -> "INT64"), Seq(Seq(42)))))

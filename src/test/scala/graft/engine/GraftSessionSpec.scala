@@ -77,6 +77,12 @@ class GraftSessionSpec extends SparkSpec {
     // the rewrite is textual — verify it leaves ordinary SQL alone
     assert(GraftSession.rewriteBqSyntax("SELECT broadcast FROM t") ==
       "SELECT broadcast FROM t")
+    // type names map only in cast-tail position (`AS INT64)`): a column
+    // alias that happens to be named INT64/BOOL survives the pass.
+    assert(GraftSession.rewriteBqSyntax("SELECT a AS INT64, b AS BOOL FROM t") ==
+      "SELECT a AS INT64, b AS BOOL FROM t")
+    assert(GraftSession.rewriteBqSyntax("SELECT CAST(a AS INT64) FROM t") ==
+      "SELECT CAST(a AS BIGINT) FROM t")
   }
 
   test("BigQuery type mapping covers arrays and rejects junk") {

@@ -59,10 +59,13 @@ class BQCompatSpec extends SparkSpec {
         |       JSON_EXTRACT_SCALAR('{"a": {"b": 7}}', '$.a') c,
         |       JSON_VALUE('"plain"') d""".stripMargin).collect()(0)
     assert(r.getString(0) == "7" && r.getString(1) == "x")
-    // objects are not scalars — Spark's get_json_object returns the
-    // object text; BigQuery returns NULL. Both are non-scalar sentinels;
-    // we assert the scalar contract on scalars and stability here.
+    // objects/arrays are not scalars: BigQuery returns NULL, and so do
+    // we (the jsonScalar wrapper nulls results whose text opens '{'/'[').
+    assert(r.isNullAt(2))
     assert(r.getString(3) == "plain")
+    val arr = spark.sql(
+      """SELECT JSON_EXTRACT_SCALAR('{"a": [1, 2]}', '$.a') x""").collect()(0)
+    assert(arr.isNullAt(0))
   }
 
   test("SAFE_ADD/SUBTRACT/MULTIPLY go NULL on overflow, DIV divides integrally") {

@@ -1,6 +1,5 @@
 package graft.queries
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -63,21 +62,11 @@ class BoundedTopKSpec extends SparkSpec {
     val rows = 200000; val parts = 8; val groups = 10
     val scored = scoredFrame(rows, parts, groups)
 
-    class Records extends SparkListener {
-      val written = new java.util.concurrent.atomic.AtomicLong(0)
-      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
-        if (t.taskMetrics != null)
-          written.addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
-    }
-
     def measure(f: => Unit): Long = {
-      val l = new Records
+      val l = new org.apache.spark.graftbridge.ShuffleAccounting
       spark.sparkContext.addSparkListener(l)
-      try {
-        f
-        org.apache.spark.graftbridge.TestListenerBridge.waitUntilEmpty(spark.sparkContext)
-        l.written.get
-      } finally spark.sparkContext.removeSparkListener(l)
+      try l.measure(spark.sparkContext)(f)._2
+      finally spark.sparkContext.removeSparkListener(l)
     }
 
     val boundedRecords = measure {

@@ -1,0 +1,48 @@
+package graft.queries
+
+import org.apache.spark.graftbridge.ShuffleAccounting
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Shuffle-byte budgets for headline queries (SURVEY §7b): wall-clock is
+  * machine-noisy, but shuffle WRITE volume only moves when the plan
+  * moves — a broken broadcast, a lost pushdown, or a rank that starts
+  * leaking the corpus through an exchange trips these long before a
+  * human reads a bench diff. Budgets are ~3× the measured sf0.001
+  * volume: loose enough for row-count jitter, far below the
+  * order-of-magnitude jump any real plan regression causes.
+  */
+class ShuffleBudgetSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // name -> max shuffle-write bytes at sf0.001 (local[4], 4 shuffle parts)
+  // measured r5: 1.3 / 3.9 / 83 / 225 / 250 / 539 KiB
+  private val budgets: Seq[(String, Long)] = Seq(
+    "q1_pricing_summary" -> 8 * 1024L,
+    "q_tpch_q3" -> 16 * 1024L,
+    "q_tpch_q21" -> 320 * 1024L,
+    "dedup_minhash_lsh" -> 1024 * 1024L,
+    "dedup_clusters" -> 1024 * 1024L,
+    "ann_pq_topk" -> 2 * 1024 * 1024L)
+
+  test("headline queries stay inside their shuffle-byte budgets") {
+    val acc = new ShuffleAccounting
+    spark.sparkContext.addSparkListener(acc)
+    try {
+      val measured = budgets.map { case (name, budget) =>
+        val (bytes, _) = acc.measure(spark.sparkContext) {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+        }
+        spark.catalog.clearCache()
+        info(f"$name%-22s shuffle ${bytes / 1024.0}%.1f KiB (budget ${budget / 1024} KiB)")
+        (name, bytes, budget)
+      }
+      val over = measured.filter { case (_, b, budget) => b > budget }
+      assert(over.isEmpty, over.map { case (n, b, bud) =>
+        s"$n wrote $b bytes (budget $bud)"
+      }.mkString("; "))
+    } finally spark.sparkContext.removeSparkListener(acc)
+  }
+}

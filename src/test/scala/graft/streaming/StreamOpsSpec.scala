@@ -174,9 +174,12 @@ class StreamOpsSpec extends SparkSpec {
     val table = s"$base/table"; val ckpt = s"$base/ckpt"
     val input = MemoryStream[Ev]
     def drain(): Unit = {
-      val q = StreamOps.mergeSink(input.toDF(), table, ckpt)
+      val q = StreamOps.mergeSink(input.toDF(), table, ckpt, retainSnapshots = 1)
       q.awaitTermination() // AvailableNow: drains what's present, stops
     }
+    def snapDirs(): Seq[String] =
+      Option(new java.io.File(table).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("snap_")).map(_.getName).sorted.toSeq
     input.addData(Ev(1, ts(5), "a", 1.0), Ev(2, ts(6), "a", 2.0))
     drain()
     def state(): Map[Long, (String, Double)] =
@@ -187,6 +190,9 @@ class StreamOpsSpec extends SparkSpec {
     input.addData(Ev(1, ts(9), "b", 9.0), Ev(3, ts(7), "a", 3.0))
     drain()
     assert(state() == Map(1L -> ("b", 9.0), 2L -> ("a", 2.0), 3L -> ("a", 3.0)))
+    // retention (retain=1): batch 1's prune removed snap_0 — snapshots
+    // don't accumulate without bound.
+    assert(snapDirs() == Seq("snap_1"), snapDirs().toString)
     // idle restart: nothing new to process, state unchanged
     drain()
     assert(state() == Map(1L -> ("b", 9.0), 2L -> ("a", 2.0), 3L -> ("a", 3.0)))
