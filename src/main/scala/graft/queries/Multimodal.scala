@@ -8,41 +8,74 @@ import graft.Tables
 /** Multimodal-column plumbing: media as opaque `binary` payloads with
   * typed metadata, and batched per-partition feature extraction.
   *
-  * The container has no image/audio codecs, so the DECODE STEP IS A
-  * DETERMINISTIC STUB: features are per-residue byte sums (position mod
-  * 8) of the payload. Everything around it — binary column, metadata
-  * schema, partition-iterator batch shape (the Scala analog of a batched
-  * pandas UDF), feature-vector schema — is real. A production decoder
-  * replaces only the inner loop in [[extract]].
-  *
-  * Payloads are derived from `documents.text` (UTF-8 bytes) so the stub
-  * is byte-for-byte reproducible by the DuckDB oracle via char codes.
+  * Every decode step here runs a REAL codec from the JDK: feature
+  * extraction decodes actual PNG payloads pixel-by-pixel through
+  * ImageIO ([[extract]]), audio metadata and frame sampling walk real
+  * RIFF/WAVE containers ([[decodeWav]], [[frames]]), and image metadata
+  * header-parses PNG/JPEG/GIF/BMP ([[decodeImage]]). Payload CONTENT is
+  * synthesized from `documents.text` (UTF-8 bytes as gray pixels / PCM
+  * samples) so every decoded value is byte-for-byte reproducible by the
+  * DuckDB oracle via char codes — the codecs are real, the fixtures are
+  * deterministic. Only a video codec remains out of scope (none ships
+  * in the JDK); frame sampling uses the audio container instead.
   */
 object Multimodal {
 
   final case class MediaFeatures(
-      doc_id: Long, mime: String, byte_len: Long,
+      doc_id: Long, mime: String, format: String, width: Int, height: Int,
       f0: Long, f1: Long, f2: Long, f3: Long,
       f4: Long, f5: Long, f6: Long, f7: Long)
 
-  /** STUB decoder: replace this loop with a real codec (image resize,
-    * audio frame sample, …). Signature and batch shape are the real
-    * contract: one iterator per partition, records streamed through.
+  /** Encode raw bytes as a REAL grayscale PNG (one byte = one pixel,
+    * row-major at `width`, zero-padded to fill the last row) using the
+    * JDK's own PNG writer. 8-bit gray PNG is lossless, so the decoded
+    * raster reproduces the input bytes exactly.
+    */
+  def pngBytes(data: Array[Byte], width: Int = 32): Array[Byte] = {
+    val h = math.max(1, (data.length + width - 1) / width)
+    val img = new java.awt.image.BufferedImage(
+      width, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    val padded = java.util.Arrays.copyOf(data, width * h)
+    raster.setDataElements(0, 0, width, h, padded)
+    val out = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(img, "png", out))
+      throw new IllegalStateException("JDK PNG writer unavailable")
+    out.toByteArray
+  }
+
+  /** REAL decoder: ImageIO pixel-decodes the PNG payload and the
+    * features are per-residue pixel sums (raster position mod 8) over
+    * the decoded image — an honest stand-in for an embedding model's
+    * preprocess stage (decode → normalize → reduce). One iterator per
+    * partition, records streamed through; a poisoned payload degrades
+    * to format "unknown" instead of killing the stage.
     */
   private def extract(id: Long, mime: String, payload: Array[Byte]): MediaFeatures = {
     val f = new Array[Long](8)
-    var p = 0
-    while (p < payload.length) { f(p % 8) += payload(p) & 0xff; p += 1 }
-    MediaFeatures(id, mime, payload.length.toLong, f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null)
+      return MediaFeatures(id, mime, "unknown", -1, -1, 0, 0, 0, 0, 0, 0, 0, 0)
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { f((y * w + x) % 8) += raster.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    MediaFeatures(id, mime, "png", w, h, f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
   }
 
   def features(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Eval.fanOut(
       Tables(s, dir, "documents")
-        .select(col("doc_id"), lit("text/plain").as("mime"), encode(col("text"), "UTF-8").as("payload")))
+        .select(col("doc_id"), lit("image/png").as("mime"), encode(col("text"), "UTF-8").as("payload")))
       .as[(Long, String, Array[Byte])]
-      .mapPartitions(_.map { case (id, mime, payload) => extract(id, mime, payload) })
+      .mapPartitions(_.map { case (id, mime, data) => extract(id, mime, pngBytes(data)) })
       .toDF()
       .orderBy("doc_id")
   }
@@ -122,23 +155,37 @@ object Multimodal {
     * payloads degrade to format "unknown" with -1 fields (a poisoned
     * record must not kill a 100 TB pipeline stage).
     */
-  def decodeWav(id: Long, payload: Array[Byte]): AudioMeta = {
-    val bad = AudioMeta(id, "unknown", -1, -1, -1, -1L, -1L)
-    if (payload.length < 12) return bad
+  /** Parsed fmt + data-chunk geometry of a RIFF/WAVE payload — what both
+    * metadata extraction ([[decodeWav]]) and PCM frame sampling
+    * ([[frames]]) need from the container.
+    */
+  final case class WavInfo(
+      channels: Int, sampleRate: Int, bits: Int, blockAlign: Int,
+      dataOff: Int, dataLen: Int)
+
+  /** The chunk walk itself: verifies the RIFF/WAVE magic, then walks the
+    * word-aligned chunk list (unknown chunks skipped) for `fmt ` and
+    * `data`, so files with extra LIST/INFO/fact chunks parse correctly —
+    * not just our own writer's canonical layout. Reads only chunk
+    * headers plus the 16-byte fmt body; cost per record is O(#chunks),
+    * not O(bytes). Returns None for malformed payloads.
+    */
+  def walkWav(payload: Array[Byte]): Option[WavInfo] = {
+    if (payload.length < 12) return None
     val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def fourcc(): String = {
       val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
     }
-    if (fourcc() != "RIFF") return bad
+    if (fourcc() != "RIFF") return None
     bb.getInt() // declared RIFF size; trust actual buffer bounds instead
-    if (fourcc() != "WAVE") return bad
+    if (fourcc() != "WAVE") return None
     var channels, sampleRate, bits = -1
-    var dataLen = -1L
+    var dataLen, dataOff = -1
     var blockAlign = -1
     while (bb.remaining() >= 8 && (dataLen < 0 || channels < 0)) {
       val id4 = fourcc()
       val size = bb.getInt()
-      if (size < 0 || size > bb.remaining()) return bad
+      if (size < 0 || size > bb.remaining()) return None
       // chunks are word-aligned, but a final odd-sized chunk may omit
       // its pad byte — clamp the skip to the buffer end
       val next = math.min(bb.limit(), bb.position() + size + (size & 1))
@@ -151,18 +198,24 @@ object Multimodal {
           blockAlign = bb.getShort().toInt
           bits = bb.getShort().toInt
         case "data" =>
-          dataLen = size.toLong
+          dataOff = bb.position()
+          dataLen = size
         case _ => ()
       }
       bb.position(next)
     }
-    if (channels <= 0 || sampleRate <= 0 || blockAlign <= 0 || dataLen < 0) bad
-    else {
-      val nSamples = dataLen / blockAlign
-      AudioMeta(id, "wav", channels, sampleRate, bits, nSamples,
-        nSamples * 1000L / sampleRate)
-    }
+    if (channels <= 0 || sampleRate <= 0 || blockAlign <= 0 || dataLen < 0) None
+    else Some(WavInfo(channels, sampleRate, bits, blockAlign, dataOff, dataLen))
   }
+
+  def decodeWav(id: Long, payload: Array[Byte]): AudioMeta =
+    walkWav(payload) match {
+      case Some(w) =>
+        val nSamples = w.dataLen.toLong / w.blockAlign
+        AudioMeta(id, "wav", w.channels, w.sampleRate, w.bits, nSamples,
+          nSamples * 1000L / w.sampleRate)
+      case None => AudioMeta(id, "unknown", -1, -1, -1, -1L, -1L)
+    }
 
   /** Distributed audio-metadata extraction: same per-partition batch
     * shape as [[imageMeta]], with the RIFF walker in the inner loop.
@@ -180,24 +233,34 @@ object Multimodal {
       doc_id: Long, mime: String, n_frames: Long,
       frame_lens: Seq[Long], thumb: Array[Byte])
 
-  /** STUB frame-sampler + resizer: "frames" are n contiguous payload
-    * slices, the "thumbnail" subsamples every k-th byte to 64 bytes. A
-    * real codec replaces the slicing; the schema (array of per-frame
-    * metadata + fixed-size binary) and per-partition batch shape are the
-    * production contract.
+  /** REAL frame sampler: the payload is an actual RIFF/WAVE file, the
+    * chunk walk ([[walkWav]]) locates the PCM `data` region at its true
+    * parsed offset (NOT an assumed canonical 44-byte header — LIST/INFO
+    * chunks shift it), "frames" are n contiguous sample windows of that
+    * region, and the "thumbnail" subsamples every k-th PCM byte to 64
+    * bytes — decode-container → locate-stream → window → downsample, the
+    * real frame-sampling pipeline shape. Video proper stays out of scope
+    * (no video codec ships in the JDK); the container-parse + stream-
+    * windowing contract is identical.
     */
   def frames(s: SparkSession, dir: String, n: Int = 4): DataFrame = {
     import s.implicits._
     Eval.fanOut(
       Tables(s, dir, "documents")
-        .select(col("doc_id"), lit("video/fake").as("mime"), encode(col("text"), "UTF-8").as("payload")))
+        .select(col("doc_id"), lit("audio/wav").as("mime"), encode(col("text"), "UTF-8").as("pcm")))
       .as[(Long, String, Array[Byte])]
-      .mapPartitions(_.map { case (id, mime, payload) =>
-        val L = payload.length
-        val lens = (0 until n).map(i => ((L + n - 1 - i) / n).toLong)
-        val step = math.max(1, L / 64)
-        val thumb = (0 until math.min(64, L)).map(i => payload(i * step)).toArray
-        MediaFrames(id, mime, n.toLong, lens, thumb)
+      .mapPartitions(_.map { case (id, mime, raw) =>
+        val payload = wavBytes(raw)
+        walkWav(payload) match {
+          case Some(w) =>
+            val L = w.dataLen
+            val lens = (0 until n).map(i => ((L + n - 1 - i) / n).toLong)
+            val step = math.max(1, L / 64)
+            val thumb = (0 until math.min(64, L))
+              .map(i => payload(w.dataOff + i * step)).toArray
+            MediaFrames(id, mime, n.toLong, lens, thumb)
+          case None => MediaFrames(id, mime, -1L, Nil, Array.emptyByteArray)
+        }
       })
       .toDF()
       .orderBy("doc_id")
@@ -220,10 +283,17 @@ object Multimodal {
       s"p -> CASE WHEN (p - 1) % 8 = $i THEN ascii(text[p]) ELSE 0 END)) AS BIGINT) AS f$i"
 
   val defs: Map[String, QDef] = Map(
+    // Real-codec image features: the query encodes each document's bytes
+    // as an actual grayscale PNG and pixel-decodes it through ImageIO;
+    // the oracle recomputes the residue sums from character codes (the
+    // zero padding in the last raster row adds nothing to any residue).
+    // If either the PNG writer or the pixel decode were lossy or
+    // misaligned, every f-column would break.
     "mm_features" -> QDef(
       (s, dir) => features(s, dir),
-      s"""SELECT doc_id, 'text/plain' AS mime,
-         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      s"""SELECT doc_id, 'image/png' AS mime, 'png' AS format,
+         |  CAST(32 AS INT) AS width,
+         |  CAST(greatest(1, (octet_length(encode(text)) + 31) // 32) AS INT) AS height,
          |  ${(0 to 7).map(oracleFeature).mkString(",\n  ")}
          |FROM documents ORDER BY doc_id""".stripMargin),
 
@@ -249,12 +319,14 @@ object Multimodal {
         |  CAST(octet_length(encode(text)) * 1000 // 16000 AS BIGINT) AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin),
 
-    // Frame-sampling plumbing (decode stubbed), flattened to scalar
-    // columns. The oracle re-derives frame slice lengths and the
-    // every-kth-byte thumbnail from the same UTF-8 payload.
+    // Real-container frame sampling, flattened to scalar columns: the
+    // query builds a real WAV file per document and windows the PCM
+    // region located by the chunk walk. The oracle re-derives frame
+    // window lengths and the every-kth-byte thumbnail from the same
+    // UTF-8 payload (= the PCM samples).
     "mm_frames" -> QDef(
       (s, dir) => framesFlat(s, dir),
-      """SELECT doc_id, 'video/fake' AS mime, CAST(4 AS BIGINT) AS n_frames,
+      """SELECT doc_id, 'audio/wav' AS mime, CAST(4 AS BIGINT) AS n_frames,
         |  array_to_string(list_transform(range(0, 4), i -> CAST((L + 3 - i) // 4 AS BIGINT)), ',') AS frame_lens,
         |  upper(array_to_string(list_transform(range(0, least(64, L)),
         |    i -> lpad(to_hex(ascii(text[CAST(i * greatest(1, L // 64) + 1 AS BIGINT)])), 2, '0')), '')) AS thumb_hex

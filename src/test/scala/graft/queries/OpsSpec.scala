@@ -133,26 +133,46 @@ class OpsSpec extends SparkSpec {
     assert(DirectoryCatalog.listTablesIn(root.toString, "p2", "d2") == Seq("t2"))
   }
 
-  test("multimodal features are deterministic and match byte sums") {
+  test("multimodal features run the REAL PNG codec and match byte sums") {
+    // PNG round-trip identity first: 8-bit gray is lossless, so the
+    // decoded raster must reproduce the input bytes exactly.
+    val data = Array.tabulate(77)(i => (i * 37 % 256).toByte)
+    val png = Multimodal.pngBytes(data, width = 32)
+    assert(png.take(8).map(_ & 0xff).sameElements(
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)), "not a real PNG signature")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == 32 && img.getHeight == 3)
+    data.zipWithIndex.foreach { case (b, i) =>
+      assert(img.getRaster.getSample(i % 32, i / 32, 0) == (b & 0xff), s"pixel $i lossy")
+    }
+    // Distributed path: features decoded from the PNG equal residue sums
+    // of the original text bytes (padding pixels are zero).
     val out = Multimodal.features(spark, sfDir).limit(1).collect()(0)
     val docId = out.getLong(0)
     val text = graft.Tables(spark, sfDir, "documents")
       .filter(col("doc_id") === docId).select("text").collect()(0).getString(0)
     val bytes = text.getBytes("UTF-8")
-    assert(out.getLong(2) == bytes.length.toLong)
+    assert(out.getString(2) == "png")
+    assert(out.getInt(3) == 32 && out.getInt(4) == math.max(1, (bytes.length + 31) / 32))
     val expected = new Array[Long](8)
     bytes.zipWithIndex.foreach { case (b, i) => expected(i % 8) += b & 0xff }
-    (0 until 8).foreach(i => assert(out.getLong(3 + i) == expected(i)))
+    (0 until 8).foreach(i => assert(out.getLong(5 + i) == expected(i)))
   }
 
-  test("multimodal frame sampling slices payloads consistently") {
+  test("multimodal frame sampling windows the REAL parsed PCM region") {
     val r = Multimodal.frames(spark, sfDir, 4).limit(1).collect()(0)
     val lens = r.getSeq[Long](3)
     assert(r.getLong(2) == 4L && lens.length == 4)
     val text = graft.Tables(spark, sfDir, "documents")
       .filter(col("doc_id") === r.getLong(0)).select("text").collect()(0).getString(0)
-    assert(lens.sum == text.getBytes("UTF-8").length.toLong)
-    assert(r.getAs[Array[Byte]](4).length <= 64)
+    val pcm = text.getBytes("UTF-8")
+    assert(lens.sum == pcm.length.toLong)
+    // thumbnail bytes come from the data-chunk offset the walker parsed,
+    // so they are actual PCM samples (= text bytes), not header bytes
+    val thumb = r.getAs[Array[Byte]](4)
+    assert(thumb.length <= 64)
+    val step = math.max(1, pcm.length / 64)
+    thumb.zipWithIndex.foreach { case (b, i) => assert(b == pcm(i * step), s"thumb byte $i") }
   }
 
   test("image header decode on real PNG/JPEG bytes via the distributed path") {
