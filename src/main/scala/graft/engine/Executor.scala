@@ -20,11 +20,13 @@ sealed trait ExecutorMode
 object ExecutorMode {
   case object Local extends ExecutorMode
   case object BigQuery extends ExecutorMode
+  case object Jdbc extends ExecutorMode
 
   def parse(s: String): ExecutorMode = s.trim.toLowerCase match {
     case "mock" | "local" => Local
     case "bigquery" => BigQuery
-    case other => throw GraftError.InvalidParams(s"Unknown backend: $other (use mock|bigquery)")
+    case "jdbc" => Jdbc
+    case other => throw GraftError.InvalidParams(s"Unknown backend: $other (use mock|bigquery|jdbc)")
   }
 }
 
@@ -98,4 +100,51 @@ final class BigQueryResolver(
           s"BigQuery backend selected but spark-bigquery connector is not on the classpath " +
             s"(resolving ${qualifiedName(name)}): ${e.getMessage}")
     }
+}
+
+/** Concrete remote backend with REAL I/O through the seam: tables
+  * resolve via Spark's own JDBC source against any JDBC endpoint — in
+  * tests, an embedded Derby database (its jars ship with Spark), the
+  * loopback stand-in for a warehouse behind a JDBC URL. Unlike
+  * [[BigQueryResolver]] (whose connector jar cannot exist in this
+  * zero-egress environment), every [[resolve]] here opens a real
+  * connection, reads the remote schema, and pulls rows through the JDBC
+  * scan — and Spark pushes filters and column pruning into the remote
+  * SQL, so the seam keeps the pushdown discipline at scale.
+  *
+  * [[persist]] closes the loop in the other direction (a materialized
+  * result written back through the same endpoint), which is what the
+  * reference's materialize-derived-tables DAG step does against real
+  * BigQuery (reference src/session/pipeline.rs: CREATE TABLE + INSERT
+  * of each derived query's result).
+  */
+final class JdbcResolver(url: String, options: Map[String, String] = Map.empty)
+    extends TableResolver {
+
+  val mode: ExecutorMode = ExecutorMode.Jdbc
+
+  private def reader(spark: SparkSession) =
+    spark.read.format("jdbc").option("url", url).options(options)
+
+  def resolve(spark: SparkSession, name: String): DataFrame =
+    try reader(spark).option("dbtable", name).load()
+    catch {
+      case e: Exception if exists(e)(_.getMessage.contains("does not exist")) =>
+        throw GraftError.UnknownTable(name)
+      case e: Exception =>
+        throw GraftError.QueryError(s"JDBC backend failed resolving $name ($url): ${e.getMessage}")
+    }
+
+  /** Write a result back through the endpoint (append-or-create). */
+  def persist(df: DataFrame, name: String): Unit =
+    try df.write.format("jdbc").option("url", url).options(options)
+      .option("dbtable", name).mode("append").save()
+    catch {
+      case e: Exception =>
+        throw GraftError.QueryError(s"JDBC backend failed writing $name ($url): ${e.getMessage}")
+    }
+
+  private def exists(t: Throwable)(p: Throwable => Boolean): Boolean =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+      .exists(x => x.getMessage != null && p(x))
 }

@@ -156,6 +156,71 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(lineitemScans <= 2, s"lineitem scanned $lineitemScans times")
   }
 
+  test("the whole TPC-H tier keeps big tables out of cartesian/nested-loop joins") {
+    // q11/q22 legitimately attach a ONE-ROW scalar frame (value fraction
+    // threshold / average balance) as a broadcast nested loop; everywhere
+    // else a BroadcastNestedLoop means a dimension lost its hash join.
+    val scalarJoinOk = Set("q_tpch_q11", "q_tpch_q22")
+    val tpch = graft.SparkEntry.queries.keys.filter(_.startsWith("q_tpch_q")).toSeq.sorted
+    assert(tpch.size == 21, s"TPC-H tier shrank: $tpch") // q1 lives as q1_pricing_summary
+    for (q <- tpch :+ "q1_pricing_summary") {
+      val plan = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$q: ${plan.take(1000)}")
+      if (!scalarJoinOk(q))
+        assert(!plan.contains("BroadcastNestedLoop"), s"$q: ${plan.take(1000)}")
+    }
+  }
+
+  test("tpch q3/q18 plan their top-k as TakeOrdered, never a global sort") {
+    for (q <- Seq("q_tpch_q3", "q_tpch_q18")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"), s"$q: ${plan.take(1000)}")
+    }
+    // q3's customer dim is hinted broadcast — the hint must survive.
+    assert(SparkEntry.queries("q_tpch_q3")(spark, sfDir)
+      .queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
+  test("tpch q8/q9/q14/q15 broadcast their dimension sides") {
+    for (q <- Seq("q_tpch_q8", "q_tpch_q9", "q_tpch_q14", "q_tpch_q15")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$q: ${plan.take(1000)}")
+    }
+  }
+
+  test("breaking the broadcast config is caught (negative control)") {
+    // q12's lineitem⋈orders join is deliberately UNhinted (orders is only
+    // safely broadcast-able at small SF — at 100 TB both sides are big and
+    // a shuffle join is correct), so it auto-broadcasts here…
+    val plan = SparkEntry.queries("q_tpch_q12")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1000))
+    // …and a config drift that disables auto-broadcast visibly changes
+    // the plan — proving these fragment assertions actually bite. The
+    // HINTED queries must keep their broadcasts even under the drifted
+    // config (that is what the hints are for).
+    val child = spark.newSession()
+    child.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val degraded = SparkEntry.queries("q_tpch_q12")(child, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!degraded.contains("BroadcastHashJoin") && degraded.contains("SortMergeJoin"),
+      s"negative control did not degrade: ${degraded.take(1000)}")
+    val hintedStill = SparkEntry.queries("q_tpch_q3")(child, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(hintedStill.contains("BroadcastHashJoin"),
+      s"hinted broadcast lost under config drift: ${hintedStill.take(1000)}")
+  }
+
+  test("ANN final ranks use the bounded top-k aggregate, not a per-query window") {
+    for (q <- Seq("ann_cosine_topk", "ann_lsh_topk", "ann_pq_topk")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("bounded_topk"), s"$q lost the two-phase top-k: ${plan.take(1000)}")
+      assert(!plan.contains("windowspecdefinition"),
+        s"$q ranks through a window again — the corpus shuffles: ${plan.take(1000)}")
+    }
+  }
+
   test("every query is deterministic across runs (driver hash contract)") {
     // Two independent plan executions must produce identical ordered rows.
     // Binary cells render as hex (Row.toString would print array identity).
