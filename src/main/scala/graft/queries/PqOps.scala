@@ -88,6 +88,13 @@ object PqOps {
   def encode(e: DataFrame, model: PqModel): DataFrame =
     withCodes(e, model).select("vec_id", "code")
 
+  /** Same map-only encoding, keeping the raw vector alongside the code —
+    * the row shape the streaming index snapshot stores so re-rank can
+    * run without a second table ([[graft.streaming.AnnStream]]).
+    */
+  def encodeWithVectors(e: DataFrame, model: PqModel): DataFrame =
+    withCodes(e, model).select("vec_id", "v", "code")
+
   /** ADC shortlist + exact re-rank (the production PQ pipeline): query
     * sub-dot tables (computed on the driver from the collected probe
     * vectors — the standard broadcast-the-queries pattern) score the
@@ -97,19 +104,34 @@ object PqOps {
     * cosine against their raw vectors.
     */
   def pqTopK(s: SparkSession, dir: String, k: Int = 10, shortlist: Int = 50): DataFrame = {
-    import s.implicits._
     val m = 8; val sub = 8; val codes = 16
     val e = Eval.barrier(Eval.fanOut(
       emb(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v")))).cache()
     val model = train(e, m, sub, codes, iters = 2)
-    val encoded = encode(e, model)
+    val corpus = withCodes(e, model).select("vec_id", "v", "code")
 
     val probes = e.filter(col("vec_id") < 10)
       .select(col("vec_id"), col("v")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    searchEncoded(s, corpus, model, probes, k, shortlist)
+  }
+
+  /** ADC search over an ALREADY-ENCODED corpus (`vec_id`, `v`, `code`) —
+    * the query-time half of the PQ pipeline, shared by the one-shot
+    * [[pqTopK]] and the incrementally-maintained streaming index
+    * ([[graft.streaming.AnnStream]]): the corpus codes were produced
+    * earlier (any batch, any process) by the SAME frozen `model`; this
+    * runs scoring + rank + re-rank without touching how the codes came
+    * to be — the property that makes incremental index maintenance
+    * possible at all.
+    */
+  def searchEncoded(
+      s: SparkSession, corpus: DataFrame, model: PqModel,
+      probes: Seq[(Long, Seq[Double])], k: Int = 10, shortlist: Int = 50): DataFrame = {
+    import s.implicits._
     val tables = probes.map { case (qid, qv) =>
-      val t: Seq[Seq[Double]] = (0 until m).map { mi =>
-        val qsub = qv.slice(mi * sub, (mi + 1) * sub)
+      val t: Seq[Seq[Double]] = (0 until model.m).map { mi =>
+        val qsub = qv.slice(mi * model.sub, (mi + 1) * model.sub)
         model.books(mi).map(cv => cv.iterator.zip(qsub.iterator).map { case (a, b) => a * b }.sum)
       }
       (qid, t, qv)
@@ -126,7 +148,7 @@ object PqOps {
     val score = aggregate(
       zip_with(col("code"), col("qt"), (c, t) => element_at(t, c + 1)),
       lit(0.0), (acc, x) => acc + x)
-    val adcScored = encoded.crossJoin(broadcast(qdf.select("q_id", "qt")))
+    val adcScored = corpus.crossJoin(broadcast(qdf.select("q_id", "qt")))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"), score.as("adc"))
     val candidates = VectorOps.topKPerQuery(adcScored, "adc", shortlist).drop("rank")
@@ -134,7 +156,7 @@ object PqOps {
     // Exact re-rank of the shortlist only: shortlist×queries rows join
     // raw vectors by id; the query vector comes broadcast.
     val reranked = candidates
-      .join(e.select(col("vec_id").as("neighbor_id"), col("v")), "neighbor_id")
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("v")), "neighbor_id")
       .join(broadcast(qdf.select("q_id", "qv")), "q_id")
       .select(col("q_id"), col("neighbor_id"),
         round(graft.functions.GraftFunctions.cosineSim(col("qv"), col("v")), 6).as("cosine"))

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.queries.PqOps
+import graft.queries.PqOps.PqModel
+
+/** Streaming ANN index maintenance: the PQ index absorbs arriving
+  * vectors incrementally, without retraining codebooks or re-encoding
+  * the existing corpus (reference behavior: the index serves queries
+  * continuously while ingestion appends; cf. reference streaming
+  * ingestion in src/session/pipeline.rs — tables refresh as new data
+  * lands, downstream consumers read the latest state).
+  *
+  * Shape: codebooks are FROZEN at build time (PQ's standard production
+  * contract — retraining would invalidate every stored code, so real
+  * systems train once on a sample and re-train offline, rarely). Each
+  * micro-batch PQ-encodes ONLY its own rows — a map-only pass of
+  * O(batch) work regardless of index size — and merges them into the
+  * latest committed snapshot by `vec_id` (the arriving row wins, so a
+  * re-sent vector is an upsert). Snapshots use the same idempotent
+  * `snap_<batchId>` chain as [[StreamOps.mergeSink]]: a replayed batch
+  * reads the snapshot strictly below its own id and overwrites its own
+  * output, converging to the identical index; readers
+  * ([[searchIndex]]) take the highest complete snapshot.
+  */
+object AnnStream {
+
+  /** Maintain a PQ index at `tableDir` from a stream of
+    * (`vec_id` Long, `v` Array[Double]) rows. Existing snapshot rows
+    * pass through each merge UNTOUCHED (their stored `code` is reused,
+    * never recomputed) — the spec proves it by poisoning a stored code
+    * and watching it survive subsequent batches.
+    */
+  def pqIndexSink(
+      vectors: DataFrame, model: PqModel, tableDir: String, checkpointDir: String,
+      retainSnapshots: Int = 3): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        // Encode THIS batch only: map-only argmax against the frozen
+        // literal codebooks — O(batch), independent of index size.
+        val fresh = PqOps.encodeWithVectors(
+            batch.select(col("vec_id").cast("long").as("vec_id"), col("v")), model)
+          .withColumn("ingest_batch", lit(batchId))
+        val prev = StreamOps.latestSnapshot(spark, tableDir, below = Some(batchId))
+        val all = prev.map(_.unionByName(fresh)).getOrElse(fresh)
+        // Latest ingest wins per vec_id: a hash-shuffle on vec_id sized
+        // by index + batch — no window over anything unkeyed, no
+        // re-encode (old rows keep their stored code through the merge).
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(col("ingest_batch").desc)
+        all.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+          .write.mode("overwrite").parquet(s"$tableDir/snap_$batchId")
+        StreamOps.pruneSnapshots(spark, tableDir, batchId, retainSnapshots)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Query the live index: ADC + exact re-rank over the latest committed
+    * snapshot, with the SAME frozen model that encoded it
+    * ([[PqOps.searchEncoded]]). Vectors inserted by batch N are
+    * searchable the moment snap_N commits.
+    */
+  def searchIndex(
+      spark: SparkSession, tableDir: String, model: PqModel,
+      probes: Seq[(Long, Seq[Double])], k: Int = 10, shortlist: Int = 50): DataFrame = {
+    val snap = StreamOps.latestSnapshot(spark, tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed ANN snapshot under $tableDir"))
+    PqOps.searchEncoded(spark, snap.select("vec_id", "v", "code"), model, probes, k, shortlist)
+  }
+}

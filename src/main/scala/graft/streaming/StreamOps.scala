@@ -157,19 +157,27 @@ object StreamOps {
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
           .write.mode("overwrite").parquet(s"$tableDir/snap_$batchId")
-        // Retention: snapshots older than the last `retainSnapshots` are
-        // dead weight (replay only ever needs the latest id strictly
-        // below the replayed batch). Prune AFTER the new snapshot
-        // commits, so a crash mid-prune still leaves a complete chain.
-        val (fs, root) = fsOf(spark, tableDir)
-        committedSnapshotIds(fs, root)
-          .filter(_ <= batchId - math.max(1, retainSnapshots))
-          .foreach { id =>
-            fs.delete(new org.apache.hadoop.fs.Path(root, s"snap_$id"), true)
-          }
+        pruneSnapshots(spark, tableDir, batchId, retainSnapshots)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+
+  /** Retention: snapshots older than the last `retainSnapshots` are
+    * dead weight (replay only ever needs the latest id strictly below
+    * the replayed batch). Prune AFTER the new snapshot commits, so a
+    * crash mid-prune still leaves a complete chain. Shared by every
+    * snapshot-chain sink (mergeSink, AnnStream.pqIndexSink).
+    */
+  private[streaming] def pruneSnapshots(
+      spark: org.apache.spark.sql.SparkSession, tableDir: String,
+      batchId: Long, retainSnapshots: Int): Unit = {
+    val (fs, root) = fsOf(spark, tableDir)
+    committedSnapshotIds(fs, root)
+      .filter(_ <= batchId - math.max(1, retainSnapshots))
+      .foreach { id =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"snap_$id"), true)
+      }
+  }
 
   /** `tableDir`'s FileSystem from the session's Hadoop conf — resolves
     * HDFS/S3A/file URIs alike, unlike java.io.File which silently only

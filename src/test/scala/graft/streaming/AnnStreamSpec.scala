@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.PqOps
+import graft.queries.PqOps.PqModel
+
+object AnnStreamSpec {
+  final case class AnnVec(vec_id: Long, v: Seq[Double])
+}
+
+class AnnStreamSpec extends SparkSpec {
+  import AnnStreamSpec.AnnVec
+
+  // Frozen 4-dim model: 2 subspaces × 2 codes, codebooks the unit axes —
+  // encoding is transparent (sub-vector closer to (1,0) → code 0, to
+  // (0,1) → code 1), so every stored code below is checkable by eye.
+  private val model = PqModel(m = 2, sub = 2,
+    books = Seq(
+      Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))))
+
+  private val vecA = AnnVec(1L, Seq(1.0, 0.0, 1.0, 0.0)) // codes (0,0)
+  private val vecB = AnnVec(2L, Seq(0.0, 1.0, 0.0, 1.0)) // codes (1,1)
+  private val vecC = AnnVec(3L, Seq(1.0, 0.0, 0.0, 1.0)) // codes (0,1)
+
+  test("streaming PQ index absorbs batches incrementally: searchable after each batch, frozen codebooks, no re-encode of existing rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("annidx").toString
+    val table = s"$base/index"; val ckpt = s"$base/ckpt"
+    val input = MemoryStream[AnnVec]
+    def drain(): Unit =
+      AnnStream.pqIndexSink(input.toDF(), model, table, ckpt, retainSnapshots = 1)
+        .awaitTermination() // AvailableNow: drains what's present, stops
+    def codes(): Map[Long, Seq[Int]] =
+      StreamOps.latestSnapshot(spark, table).get.collect()
+        .map(r => r.getLong(r.fieldIndex("vec_id")) ->
+          r.getSeq[Int](r.fieldIndex("code"))).toMap
+    def top1(qv: Seq[Double]): Long =
+      AnnStream.searchIndex(spark, table, model, Seq((100L, qv)), k = 1)
+        .collect().head.getAs[Long]("neighbor_id")
+
+    // batch 0: A and B land; both immediately searchable.
+    input.addData(vecA, vecB)
+    drain()
+    assert(codes() == Map(1L -> Seq(0, 0), 2L -> Seq(1, 1)))
+    assert(top1(Seq(1.0, 0.0, 1.0, 0.0)) == 1L)
+    // The stored codes are exactly what the frozen model encodes — the
+    // index state is reproducible from (model, vectors) alone.
+    val reEnc = PqOps.encode(Seq(vecA, vecB).toDF("vec_id", "v"), model)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes() == reEnc)
+
+    // Poison A's STORED code in the snapshot to a value the model would
+    // never produce for A's vector. If any later batch re-encoded the
+    // existing corpus, the next snapshot would restore (0,0); only a
+    // true pass-through merge preserves the poison.
+    val snap0 = spark.read.parquet(s"$table/snap_0")
+    val poisonedRows = snap0.withColumn("code",
+        when(col("vec_id") === 1L, typedLit(Seq(1, 0))).otherwise(col("code")))
+      .collect()
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(poisonedRows.toIndexedSeq), snap0.schema)
+      .write.mode("overwrite").parquet(s"$table/snap_0")
+
+    // batch 1: C lands. Batch work is encode(C) + keyed merge — A and B
+    // flow through from the previous snapshot with their stored codes.
+    input.addData(vecC)
+    drain()
+    assert(codes() == Map(1L -> Seq(1, 0), 2L -> Seq(1, 1), 3L -> Seq(0, 1)))
+    // New vector is searchable right after its batch; old ones remain
+    // (exact re-rank uses raw vectors, so even poisoned A ranks right).
+    assert(top1(Seq(1.0, 0.0, 0.0, 1.0)) == 3L)
+    assert(top1(Seq(1.0, 0.0, 1.0, 0.0)) == 1L)
+
+    // batch 2: A re-sent with a NEW vector — an upsert, not an append:
+    // still 3 rows, A's code is the fresh encode of the new vector.
+    input.addData(AnnVec(1L, Seq(0.0, 1.0, 0.0, 1.0)))
+    drain()
+    assert(codes() == Map(1L -> Seq(1, 1), 2L -> Seq(1, 1), 3L -> Seq(0, 1)))
+
+    // Snapshot chain is pruned (retain=1): only the latest remains.
+    val snaps = Option(new java.io.File(table).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("snap_")).map(_.getName).sorted.toSeq
+    assert(snaps == Seq("snap_2"), snaps.toString)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
+}
