@@ -32,7 +32,7 @@ object IvfOps {
     * adds `cid` (argmax cosine, ties to the lowest id) and `csim` (the
     * winning similarity — the quantizer objective's raw material).
     */
-  private[queries] def assignLiteral(vectors: DataFrame, cents: Seq[Seq[Double]]): DataFrame = {
+  private[graft] def assignLiteral(vectors: DataFrame, cents: Seq[Seq[Double]]): DataFrame = {
     val scored: Seq[Column] = cents.zipWithIndex.map { case (cv, cid) =>
       struct(cosineSim(col("v"), typedlit(cv)).as("sim"), lit(-cid).as("negcid"))
     }
@@ -92,28 +92,42 @@ object IvfOps {
         val cents: Seq[Seq[Double]] = trainCodebook(sample, seeds, iters = 2)
         val cells = assignLiteral(e, cents)
 
-        // Probe selection: rank every centroid per query (k×10 rows) and
-        // keep the nprobe best per query.
         val qs = e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("v").as("qv"))
-        val centDf = s.createDataFrame(
-          s.sparkContext.parallelize(cents.zipWithIndex.map { case (cv, cid) => (cid, cv) }, 1))
-          .toDF("cid", "cv")
-        val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("cid"))
-        val probed = qs.crossJoin(broadcast(centDf))
-          .select(col("q_id"), col("qv"), col("cid"), cosineSim(col("qv"), col("cv")).as("sim"))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= nprobe)
-          .select(col("q_id"), col("qv"), col("cid"))
+        searchCells(s, cells, cents, qs, k = 10, nprobe = nprobe)
+  }
 
-    // Probed-cell candidates are scored map-side (probes broadcast) and
-    // ranked with the two-phase bounded top-k (VectorOps.topKPerQuery):
-    // partial buffers cap at 10 entries per query per partition, so the
-    // candidate set itself never crosses an exchange.
+  /** Probe + score over an ALREADY-ASSIGNED corpus (`vec_id`, `v`, `cid`)
+    * — the query-time half of IVF, shared by the one-shot [[ivfTopK]] and
+    * the incrementally-maintained streaming index
+    * ([[graft.streaming.AnnStream.ivfIndexSink]]). The stored `cid`s were
+    * produced earlier (any batch) against the SAME frozen `cents`; this
+    * never reassigns them.
+    *
+    * Probe selection ranks every centroid per query (cells×queries rows —
+    * tiny) and keeps the `nprobe` best. Probed-cell candidates are scored
+    * map-side (probes broadcast) and ranked with the two-phase bounded
+    * top-k (VectorOps.topKPerQuery): partial buffers cap at k entries per
+    * query per partition, so the candidate set itself never crosses an
+    * exchange.
+    */
+  def searchCells(
+      s: SparkSession, cells: DataFrame, cents: Seq[Seq[Double]],
+      qs: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val centDf = s.createDataFrame(
+      s.sparkContext.parallelize(cents.zipWithIndex.map { case (cv, cid) => (cid, cv) }, 1))
+      .toDF("cid", "cv")
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("cid"))
+    val probed = qs.crossJoin(broadcast(centDf))
+      .select(col("q_id"), col("qv"), col("cid"), cosineSim(col("qv"), col("cv")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= nprobe)
+      .select(col("q_id"), col("qv"), col("cid"))
+
     val scored = cells.join(broadcast(probed), Seq("cid"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         round(cosineSim(col("qv"), col("v")), 6).as("cosine"))
-    VectorOps.topKPerQuery(scored, "cosine", 10)
+    VectorOps.topKPerQuery(scored, "cosine", k)
   }
 
   def defs: Map[String, QDef] = Map(

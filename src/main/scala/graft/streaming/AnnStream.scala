@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.queries.PqOps
+import graft.queries.{IvfOps, PqOps}
 import graft.queries.PqOps.PqModel
 
 /** Streaming ANN index maintenance: the PQ index absorbs arriving
@@ -37,20 +37,42 @@ object AnnStream {
   def pqIndexSink(
       vectors: DataFrame, model: PqModel, tableDir: String, checkpointDir: String,
       retainSnapshots: Int = 3): StreamingQuery =
+    indexSink(vectors, b => PqOps.encodeWithVectors(b, model), tableDir,
+      checkpointDir, retainSnapshots)
+
+  /** The IVF twin of [[pqIndexSink]]: arriving vectors get a map-only
+    * nearest-centroid cell assignment against the frozen coarse quantizer
+    * (`cents` as literal arrays — the codebook-ships-to-every-executor
+    * pattern) and merge into the same snapshot chain. Stored `cid`s pass
+    * through untouched; searches probe nprobe cells of the latest
+    * snapshot ([[searchIvfIndex]]).
+    */
+  def ivfIndexSink(
+      vectors: DataFrame, cents: Seq[Seq[Double]], tableDir: String,
+      checkpointDir: String, retainSnapshots: Int = 3): StreamingQuery =
+    indexSink(vectors, b => IvfOps.assignLiteral(b, cents).select("vec_id", "v", "cid"),
+      tableDir, checkpointDir, retainSnapshots)
+
+  /** Shared incremental-index sink: `encodeBatch` runs over THIS batch
+    * only — map-only against frozen model state, O(batch) regardless of
+    * index size — and the result merges into the latest committed
+    * snapshot by `vec_id` (latest ingest wins, so a re-sent vector is an
+    * upsert; existing rows keep their stored encoding through the merge).
+    */
+  private def indexSink(
+      vectors: DataFrame, encodeBatch: DataFrame => DataFrame,
+      tableDir: String, checkpointDir: String, retainSnapshots: Int): StreamingQuery =
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        // Encode THIS batch only: map-only argmax against the frozen
-        // literal codebooks — O(batch), independent of index size.
-        val fresh = PqOps.encodeWithVectors(
-            batch.select(col("vec_id").cast("long").as("vec_id"), col("v")), model)
+        val fresh = encodeBatch(
+            batch.select(col("vec_id").cast("long").as("vec_id"), col("v")))
           .withColumn("ingest_batch", lit(batchId))
         val prev = StreamOps.latestSnapshot(spark, tableDir, below = Some(batchId))
         val all = prev.map(_.unionByName(fresh)).getOrElse(fresh)
         // Latest ingest wins per vec_id: a hash-shuffle on vec_id sized
-        // by index + batch — no window over anything unkeyed, no
-        // re-encode (old rows keep their stored code through the merge).
+        // by index + batch — no window over anything unkeyed.
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("vec_id").orderBy(col("ingest_batch").desc)
         all.withColumn("__rn", row_number().over(w))
@@ -72,5 +94,19 @@ object AnnStream {
     val snap = StreamOps.latestSnapshot(spark, tableDir).getOrElse(
       throw new IllegalStateException(s"no committed ANN snapshot under $tableDir"))
     PqOps.searchEncoded(spark, snap.select("vec_id", "v", "code"), model, probes, k, shortlist)
+  }
+
+  /** Query the live IVF index: probe the `nprobe` nearest cells of the
+    * latest committed snapshot with the SAME frozen quantizer that
+    * assigned it ([[IvfOps.searchCells]]).
+    */
+  def searchIvfIndex(
+      spark: SparkSession, tableDir: String, cents: Seq[Seq[Double]],
+      probes: Seq[(Long, Seq[Double])], k: Int = 10, nprobe: Int = 2): DataFrame = {
+    val snap = StreamOps.latestSnapshot(spark, tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed ANN snapshot under $tableDir"))
+    val qs = spark.createDataFrame(
+      spark.sparkContext.parallelize(probes, 1)).toDF("q_id", "qv")
+    IvfOps.searchCells(spark, snap.select("vec_id", "v", "cid"), cents, qs, k, nprobe)
   }
 }

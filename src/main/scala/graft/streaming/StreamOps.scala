@@ -183,20 +183,28 @@ object StreamOps {
     * HDFS/S3A/file URIs alike, unlike java.io.File which silently only
     * works on the local filesystem.
     */
-  private def fsOf(spark: org.apache.spark.sql.SparkSession, tableDir: String)
+  private[streaming] def fsOf(spark: org.apache.spark.sql.SparkSession, tableDir: String)
       : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
     val root = new org.apache.hadoop.fs.Path(tableDir)
     (root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
   }
 
-  /** Ids of COMMITTED snapshots (Spark writes _SUCCESS on completion). */
-  private def committedSnapshotIds(
-      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path): Seq[Long] =
+  /** Ids of COMMITTED `<prefix><id>` children of `root` (Spark writes
+    * _SUCCESS on completion) — the discovery primitive every
+    * batch-id-addressed directory chain shares (snap_/landing_/base_).
+    */
+  private[streaming] def committedIds(
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      prefix: String): Seq[Long] =
     if (!fs.exists(root)) Nil
     else fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("snap_"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
       .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
-      .map(_.getPath.getName.stripPrefix("snap_").toLong)
+      .map(_.getPath.getName.stripPrefix(prefix).toLong)
+
+  private def committedSnapshotIds(
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path): Seq[Long] =
+    committedIds(fs, root, "snap_")
 
   /** The current merged state: the highest-numbered snapshot directory
     * (optionally restricted to ids strictly below `below` — what a

@@ -88,4 +88,52 @@ class AnnStreamSpec extends SparkSpec {
     assert(snaps == Seq("snap_2"), snaps.toString)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
   }
+
+  test("streaming IVF index: map-only cell assignment per batch, stored cids never reassigned, nprobe search over the latest snapshot") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    val table = s"$base/index"; val ckpt = s"$base/ckpt"
+    // Frozen quantizer: the two unit axes. Assignment is transparent —
+    // a vector closer to (1,0) lands in cell 0, closer to (0,1) cell 1.
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val input = MemoryStream[AnnVec]
+    def drain(): Unit =
+      AnnStream.ivfIndexSink(input.toDF(), cents, table, ckpt, retainSnapshots = 1)
+        .awaitTermination()
+    def cids(): Map[Long, Int] =
+      StreamOps.latestSnapshot(spark, table).get.collect()
+        .map(r => r.getLong(r.fieldIndex("vec_id")) -> r.getInt(r.fieldIndex("cid"))).toMap
+    // nprobe=1: ONLY the query's nearest cell is scanned, so a vector
+    // stored under the wrong cid is invisible to that query — which is
+    // exactly what makes the poison check below conclusive.
+    def top1(qv: Seq[Double]): Long =
+      AnnStream.searchIvfIndex(spark, table, cents, Seq((100L, qv)), k = 1, nprobe = 1)
+        .collect().head.getAs[Long]("neighbor_id")
+
+    // batch 0: one vector per cell; both searchable from their cell.
+    input.addData(AnnVec(1L, Seq(1.0, 0.1)), AnnVec(2L, Seq(0.1, 1.0)))
+    drain()
+    assert(cids() == Map(1L -> 0, 2L -> 1))
+    assert(top1(Seq(1.0, 0.0)) == 1L)
+    assert(top1(Seq(0.0, 1.0)) == 2L)
+
+    // Poison vector 1's STORED cell to 1. If a later batch reassigned
+    // the existing corpus, vec 1 would return to cell 0 and win the
+    // cell-0 query below (its cosine to (1,0) beats vec 3's).
+    val snap0 = spark.read.parquet(s"$table/snap_0")
+    val poisoned = snap0.withColumn("cid",
+        when(col("vec_id") === 1L, lit(1)).otherwise(col("cid"))).collect()
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(poisoned.toIndexedSeq), snap0.schema)
+      .write.mode("overwrite").parquet(s"$table/snap_0")
+
+    // batch 1: vec 3 joins cell 0. The cell-0 query sees ONLY vec 3 —
+    // poisoned vec 1 stayed in cell 1 through the merge (no reassign).
+    input.addData(AnnVec(3L, Seq(0.9, 0.2)))
+    drain()
+    assert(cids() == Map(1L -> 1, 2L -> 1, 3L -> 0))
+    assert(top1(Seq(1.0, 0.0)) == 3L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
 }
