@@ -31,7 +31,8 @@ object SparkEntry {
       graft.queries.TpchOps.defs ++
       graft.queries.TpchOps2.defs ++
       graft.queries.LayoutOps.defs ++
-      graft.queries.StatsOps.defs
+      graft.queries.StatsOps.defs ++
+      graft.queries.ProfileOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
