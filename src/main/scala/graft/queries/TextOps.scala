@@ -354,6 +354,41 @@ object TextOps {
         |     + ROUND(LEAST(LENGTH(text) / 500.0, 1.0) * 2000) AS BIGINT) AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // Within-document repetition (the Gopher/C4-style quality rule that
+    // catches boilerplate and degenerate generations): fraction of
+    // duplicate word bigrams. Map-only per-row array arithmetic — no
+    // shuffle, no join; the flag uses exact integer comparison
+    // ((total-distinct)*5 > total ⟺ ratio > 0.2), so no float rounding
+    // can diverge between engines.
+    "text_repetition" -> QDef(
+      (s, dir) =>
+        docs(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= 2)
+          .select(
+            col("doc_id"),
+            expr("transform(sequence(1, size(toks)-1), i -> concat_ws(' ', toks[i-1], toks[i]))")
+              .as("bg"))
+          .select(
+            col("doc_id"),
+            size(col("bg")).cast("long").as("n_bigrams"),
+            size(array_distinct(col("bg"))).cast("long").as("n_distinct"))
+          .withColumn("repetitive",
+            (col("n_bigrams") - col("n_distinct")) * 5 > col("n_bigrams"))
+          .orderBy("doc_id"),
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |b AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bg
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(len(bg) AS BIGINT) AS n_bigrams,
+        |  CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct,
+        |  (len(bg) - len(list_distinct(bg))) * 5 > len(bg) AS repetitive
+        |FROM b ORDER BY doc_id""".stripMargin),
+
     // §2.3#44 token counting: whitespace tokens + a BPE-ish regex count
     // (letter runs / digit runs / single punctuation).
     "text_token_count" -> QDef(
