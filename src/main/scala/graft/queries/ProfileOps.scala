@@ -26,7 +26,7 @@ object ProfileOps {
     * the production profiler keeps only the sketch column.
     */
   private def profileBranch(s: SparkSession, dir: String, c: String): DataFrame =
-    li(s, dir).select(col(c))
+    li(s, dir).select(col(c).cast("double").as(c))
       .agg(
         count(lit(1)).as("n_rows"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
@@ -51,14 +51,20 @@ object ProfileOps {
     // engine parity.
     "profile_table" -> QDef(
       (s, dir) => {
-        val cols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+        // Bounded-NDV columns only: the exact COUNT(DISTINCT) oracle
+        // anchor shuffles the distinct SET, so profiling a near-unique
+        // column exactly (l_extendedprice: ~|table| distinct doubles)
+        // is the one profiler shape that does NOT survive 100x — for
+        // those columns a production profile keeps only the sketch.
+        val cols = Seq("l_discount", "l_partkey", "l_quantity", "l_tax")
         cols.map(profileBranch(s, dir, _)).reduce(_.unionByName(_)).orderBy("col_name")
       },
-      Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax").map { c =>
+      Seq("l_discount", "l_partkey", "l_quantity", "l_tax").map { c =>
         s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
            |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
            |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS ndv, true AS ndv_ok,
-           |  MIN($c) AS min_v, MAX($c) AS max_v FROM lineitem""".stripMargin
+           |  MIN(CAST($c AS DOUBLE)) AS min_v, MAX(CAST($c AS DOUBLE)) AS max_v
+           |FROM lineitem""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
 
     // Deterministic weighted sampling without replacement

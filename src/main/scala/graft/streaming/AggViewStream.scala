@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Incrementally-maintained materialized aggregate view: a per-key
+  * (count, sum, min, max) table kept current under a stream of rows by
+  * MERGING PARTIAL AGGREGATES — each micro-batch aggregates ONLY its own
+  * rows (O(batch)), then folds them into the previous snapshot with the
+  * aggregates' own merge functions (count+count, sum+sum, min(min),
+  * max(max)). Nothing ever re-reads history, and — unlike a stateful
+  * streaming aggregation — there is no state store bound on the key
+  * space: the view lives in parquet snapshots, so a 10⁹-key view costs
+  * a keyed merge per batch, not executor memory. Averages and other
+  * ratios derive at read time (sum/count), which is why the stored
+  * tuple is the mergeable basis, never the ratio itself.
+  *
+  * Snapshots use the same replay-idempotent `snap_<batchId>` chain as
+  * the other sinks here: a replayed batch re-aggregates its own rows,
+  * merges against the snapshot strictly below its id, and overwrites
+  * its own output — converging to the identical view.
+  */
+object AggViewStream {
+
+  /** Maintain the view at `tableDir` from a stream of rows, grouped by
+    * `keyCol` over `valCol`. Snapshot schema:
+    * (keyCol, n BIGINT, s DOUBLE, mn DOUBLE, mx DOUBLE).
+    */
+  def aggViewSink(
+      rows: DataFrame, keyCol: String, valCol: String,
+      tableDir: String, checkpointDir: String, retainSnapshots: Int = 3): StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fresh = batch
+          .groupBy(col(keyCol))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col(valCol).cast("double")).as("s"),
+            min(col(valCol).cast("double")).as("mn"),
+            max(col(valCol).cast("double")).as("mx"))
+        val merged = StreamOps.latestSnapshot(spark, tableDir, below = Some(batchId)) match {
+          case Some(prev) =>
+            prev.unionByName(fresh)
+              .groupBy(col(keyCol))
+              .agg(sum("n").as("n"), sum("s").as("s"),
+                min("mn").as("mn"), max("mx").as("mx"))
+          case None => fresh
+        }
+        merged.write.mode("overwrite").parquet(s"$tableDir/snap_$batchId")
+        StreamOps.pruneSnapshots(spark, tableDir, batchId, retainSnapshots)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Read the current view, with derived columns (avg) computed from the
+    * mergeable basis.
+    */
+  def readView(spark: org.apache.spark.sql.SparkSession, tableDir: String): DataFrame =
+    StreamOps.latestSnapshot(spark, tableDir)
+      .getOrElse(throw new IllegalStateException(s"no committed view under $tableDir"))
+      .withColumn("avg_v", col("s") / col("n"))
+}

@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+
+object AggViewStreamSpec {
+  final case class Sale(store: String, amount: Double)
+}
+
+class AggViewStreamSpec extends SparkSpec {
+  import AggViewStreamSpec.Sale
+
+  test("materialized aggregate view merges partial aggregates across batches and matches a full recompute") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("aggview").toString
+    val table = s"$base/view"; val ckpt = s"$base/ckpt"
+    val input = MemoryStream[Sale]
+    def drain(): Unit =
+      AggViewStream.aggViewSink(input.toDF(), "store", "amount", table, ckpt)
+        .awaitTermination()
+    def view(): Map[String, (Long, Double, Double, Double, Double)] =
+      AggViewStream.readView(spark, table).collect()
+        .map(r => r.getAs[String]("store") -> ((r.getAs[Long]("n"),
+          r.getAs[Double]("s"), r.getAs[Double]("mn"), r.getAs[Double]("mx"),
+          r.getAs[Double]("avg_v")))).toMap
+
+    input.addData(Sale("a", 10.0), Sale("a", 30.0), Sale("b", 5.0))
+    drain()
+    assert(view() == Map(
+      "a" -> ((2L, 40.0, 10.0, 30.0, 20.0)),
+      "b" -> ((1L, 5.0, 5.0, 5.0, 5.0))))
+
+    // Batch 2 touches an existing key (merge path: count+count, sum+sum,
+    // min/max fold) and introduces a new one — the view equals what a
+    // full recompute over all rows would produce, without re-reading
+    // batch 1.
+    input.addData(Sale("a", 2.0), Sale("c", 7.0))
+    drain()
+    assert(view() == Map(
+      "a" -> ((3L, 42.0, 2.0, 30.0, 14.0)),
+      "b" -> ((1L, 5.0, 5.0, 5.0, 5.0)),
+      "c" -> ((1L, 7.0, 7.0, 7.0, 7.0))))
+
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
+}
