@@ -221,6 +221,22 @@ class PlanPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("weighted sample plans a bounded TakeOrdered, not a global sort") {
+    val plan = SparkEntry.queries("curate_weighted_sample")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"weighted sample lost its per-partition top-k: ${plan.take(2000)}")
+  }
+
+  test("profiler branches scan exactly one column each") {
+    val plan = SparkEntry.queries("profile_table")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val reads = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(reads.nonEmpty, plan.take(2000))
+    reads.foreach(r =>
+      assert(!r.contains(","), s"profiler branch reads more than one column: $r"))
+  }
+
   test("every query is deterministic across runs (driver hash contract)") {
     // Two independent plan executions must produce identical ordered rows.
     // Binary cells render as hex (Row.toString would print array identity).
