@@ -32,7 +32,9 @@ object SparkEntry {
       graft.queries.TpchOps2.defs ++
       graft.queries.LayoutOps.defs ++
       graft.queries.StatsOps.defs ++
-      graft.queries.ProfileOps.defs
+      graft.queries.ProfileOps.defs ++
+      graft.queries.RetrievalOps.defs ++
+      graft.sources.SkipIndex.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
