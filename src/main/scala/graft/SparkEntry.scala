@@ -34,7 +34,9 @@ object SparkEntry {
       graft.queries.StatsOps.defs ++
       graft.queries.ProfileOps.defs ++
       graft.queries.RetrievalOps.defs ++
-      graft.sources.SkipIndex.defs
+      graft.sources.SkipIndex.defs ++
+      graft.queries.QualityOps.defs ++
+      graft.queries.IndexOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

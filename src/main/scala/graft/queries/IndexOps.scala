@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus indexing operators: TF-IDF term weighting and an inverted-
+  * index (posting-list) build — the retrieval-side counterparts of the
+  * BM25 scorer in RetrievalOps.
+  *
+  * Scale discipline: document frequencies are computed corpus-wide but
+  * reduce to |vocabulary| rows before any exchange; the scoring side
+  * restricts to the target documents with a filter that reaches the
+  * parquet scan. The inverted index prunes the term set by df BEFORE
+  * collecting any posting list, so no reducer ever materializes a
+  * stop-word's postings.
+  */
+object IndexOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
+
+  /** Distinct (doc_id, term) pairs — the presence relation both
+    * operators start from. The distinct is a partial-aggregated
+    * reduction: duplicates collapse map-side within each document's
+    * partition slice before the exchange.
+    */
+  private def presence(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .distinct()
+
+  val defs: Map[String, QDef] = Map(
+
+    // Top-3 TF-IDF terms for each of the first 40 documents. df comes
+    // from the FULL corpus (a |vocab|-row aggregate joined in — Spark
+    // broadcasts it under AQE since vocab is small; at web scale the
+    // join is a plain shuffle join on term, still |pairs| not |corpus×
+    // vocab|). tf is computed only for the target docs — the doc_id
+    // predicate pushes to the scan. Smooth idf = ln((N+1)/(df+1));
+    // every input to the double expression is integral, and the
+    // operation order is identical in the oracle, so scores round
+    // identically. Per-doc rank partitions by doc_id — high-cardinality
+    // keys, no skew, scale-safe.
+    "text_tfidf_topk" -> QDef(
+      (s, dir) => {
+        val all = docs(s, dir)
+        val df = presence(all).groupBy("term").agg(count(lit(1)).as("df"))
+        val n = all.agg(count(lit(1)).as("n"))
+        val tf = all.filter(col("doc_id") < 40)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val scored = tf.join(df, "term").crossJoin(broadcast(n))
+          .withColumn("tfidf",
+            col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)))
+        scored
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("doc_id")
+              .orderBy(col("tfidf").desc, col("term").asc)).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+            round(col("tfidf"), 4).as("tfidf"))
+          .orderBy("doc_id", "rank")
+      },
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |pres AS (SELECT DISTINCT doc_id, term FROM tok),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM pres GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        |  WHERE doc_id < 40 GROUP BY doc_id, term),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |         tf.tf * ln((n + 1.0e0) / (df + 1.0e0)) AS tfidf
+        |  FROM tf JOIN dfreq USING (term), n)
+        |SELECT doc_id, rank, term, tf, ROUND(tfidf, 4) AS tfidf FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |            ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin),
+
+    // Phrase (word-bigram) posting lists for the mid-frequency band —
+    // bigrams present in 4–8% of the corpus (the single-word vocabulary
+    // of the synthetic corpus is uniformly high-df, so the index targets
+    // phrases, where document frequency actually discriminates). The df
+    // band is RELATIVE to corpus size, so the operator selects the same
+    // regime at any scale factor. df is computed FIRST and the surviving
+    // phrase set joined back BEFORE any collect_list runs, so posting-
+    // list state per reducer is bounded by the band ceiling — a stop-
+    // phrase never reaches a buffer. Postings serialize as a comma-
+    // joined string of numerically-sorted doc ids: deterministic,
+    // engine-portable. First 100 phrases alphabetically.
+    "text_inverted_index" -> QDef(
+      (s, dir) => {
+        val pres = docs(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("ts"))
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(ts) - 1), i -> concat(ts[i-1], ' ', ts[i]))"))
+            .as("bigram"))
+          .distinct()
+        val n = docs(s, dir).agg(count(lit(1)).as("n"))
+        val keep = pres.groupBy("bigram").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(n))
+          .filter(col("df") * 100 >= col("n") * 4 && col("df") * 100 <= col("n") * 8)
+          .select("bigram", "df")
+        pres.join(broadcast(keep), "bigram")
+          .groupBy("bigram", "df")
+          .agg(sort_array(collect_list(col("doc_id"))).as("post"))
+          .select(col("bigram"), col("df"),
+            expr("array_join(transform(post, x -> cast(x AS string)), ',')").as("postings"))
+          .orderBy("bigram")
+          .limit(100)
+      },
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |pres AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS bigram
+        |  FROM tok),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |keep AS (
+        |  SELECT bigram, COUNT(*) AS df FROM pres, n
+        |  GROUP BY bigram, n HAVING COUNT(*) * 100 >= n * 4 AND COUNT(*) * 100 <= n * 8)
+        |SELECT bigram, df,
+        |       array_to_string(list_sort(list(doc_id)), ',') AS postings
+        |FROM pres JOIN keep USING (bigram)
+        |GROUP BY bigram, df ORDER BY bigram LIMIT 100""".stripMargin)
+  )
+}
