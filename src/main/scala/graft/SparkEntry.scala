@@ -36,7 +36,8 @@ object SparkEntry {
       graft.queries.RetrievalOps.defs ++
       graft.sources.SkipIndex.defs ++
       graft.queries.QualityOps.defs ++
-      graft.queries.IndexOps.defs
+      graft.queries.IndexOps.defs ++
+      graft.queries.GraphOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

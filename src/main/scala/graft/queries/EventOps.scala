@@ -71,6 +71,38 @@ object EventOps {
         |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
         |  COUNT(*) AS n_events,
         |  CAST(MAX(ts_s) - MIN(ts_s) AS BIGINT) AS duration_s
-        |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // Overlapping (hopping) windows in BATCH through the same
+    // functions.window() that Structured Streaming uses — 10-minute
+    // windows sliding every 5, so each event lands in exactly two
+    // windows. Spark expands the event to its windows map-side and the
+    // aggregation partial-reduces before the exchange: shuffle carries
+    // |windows × types| rows, not 2×|events|. The oracle derives the
+    // same two window starts arithmetically.
+    "ev_hopping_agg" -> QDef(
+      (s, dir) =>
+        ev(s, dir)
+          .groupBy(
+            window(col("ts"), "10 minutes", "5 minutes").as("w"),
+            col("event_type"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            round(sum("value"), 2).as("sum_value"))
+          .select(
+            date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+            col("event_type"), col("n_events"), col("sum_value"))
+          .orderBy("win_start", "event_type"),
+      """WITH hops AS (
+        |  SELECT unnest([
+        |           CAST(floor(epoch(ts) / 300) AS BIGINT) * 300,
+        |           CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 - 300]) AS win_s,
+        |         event_type, value
+        |  FROM events)
+        |SELECT strftime(make_timestamp(win_s * 1000000), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |       event_type,
+        |       COUNT(*) AS n_events,
+        |       ROUND(SUM(value), 2) AS sum_value
+        |FROM hops GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   )
 }

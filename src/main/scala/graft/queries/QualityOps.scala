@@ -138,6 +138,31 @@ object QualityOps {
         |       CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS gid
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // Join-size profiling WITHOUT executing the join — the planner
+    // statistic that decides broadcast vs shuffle vs pre-aggregation:
+    // per-key counts on each side (partial-aggregated to |keys| rows),
+    // count tables joined (|keys|-row join, never the facts), output
+    // cardinality = Σ cnt_l × cnt_r. All integers — exact on both
+    // engines. At 100 TB this costs two column scans + a tiny join
+    // where running the real join to count it would cost the shuffle.
+    "q_join_cardinality" -> QDef(
+      (s, dir) => {
+        val l = li(s, dir).groupBy("l_partkey").agg(count(lit(1)).as("cl"))
+        val r = Tables(s, dir, "part").groupBy(col("p_partkey"))
+          .agg(count(lit(1)).as("cr"))
+        l.join(r, col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(col("cl") * col("cr")).as("join_rows"),
+            count(lit(1)).as("matched_keys"),
+            sum(col("cl")).as("lhs_matched_rows"))
+      },
+      """WITH l AS (SELECT l_partkey, COUNT(*) AS cl FROM lineitem GROUP BY 1),
+        |r AS (SELECT p_partkey, COUNT(*) AS cr FROM part GROUP BY 1)
+        |SELECT CAST(SUM(cl * cr) AS BIGINT) AS join_rows,
+        |       COUNT(*) AS matched_keys,
+        |       CAST(SUM(cl) AS BIGINT) AS lhs_matched_rows
+        |FROM l JOIN r ON l_partkey = p_partkey""".stripMargin),
+
     // Top-3 orders per customer through the native bounded-heap
     // aggregate (graftbridge.BoundedTopK — the ANN rank kernel): each
     // map-side partial buffer holds at most k entries, so the exchange
