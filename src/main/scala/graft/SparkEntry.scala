@@ -37,7 +37,8 @@ object SparkEntry {
       graft.sources.SkipIndex.defs ++
       graft.queries.QualityOps.defs ++
       graft.queries.IndexOps.defs ++
-      graft.queries.GraphOps.defs
+      graft.queries.GraphOps.defs ++
+      graft.queries.IncrementalOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

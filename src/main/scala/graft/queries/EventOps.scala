@@ -103,6 +103,50 @@ object EventOps {
         |       event_type,
         |       COUNT(*) AS n_events,
         |       ROUND(SUM(value), 2) AS sum_value
-        |FROM hops GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM hops GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // Rolling 7-day distinct users from MERGEABLE per-day HLL sketches:
+    // the raw events are scanned once (per-day sketches + exact anchor);
+    // each rolling window then merges 7 stored sketches instead of
+    // re-scanning a week of raw events — the only formulation that
+    // scales, since exact sliding distinct needs the full event set per
+    // window. The sketch union runs as a WINDOW aggregate over the
+    // |days|-row frame (tiny — the single-partition window is bounded by
+    // the calendar, not the data). Gate: sketch estimate within 5%+1 of
+    // the exact rolling count, which the oracle recomputes from raws.
+    "ev_rolling_distinct" -> QDef(
+      (s, dir) => {
+        val evDay = ev(s, dir)
+          .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+        val daily = evDay.groupBy("day").agg(
+          expr("hll_sketch_agg(user_id, 14)").as("sk"))
+        val w = Window.orderBy("day").rowsBetween(-6, 0)
+        val est = daily
+          .withColumn("roll_sk", expr("hll_union_agg(sk)").over(w))
+          .select(col("day"),
+            expr("CAST(hll_sketch_estimate(roll_sk) AS BIGINT)").as("est_roll"))
+        // Exact rolling distinct (oracle anchor): day spine × events
+        // within the window — the cost the sketch path avoids.
+        val days = daily.select(col("day"))
+        val exact = days.join(evDay.withColumnRenamed("day", "eday"),
+            col("eday") <= col("day") &&
+              col("eday") >= date_format(date_sub(to_date(col("day")), 6), "yyyy-MM-dd"))
+          .groupBy("day").agg(countDistinct("user_id").as("exact_roll"))
+        est.join(exact, "day")
+          .select(col("day"), col("exact_roll"),
+            (abs(col("est_roll") - col("exact_roll"))
+              <= col("exact_roll") * 0.05 + lit(1)).as("roll_ok"))
+          .orderBy("day")
+      },
+      """WITH evd AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM evd)
+        |SELECT d.day,
+        |       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS exact_roll,
+        |       true AS roll_ok
+        |FROM days d JOIN evd e
+        |  ON e.day <= d.day
+        | AND e.day >= strftime(CAST(d.day AS DATE) - INTERVAL 6 DAY, '%Y-%m-%d')
+        |GROUP BY d.day ORDER BY d.day""".stripMargin)
   )
 }

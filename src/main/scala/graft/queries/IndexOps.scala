@@ -125,6 +125,59 @@ object IndexOps {
         |SELECT bigram, df,
         |       array_to_string(list_sort(list(doc_id)), ',') AS postings
         |FROM pres JOIN keep USING (bigram)
-        |GROUP BY bigram, df ORDER BY bigram LIMIT 100""".stripMargin)
+        |GROUP BY bigram, df ORDER BY bigram LIMIT 100""".stripMargin),
+
+    // PMI collocation mining: pointwise mutual information of adjacent
+    // word pairs vs their unigram frequencies — the classic collocation
+    // statistic. All counts are integral partial aggregates (unigrams
+    // reduce to |vocab|, bigrams to |vocab|²-bounded rows before any
+    // exchange); the PMI double is computed in ONE fixed expression
+    // order from integers, so both engines round identically. Min
+    // support 5 occurrences; top-20 by (pmi DESC, pair ASC).
+    "text_pmi_topk" -> QDef(
+      (s, dir) => {
+        val toks = docs(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        val uni = toks.select(explode(col("ts")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("cw"))
+        val tot = uni.agg(sum("cw").as("t"))
+        val bi = toks.select(explode(expr(
+          "transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS a, ts[i] AS b))"))
+          .as("p"))
+          .select(col("p.a"), col("p.b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("cab"))
+        val btot = bi.agg(sum("cab").as("bt"))
+        bi.filter(col("cab") >= 5)
+          .join(uni.withColumnRenamed("w", "a").withColumnRenamed("cw", "ca"), "a")
+          .join(uni.withColumnRenamed("w", "b").withColumnRenamed("cw", "cb"), "b")
+          .crossJoin(broadcast(tot)).crossJoin(broadcast(btot))
+          .select(
+            concat(col("a"), lit(" "), col("b")).as("pair"), col("cab"),
+            round(log(col("cab").cast("double") * col("t") * col("t") /
+              (col("bt").cast("double") * col("ca") * col("cb"))), 4).as("pmi"))
+          .orderBy(col("pmi").desc, col("pair").asc)
+          .limit(20)
+      },
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |uni AS (
+        |  SELECT unnest(ts) AS w FROM toks),
+        |ucnt AS (SELECT w, COUNT(*) AS cw FROM uni GROUP BY w),
+        |tot AS (SELECT SUM(cw) AS t FROM ucnt),
+        |bi AS (
+        |  SELECT unnest(list_transform(range(1, len(ts)), i -> ts[i])) AS a,
+        |         unnest(list_transform(range(1, len(ts)), i -> ts[i+1])) AS b
+        |  FROM toks),
+        |bcnt AS (SELECT a, b, COUNT(*) AS cab FROM bi GROUP BY a, b),
+        |btot AS (SELECT SUM(cab) AS bt FROM bcnt)
+        |SELECT a || ' ' || b AS pair, cab,
+        |       ROUND(ln(CAST(cab AS DOUBLE) * t * t /
+        |             (CAST(bt AS DOUBLE) * ca.cw * cb.cw)), 4) AS pmi
+        |FROM bcnt
+        |JOIN ucnt ca ON ca.w = a
+        |JOIN ucnt cb ON cb.w = b
+        |CROSS JOIN tot CROSS JOIN btot
+        |WHERE cab >= 5
+        |ORDER BY pmi DESC, pair LIMIT 20""".stripMargin)
   )
 }

