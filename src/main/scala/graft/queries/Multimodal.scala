@@ -21,6 +21,13 @@ import graft.Tables
   */
 object Multimodal {
 
+  // ImageIO defaults to a DISK-backed stream cache: every encode/decode
+  // round-trips a temp file, which serializes the whole stage on file
+  // creation. All payloads here are in-memory byte arrays — cache in
+  // heap. (Executor-side objects re-run this init per JVM, which is
+  // exactly the scope ImageIO's static registry needs.)
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class MediaFeatures(
       doc_id: Long, mime: String, format: String, width: Int, height: Int,
       f0: Long, f1: Long, f2: Long, f3: Long,
