@@ -147,6 +147,38 @@ object EventOps {
         |FROM days d JOIN evd e
         |  ON e.day <= d.day
         | AND e.day >= strftime(CAST(d.day AS DATE) - INTERVAL 6 DAY, '%Y-%m-%d')
-        |GROUP BY d.day ORDER BY d.day""".stripMargin)
+        |GROUP BY d.day ORDER BY d.day""".stripMargin),
+
+    // First-order Markov transition matrix over per-user event
+    // sequences: P(next event_type | current) from lag pairs. The lag
+    // window partitions by user (high-cardinality, no skew); pair counts
+    // partial-aggregate to |types|² rows before the exchange, and the
+    // row-normalizing denominator joins back from a tiny aggregate —
+    // the sequence-model statistic a behavioral pipeline feeds on.
+    // Probability is one exact-rounded division of two integers.
+    "ev_transition_matrix" -> QDef(
+      (s, dir) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val pairs = ev(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+          .withColumn("next_type", lead("event_type", 1).over(byUser))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("cur"), col("next_type").as("nxt"))
+          .agg(count(lit(1)).as("n"))
+        val outd = pairs.groupBy("cur").agg(sum("n").as("tot"))
+        pairs.join(broadcast(outd), "cur")
+          .select(col("cur"), col("nxt"), col("n"),
+            round(col("n") / col("tot").cast("double"), 6).as("p"))
+          .orderBy("cur", "nxt")
+      },
+      """WITH seq AS (
+        |  SELECT event_type AS cur,
+        |         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |pairs AS (
+        |  SELECT cur, nxt, COUNT(*) AS n FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+        |outd AS (SELECT cur, SUM(n) AS tot FROM pairs GROUP BY cur)
+        |SELECT cur, nxt, n, ROUND(n / CAST(tot AS DOUBLE), 6) AS p
+        |FROM pairs JOIN outd USING (cur) ORDER BY cur, nxt""".stripMargin)
   )
 }

@@ -69,7 +69,61 @@ object SkipIndex {
     * computes the same aggregate from the original table, so a pruning
     * bug that drops a qualifying file fails the hash gate.
     */
+  /** Parquet data files under `dir`, lexicographically sorted — listed
+    * through the Hadoop FileSystem API (portable to HDFS/S3), metadata
+    * only, no data read.
+    */
+  private def listParquet(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+      .map(_.toString).sorted.toIndexedSeq
+  }
+
   val defs: Map[String, QDef] = Map(
+
+    // Block (whole-file) sampling estimation: lineitem laid out hash-
+    // partitioned into 16 files (each file ≈ a uniform row sample, since
+    // the partitioner hashes the key), then totals are ESTIMATED from a
+    // deterministic 1-in-4 of the files — every 4th of the sorted list —
+    // scaled by the sampling factor. Only the sampled files are opened;
+    // at 100 TB this is the "scan 1% of blocks, extrapolate" survey scan
+    // that answers sizing questions without a full pass. Exact totals
+    // (the oracle anchor) come from the full table; the estimate gates
+    // at ±10% as hashable booleans.
+    "q_block_sample_est" -> QDef(
+      (s, dir) => {
+        val out = SourceOps.scratch("blocksample", dir)
+        if (!new java.io.File(out).exists()) {
+          Tables(s, dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice", "l_discount")
+            .repartition(16, col("l_orderkey"))
+            .write.mode("overwrite").parquet(out)
+        }
+        val files = listParquet(s, out)
+        val sampled = files.zipWithIndex.collect { case (f, i) if i % 4 == 0 => f }
+        val factor = files.length.toDouble / sampled.length
+        val est = s.read.parquet(sampled: _*)
+          .agg(count(lit(1)).as("s_rows"),
+            sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("s_rev"))
+        val exact = Tables(s, dir, "lineitem")
+          .agg(count(lit(1)).as("n_exact"),
+            sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_exact"))
+        exact.crossJoin(broadcast(est))
+          .select(
+            col("n_exact"),
+            round(col("rev_exact"), 2).as("rev_exact"),
+            (abs(col("s_rows") * factor - col("n_exact"))
+              <= col("n_exact") * 0.10).as("rows_est_ok"),
+            (abs(col("s_rev") * factor - col("rev_exact"))
+              <= col("rev_exact") * 0.10).as("rev_est_ok"))
+      },
+      """SELECT COUNT(*) AS n_exact,
+        |  ROUND(SUM(l_extendedprice * (1.0e0 - l_discount)), 2) AS rev_exact,
+        |  true AS rows_est_ok, true AS rev_est_ok
+        |FROM lineitem""".stripMargin),
+
     "q_skipindex_scan" -> QDef(
       (s, dir) => {
         val out = SourceOps.scratch("skipidx", dir)

@@ -48,4 +48,11 @@ class SkipIndexSpec extends SparkSpec {
       SkipIndex.prunedRead(spark, idx, "l_shipdate", "2090-01-01", "2091-01-01")
     }
   }
+
+  test("block sampling estimates within tolerance from a quarter of the files") {
+    val out = SkipIndex.defs("q_block_sample_est").run(spark, dir).collect()(0)
+    assert(out.getLong(0) > 0)
+    assert(out.getBoolean(2), "row-count estimate outside ±10%")
+    assert(out.getBoolean(3), "revenue estimate outside ±10%")
+  }
 }
