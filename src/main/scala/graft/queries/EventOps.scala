@@ -179,6 +179,45 @@ object EventOps {
         |  SELECT cur, nxt, COUNT(*) AS n FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt),
         |outd AS (SELECT cur, SUM(n) AS tot FROM pairs GROUP BY cur)
         |SELECT cur, nxt, n, ROUND(n / CAST(tot AS DOUBLE), 6) AS p
-        |FROM pairs JOIN outd USING (cur) ORDER BY cur, nxt""".stripMargin)
+        |FROM pairs JOIN outd USING (cur) ORDER BY cur, nxt""".stripMargin),
+
+    // First/last-touch attribution: every purchase event attributes to
+    // the user's first and most recent click strictly before it. One
+    // per-user window pass (running min/max over a conditional column) —
+    // no self-join of the event stream against itself, which is the
+    // naive formulation that explodes at scale. Timestamps out as
+    // epoch-second integers: exact on both engines.
+    "ev_attribution" -> QDef(
+      (s, dir) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        ev(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_timestamp(col("ts")).as("ts_s"))
+          .withColumn("first_click",
+            min(when(col("event_type") === "click", col("ts_s"))).over(byUser))
+          .withColumn("last_click",
+            max(when(col("event_type") === "click", col("ts_s"))).over(byUser))
+          .filter(col("event_type") === "purchase" && col("first_click").isNotNull)
+          .select(col("user_id"), col("event_id"), col("ts_s"),
+            col("first_click"), col("last_click"))
+          .orderBy("user_id", "event_id")
+      },
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id, event_type, ts_s,
+        |         MIN(CASE WHEN event_type = 'click' THEN ts_s END)
+        |           OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_click,
+        |         MAX(CASE WHEN event_type = 'click' THEN ts_s END)
+        |           OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click
+        |  FROM e)
+        |SELECT user_id, event_id, ts_s, first_click, last_click
+        |FROM w WHERE event_type = 'purchase' AND first_click IS NOT NULL
+        |ORDER BY user_id, event_id""".stripMargin)
   )
 }
