@@ -11,14 +11,33 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed+sorted managed table. */
+  /** Write `df` as a bucketed+sorted managed table.
+    *
+    * The pre-`repartition` on the bucket key uses the SAME Murmur3 hash
+    * as the bucket spec, so every write task holds exactly one bucket's
+    * rows and each bucket lands as ONE file. That single-file-per-bucket
+    * invariant is what lets the scan advertise the sortBy order: Spark
+    * only trusts bucket sort order when it doesn't have to merge files,
+    * so downstream sort-merge joins on the key then skip BOTH the
+    * exchange and the sort — presorted runs straight off the scan.
+    */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.write
+    df.repartition(buckets, df(key))
+      .write
       .mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Let bucketed scans advertise their sortBy order. Spark 3+ default-
+    * disabled this (the order only holds when every bucket is one file,
+    * which [[writeBucketed]] guarantees via its aligned pre-partition);
+    * with it on, sort-merge joins over such tables skip the per-bucket
+    * re-sort as well as the exchange.
+    */
+  def enableSortedBucketScan(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
 
   /** Join two same-bucketing tables on their bucket key. The merge hint
     * keeps the planner on sort-merge so the bucketed layout is used (a
