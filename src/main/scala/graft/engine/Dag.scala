@@ -188,12 +188,27 @@ final class Dag(session: GraftSession, workDir: Option[Path] = None) {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(slots, subset.size))
     val events = new java.util.concurrent.LinkedBlockingQueue[(String, Option[Throwable])]()
 
+    // Critical-path slot priority: when more tables are ready than slots
+    // are free, start the one heading the longest dependency chain —
+    // the classic makespan heuristic (delaying the critical path delays
+    // the whole DAG; delaying a leaf delays only itself). Height is
+    // pure graph arithmetic (longest chain of dependents within the
+    // subset), memoized once per run; ties break by name so scheduling
+    // stays deterministic.
+    val dependents = subset.map(n => n -> mutable.Buffer.empty[String]).toMap
+    subset.foreach(n =>
+      deps.getOrElse(n, Nil).filter(subset.contains).foreach(d => dependents(d) += n))
+    val heightMemo = mutable.Map.empty[String, Int]
+    def height(n: String): Int = heightMemo.getOrElseUpdate(n,
+      1 + dependents(n).map(height).maxOption.getOrElse(0))
+
     def isPending(n: String) = !completed(n) && !blocked(n) && !inFlight(n)
     def spawnReady(): Unit = {
       val free = slots - inFlight.size
       if (free > 0) {
-        pendingDeps.keys.toSeq.sorted
+        pendingDeps.keys.toSeq
           .filter(n => isPending(n) && pendingDeps(n).isEmpty)
+          .sortBy(n => (-height(n), n))
           .take(free)
           .foreach { n =>
             inFlight += n

@@ -155,6 +155,24 @@ class DagSpec extends SparkSpec {
     assert(s.sql("SELECT x FROM slow").collect()(0).getLong(0) == 10L)
   }
 
+  test("critical-path priority: the chain head starts before an alphabetically-earlier leaf") {
+    // One slot, two ready roots: "a_leaf" (no dependents) and "z1", the
+    // head of a 3-deep chain. Name-order scheduling would start a_leaf
+    // first; critical-path priority must start z1 (height 3) so the
+    // chain — the DAG's makespan — begins immediately. With one slot,
+    // completion order equals start order.
+    val (_, dag) = freshDag()
+    dag.register(Seq(
+      DagTable.source("a_leaf", Seq("v" -> "INT64"), Seq(Seq(1))),
+      DagTable.source("z1", Seq("v" -> "INT64"), Seq(Seq(2))),
+      DagTable.derived("z2", "SELECT v + 1 AS v FROM z1"),
+      DagTable.derived("z3", "SELECT v + 1 AS v FROM z2")))
+    val res = dag.run(maxConcurrency = 1)
+    assert(res.allSucceeded)
+    assert(res.succeeded.indexOf("z1") < res.succeeded.indexOf("a_leaf"),
+      s"scheduler ignored the critical path: ${res.succeeded}")
+  }
+
   test("a skip chain deeper than one level fully resolves (no stranded tables)") {
     // a fails → b skipped → c skipped: the reference's single-pass skip
     // (pipeline.rs:327) would strand c with nothing in flight; the
