@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Write–Audit–Publish: the pattern that keeps a bad batch out of the
+  * serving path. The batch lands in a staging directory, the audit runs
+  * against the STAGED bytes (what readers would actually see, not the
+  * in-memory frame), and only a clean audit atomically swings the
+  * published location — a failed audit leaves the previous publication
+  * untouched and the staging dir removed.
+  *
+  * Atomicity rides the filesystem rename (atomic on HDFS and posix;
+  * object stores substitute a metadata swap) — readers of `dest` never
+  * observe a half-written state. All paths resolve through the Hadoop
+  * FileSystem API, so the flow is portable off the local FS.
+  */
+object Wap {
+
+  /** Returns Right(dest) after publishing, or Left(violations) with the
+    * previous publication intact.
+    */
+  def writeAuditPublish(
+      spark: SparkSession,
+      df: DataFrame,
+      dest: String,
+      audit: DataFrame => Seq[String]): Either[Seq[String], String] = {
+    val destPath = new Path(dest)
+    val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(dest + s".staging-${ProcessHandle.current().pid()}")
+    df.write.mode("overwrite").parquet(staging.toString)
+    val violations =
+      try audit(spark.read.parquet(staging.toString))
+      catch { case e: Exception => Seq(s"audit error: ${e.getMessage}") }
+    if (violations.nonEmpty) {
+      fs.delete(staging, true)
+      Left(violations)
+    } else {
+      val retired = new Path(dest + s".retired-${ProcessHandle.current().pid()}")
+      if (fs.exists(destPath) && !fs.rename(destPath, retired))
+        throw new IllegalStateException(s"could not retire $dest")
+      if (!fs.rename(staging, destPath)) {
+        // Roll back the retirement so readers keep the old publication.
+        if (fs.exists(retired)) fs.rename(retired, destPath)
+        throw new IllegalStateException(s"could not publish $dest")
+      }
+      fs.delete(retired, true)
+      Right(dest)
+    }
+  }
+}
