@@ -178,6 +178,39 @@ object IndexOps {
         |JOIN ucnt cb ON cb.w = b
         |CROSS JOIN tot CROSS JOIN btot
         |WHERE cab >= 5
-        |ORDER BY pmi DESC, pair LIMIT 20""".stripMargin)
+        |ORDER BY pmi DESC, pair LIMIT 20""".stripMargin),
+
+    // Unigram language-model scoring (the CCNet-style perplexity-proxy
+    // quality dimension): corpus term frequencies (integral, reduced to
+    // |vocab| rows) broadcast back over the token stream, per-doc mean
+    // log-probability. avg(ln p) stays in one fixed expression shape:
+    // Σ ln(cw) − n·ln(T), all inputs integral, aggregated then rounded
+    // at 4dp. Scored docs bounded to ids < 100 (filter pushed to scan);
+    // frequencies still come from the FULL corpus.
+    "text_unigram_logprob" -> QDef(
+      (s, dir) => {
+        val all = docs(s, dir)
+        val tok = all.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        val cw = tok.groupBy("w").agg(count(lit(1)).as("cw"))
+        val tot = cw.agg(sum("cw").as("t"))
+        tok.filter(col("doc_id") < 100)
+          .join(cw, "w")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_toks"), sum(log(col("cw"))).as("slc"))
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"), col("n_toks"),
+            round((col("slc") - col("n_toks") * log(col("t"))) / col("n_toks"), 4)
+              .as("avg_logprob"))
+          .orderBy("doc_id")
+      },
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |cw AS (SELECT w, COUNT(*) AS cw FROM tok GROUP BY w),
+        |tot AS (SELECT SUM(cw) AS t FROM cw)
+        |SELECT doc_id, COUNT(*) AS n_toks,
+        |       ROUND((SUM(ln(cw.cw)) - COUNT(*) * ln(t)) / COUNT(*), 4) AS avg_logprob
+        |FROM tok JOIN cw USING (w) CROSS JOIN tot
+        |WHERE doc_id < 100
+        |GROUP BY doc_id, t ORDER BY doc_id""".stripMargin)
   )
 }

@@ -24,7 +24,13 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_tpch_q21" -> 320 * 1024L,
     "dedup_minhash_lsh" -> 1024 * 1024L,
     "dedup_clusters" -> 1024 * 1024L,
-    "ann_pq_topk" -> 2 * 1024 * 1024L)
+    "ann_pq_topk" -> 2 * 1024 * 1024L,
+    // vocabulary-sized shuffles by construction — a corpus-sized number
+    // here means the partial aggregation stopped reducing map-side
+    // (measured r5: 1.6 / 36 / 9.2 KiB)
+    "text_bpe_pairs" -> 32 * 1024L,
+    "text_pmi_topk" -> 128 * 1024L,
+    "curate_global_index" -> 64 * 1024L)
 
   test("headline queries stay inside their shuffle-byte budgets") {
     val acc = new ShuffleAccounting
