@@ -62,4 +62,42 @@ object AggViewStream {
     StreamOps.latestSnapshot(spark, tableDir)
       .getOrElse(throw new IllegalStateException(s"no committed view under $tableDir"))
       .withColumn("avg_v", col("s") / col("n"))
+
+  /** Incrementally-maintained COLUMN-STATS catalog — the profiler
+    * (`profile_table`) as a live table: per ingest batch, each profiled
+    * column contributes one (col_name, n, n_null, mn, mx) row computed
+    * from THAT BATCH ONLY, merged into the snapshot chain with the same
+    * count+count / min(min) / max(max) algebra. The catalog stays
+    * current under ingestion without ever rescanning the table — the
+    * stats a planner (or q_expectations-style contract) reads for free.
+    */
+  def statsCatalogSink(
+      rows: DataFrame, cols: Seq[String],
+      tableDir: String, checkpointDir: String, retainSnapshots: Int = 3): StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fresh = cols.map { c =>
+          batch.agg(
+            count(lit(1)).as("n"),
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+            min(col(c).cast("double")).as("mn"),
+            max(col(c).cast("double")).as("mx"))
+            .select(lit(c).as("col_name"), col("n"),
+              coalesce(col("n_null"), lit(0L)).as("n_null"), col("mn"), col("mx"))
+        }.reduce(_.unionByName(_))
+        val merged = StreamOps.latestSnapshot(spark, tableDir, below = Some(batchId)) match {
+          case Some(prev) =>
+            prev.unionByName(fresh)
+              .groupBy(col("col_name"))
+              .agg(sum("n").as("n"), sum("n_null").as("n_null"),
+                min("mn").as("mn"), max("mx").as("mx"))
+          case None => fresh
+        }
+        merged.write.mode("overwrite").parquet(s"$tableDir/snap_$batchId")
+        StreamOps.pruneSnapshots(spark, tableDir, batchId, retainSnapshots)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 }

@@ -45,4 +45,31 @@ class AggViewStreamSpec extends SparkSpec {
 
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
   }
+
+  test("stats catalog stays current under ingestion without rescanning history") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("statscat").toString
+    val table = s"$base/cat"; val ckpt = s"$base/ckpt"
+    val input = MemoryStream[Sale]
+    def drain(): Unit =
+      AggViewStream.statsCatalogSink(input.toDF(), Seq("amount"), table, ckpt)
+        .awaitTermination()
+    def cat(): Map[String, (Long, Long, Double, Double)] =
+      StreamOps.latestSnapshot(spark, table).get.collect()
+        .map(r => r.getAs[String]("col_name") -> ((r.getAs[Long]("n"),
+          r.getAs[Long]("n_null"), r.getAs[Double]("mn"), r.getAs[Double]("mx")))).toMap
+
+    input.addData(Sale("a", 10.0), Sale("b", 4.0))
+    drain()
+    assert(cat() == Map("amount" -> ((2L, 0L, 4.0, 10.0))))
+
+    // Second batch extends the extremes and the count; the catalog must
+    // reflect ALL ingested rows while having aggregated only batch 2.
+    input.addData(Sale("c", 50.0), Sale("d", 1.0))
+    drain()
+    assert(cat() == Map("amount" -> ((4L, 0L, 1.0, 50.0))))
+
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
 }
