@@ -163,6 +163,36 @@ object QualityOps {
         |       CAST(SUM(cl) AS BIGINT) AS lhs_matched_rows
         |FROM l JOIN r ON l_partkey = p_partkey""".stripMargin),
 
+    // Grouped quantile normalization: per-language quartile boundaries
+    // from the mergeable percentile sketch (one pass, |langs|×3 rows),
+    // broadcast back for a map-only bucket assignment — the feature-
+    // binning shape that normalizes heterogeneous subcorpora before
+    // mixing. The oracle can't see Spark's sketch boundaries, so the
+    // gate is behavioral: exact per-language doc counts (hashable) plus
+    // a boolean that every quartile holds 25% ± 40% of its language —
+    // loose enough for sketch skew, far tighter than any assignment bug.
+    "curate_quantile_norm" -> QDef(
+      (s, dir) => {
+        val d = Tables(s, dir, "documents").select(col("lang"), col("n_chars"))
+        val bounds = d.groupBy("lang").agg(
+          expr("percentile_approx(n_chars, array(0.25D, 0.5D, 0.75D), 10000)").as("bs"))
+        val bucketed = d.join(broadcast(bounds), "lang")
+          .select(col("lang"),
+            when(col("n_chars") <= element_at(col("bs"), 1), 1)
+              .when(col("n_chars") <= element_at(col("bs"), 2), 2)
+              .when(col("n_chars") <= element_at(col("bs"), 3), 3)
+              .otherwise(4).as("bkt"))
+          .groupBy("lang", "bkt").agg(count(lit(1)).as("c"))
+        bucketed.groupBy("lang")
+          .agg(sum("c").as("n_docs"), min("c").as("mn"), max("c").as("mx"))
+          .select(col("lang"), col("n_docs"),
+            (col("mn") * 4 * 10 >= col("n_docs") * 6 &&
+              col("mx") * 4 * 10 <= col("n_docs") * 14).as("balanced_ok"))
+          .orderBy("lang")
+      },
+      """SELECT lang, COUNT(*) AS n_docs, true AS balanced_ok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+
     // Top-3 orders per customer through the native bounded-heap
     // aggregate (graftbridge.BoundedTopK — the ANN rank kernel): each
     // map-side partial buffer holds at most k entries, so the exchange
