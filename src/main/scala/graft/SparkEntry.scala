@@ -38,7 +38,8 @@ object SparkEntry {
       graft.queries.QualityOps.defs ++
       graft.queries.IndexOps.defs ++
       graft.queries.GraphOps.defs ++
-      graft.queries.IncrementalOps.defs
+      graft.queries.IncrementalOps.defs ++
+      graft.queries.CodecOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -163,6 +163,36 @@ object QualityOps {
         |       CAST(SUM(cl) AS BIGINT) AS lhs_matched_rows
         |FROM l JOIN r ON l_partkey = p_partkey""".stripMargin),
 
+    // Cross-table reconciliation audit: recompute each order's total
+    // from its lineitems (partial-aggregated on the fact side — the
+    // exchange carries |orders| rows) and surface the 10 largest
+    // header-vs-detail discrepancies. The synthetic generator does NOT
+    // maintain the invariant, which is exactly what the audit shows —
+    // and at a real warehouse this is the nightly header/detail
+    // consistency check. Fixed-order arithmetic + round(2) both sides.
+    "q_reconciliation" -> QDef(
+      (s, dir) => {
+        val calc = li(s, dir)
+          .groupBy(col("l_orderkey"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax"))), 2).as("calc"))
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .join(calc, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderkey"), col("o_totalprice"), col("calc"),
+            round(abs(col("o_totalprice") - col("calc")), 2).as("diff"))
+          .orderBy(col("diff").desc, col("o_orderkey").asc)
+          .limit(10)
+      },
+      """WITH c AS (
+        |  SELECT l_orderkey,
+        |         ROUND(SUM(l_extendedprice * (1.0e0 - l_discount) * (1.0e0 + l_tax)), 2) AS calc
+        |  FROM lineitem GROUP BY 1)
+        |SELECT o_orderkey, o_totalprice, calc,
+        |       ROUND(ABS(o_totalprice - calc), 2) AS diff
+        |FROM orders JOIN c ON o_orderkey = l_orderkey
+        |ORDER BY diff DESC, o_orderkey LIMIT 10""".stripMargin),
+
     // Grouped quantile normalization: per-language quartile boundaries
     // from the mergeable percentile sketch (one pass, |langs|×3 rows),
     // broadcast back for a map-only bucket assignment — the feature-
