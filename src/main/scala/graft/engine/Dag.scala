@@ -212,7 +212,17 @@ final class Dag(session: GraftSession, workDir: Option[Path] = None) {
           .take(free)
           .foreach { n =>
             inFlight += n
-            pool.execute(() => events.put(n -> execute(n)))
+            // The completion event must post even on FATAL throwables
+            // (OOM during a materialization, linkage errors): a missing
+            // event would leave the driver blocked in events.take()
+            // forever with the table stuck in-flight. execute() already
+            // converts NonFatal failures; this is the last-resort net.
+            pool.execute(() => {
+              val outcome =
+                try execute(n)
+                catch { case t: Throwable => Some(t) }
+              events.put(n -> outcome)
+            })
           }
       }
     }

@@ -129,10 +129,25 @@ final class JdbcResolver(url: String, options: Map[String, String] = Map.empty)
   def resolve(spark: SparkSession, name: String): DataFrame =
     try reader(spark).option("dbtable", name).load()
     catch {
-      case e: Exception if exists(e)(_.getMessage.contains("does not exist")) =>
+      case e: Exception if missingTable(e) =>
         throw GraftError.UnknownTable(name)
       case e: Exception =>
         throw GraftError.QueryError(s"JDBC backend failed resolving $name ($url): ${e.getMessage}")
+    }
+
+  /** Missing-TABLE detection by SQLState, not message substring —
+    * engines say "does not exist" about schemas, columns, and functions
+    * too, and those must surface as QueryError (a config fault), not
+    * UnknownTable. 42X05 = Derby table/view not found; 42S02 = the
+    * SQL-standard base-table-not-found class (H2, MySQL, SQLServer);
+    * 42P01 = Postgres undefined_table.
+    */
+  private val MissingTableStates = Set("42X05", "42S02", "42P01")
+  private def missingTable(t: Throwable): Boolean =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).exists {
+      case sql: java.sql.SQLException =>
+        Option(sql.getSQLState).exists(MissingTableStates.contains)
+      case _ => false
     }
 
   /** Write a result back through the endpoint (append-or-create). */
@@ -143,8 +158,4 @@ final class JdbcResolver(url: String, options: Map[String, String] = Map.empty)
       case e: Exception =>
         throw GraftError.QueryError(s"JDBC backend failed writing $name ($url): ${e.getMessage}")
     }
-
-  private def exists(t: Throwable)(p: Throwable => Boolean): Boolean =
-    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
-      .exists(x => x.getMessage != null && p(x))
 }

@@ -31,17 +31,14 @@ object PlanLints {
     parseBytes(v)
   }
 
-  private def parseBytes(v: String): Long = {
-    val t = v.trim.toLowerCase
-    if (t.endsWith("kb")) t.dropRight(2).trim.toLong << 10
-    else if (t.endsWith("mb")) t.dropRight(2).trim.toLong << 20
-    else if (t.endsWith("gb")) t.dropRight(2).trim.toLong << 30
-    else if (t.endsWith("k")) t.dropRight(1).trim.toLong << 10
-    else if (t.endsWith("m")) t.dropRight(1).trim.toLong << 20
-    else if (t.endsWith("g")) t.dropRight(1).trim.toLong << 30
-    else if (t.endsWith("b")) t.dropRight(1).trim.toLong
-    else t.toLong
-  }
+  /** Spark's own byte-string grammar (handles every suffix Spark
+    * accepts — t/tb/p/pb included); an advisory linter must never throw
+    * on a threshold value the engine itself accepted, so unparseable
+    * input falls back to the Spark default rather than raising.
+    */
+  private def parseBytes(v: String): Long =
+    try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v.trim)
+    catch { case scala.util.control.NonFatal(_) => 10L << 20 }
 
   private def statsBytes(p: SparkPlan): Option[BigInt] =
     p.logicalLink.map(_.stats.sizeInBytes)

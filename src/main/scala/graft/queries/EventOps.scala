@@ -120,8 +120,12 @@ object EventOps {
           .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
         val daily = evDay.groupBy("day").agg(
           expr("hll_sketch_agg(user_id, 14)").as("sk"))
-        val w = Window.orderBy("day").rowsBetween(-6, 0)
+        // CALENDAR-bounded frame (range over day numbers), not a row
+        // frame: with a zero-event day in the range, 7 ROWS would span
+        // more than 7 days and diverge from the exact anchor below.
+        val w = Window.orderBy("day_num").rangeBetween(-6, 0)
         val est = daily
+          .withColumn("day_num", datediff(to_date(col("day")), lit("1970-01-01")))
           .withColumn("roll_sk", expr("hll_union_agg(sk)").over(w))
           .select(col("day"),
             expr("CAST(hll_sketch_estimate(roll_sk) AS BIGINT)").as("est_roll"))

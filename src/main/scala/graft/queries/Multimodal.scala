@@ -60,9 +60,13 @@ object Multimodal {
     */
   private def extract(id: Long, mime: String, payload: Array[Byte]): MediaFeatures = {
     val f = new Array[Long](8)
+    // NonFatal, not just IOException: the JDK readers throw unchecked
+    // exceptions on crafted input (IllegalArgument / IndexOutOfBounds on
+    // corrupt header dimensions, CMMException from color management) —
+    // a poisoned record must degrade, never kill the stage.
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null)
       return MediaFeatures(id, mime, "unknown", -1, -1, 0, 0, 0, 0, 0, 0, 0, 0)
     val (w, h) = (img.getWidth, img.getHeight)
@@ -106,10 +110,15 @@ object Multimodal {
       val readers = ImageIO.getImageReaders(in)
       if (readers.hasNext) {
         val r = readers.next()
+        // getWidth/getHeight on a recognized-but-corrupt header can
+        // throw unchecked — degrade like an unrecognized payload.
         try {
           r.setInput(in)
           ImageMeta(id, mime, r.getFormatName.toLowerCase,
             r.getWidth(0), r.getHeight(0), payload.length.toLong)
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            ImageMeta(id, mime, "unknown", -1, -1, payload.length.toLong)
         } finally r.dispose()
       } else ImageMeta(id, mime, "unknown", -1, -1, payload.length.toLong)
     } finally in.close()

@@ -10,10 +10,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * published location — a failed audit leaves the previous publication
   * untouched and the staging dir removed.
   *
-  * Atomicity rides the filesystem rename (atomic on HDFS and posix;
-  * object stores substitute a metadata swap) — readers of `dest` never
-  * observe a half-written state. All paths resolve through the Hadoop
-  * FileSystem API, so the flow is portable off the local FS.
+  * Each individual rename is atomic (HDFS and posix; object stores
+  * substitute a metadata swap), so readers never observe a HALF-WRITTEN
+  * dest — but because a single rename cannot replace a non-empty
+  * directory, the publish is a two-rename swap (dest→retired,
+  * staging→dest) with a brief window where `dest` is ABSENT: a
+  * concurrent read in that window fails fast rather than reading mixed
+  * data, and a crash inside it leaves the batch recoverable in the
+  * `.retired` dir. Serving paths that cannot tolerate the absence
+  * window should publish versioned directories behind an
+  * atomically-swapped pointer instead — the `snap_<batchId>` chain in
+  * `graft.streaming` is exactly that pattern. All paths resolve through
+  * the Hadoop FileSystem API, so the flow is portable off the local FS.
   */
 object Wap {
 

@@ -72,9 +72,15 @@ object AnnStream {
         val prev = StreamOps.latestSnapshot(spark, tableDir, below = Some(batchId))
         val all = prev.map(_.unionByName(fresh)).getOrElse(fresh)
         // Latest ingest wins per vec_id: a hash-shuffle on vec_id sized
-        // by index + batch — no window over anything unkeyed.
+        // by index + batch — no window over anything unkeyed. The
+        // payload-hash tie-break makes a duplicate vec_id WITHIN one
+        // micro-batch resolve deterministically (same contract as
+        // mergeSink's payload-column tie-breaks): without it a replayed
+        // batch could pick the other duplicate and commit a different
+        // snapshot than the first attempt.
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("vec_id").orderBy(col("ingest_batch").desc)
+          .partitionBy("vec_id")
+          .orderBy(col("ingest_batch").desc, hash(col("v")).desc)
         all.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
           .write.mode("overwrite").parquet(s"$tableDir/snap_$batchId")

@@ -163,17 +163,21 @@ object StreamOps {
       .start()
 
   /** Retention: snapshots older than the last `retainSnapshots` are
-    * dead weight (replay only ever needs the latest id strictly below
-    * the replayed batch). Prune AFTER the new snapshot commits, so a
-    * crash mid-prune still leaves a complete chain. Shared by every
-    * snapshot-chain sink (mergeSink, AnnStream.pqIndexSink).
+    * dead weight. Prune AFTER the new snapshot commits, so a crash
+    * mid-prune still leaves a complete chain. The floor is 2, NOT 1:
+    * a replay of batch B reads the latest snapshot STRICTLY BELOW B, so
+    * snap_{B-1} must survive B's prune — if it were deleted and the
+    * process died between B's foreachBatch and its checkpoint commit,
+    * the replayed B would find no predecessor and silently restart the
+    * state from one batch of data. Shared by every snapshot-chain sink
+    * (mergeSink, AnnStream sinks, AggViewStream).
     */
   private[streaming] def pruneSnapshots(
       spark: org.apache.spark.sql.SparkSession, tableDir: String,
       batchId: Long, retainSnapshots: Int): Unit = {
     val (fs, root) = fsOf(spark, tableDir)
     committedSnapshotIds(fs, root)
-      .filter(_ <= batchId - math.max(1, retainSnapshots))
+      .filter(_ <= batchId - math.max(2, retainSnapshots))
       .foreach { id =>
         fs.delete(new org.apache.hadoop.fs.Path(root, s"snap_$id"), true)
       }

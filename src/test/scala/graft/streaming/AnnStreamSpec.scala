@@ -82,10 +82,11 @@ class AnnStreamSpec extends SparkSpec {
     drain()
     assert(codes() == Map(1L -> Seq(1, 1), 2L -> Seq(1, 1), 3L -> Seq(0, 1)))
 
-    // Snapshot chain is pruned (retain=1): only the latest remains.
+    // Snapshot chain is pruned (retain=1, floored to 2): the latest and
+    // its replay predecessor remain — snap_0 is gone.
     val snaps = Option(new java.io.File(table).listFiles()).getOrElse(Array.empty)
       .filter(_.getName.startsWith("snap_")).map(_.getName).sorted.toSeq
-    assert(snaps == Seq("snap_2"), snaps.toString)
+    assert(snaps == Seq("snap_1", "snap_2"), snaps.toString)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
   }
 

@@ -190,9 +190,10 @@ class StreamOpsSpec extends SparkSpec {
     input.addData(Ev(1, ts(9), "b", 9.0), Ev(3, ts(7), "a", 3.0))
     drain()
     assert(state() == Map(1L -> ("b", 9.0), 2L -> ("a", 2.0), 3L -> ("a", 3.0)))
-    // retention (retain=1): batch 1's prune removed snap_0 — snapshots
-    // don't accumulate without bound.
-    assert(snapDirs() == Seq("snap_1"), snapDirs().toString)
+    // retention (retain=1, floored to 2): snap_0 SURVIVES batch 1's
+    // prune — a replay of batch 1 needs the latest snapshot strictly
+    // below it, so the newest predecessor is never deleted.
+    assert(snapDirs() == Seq("snap_0", "snap_1"), snapDirs().toString)
     // idle restart: nothing new to process, state unchanged
     drain()
     assert(state() == Map(1L -> ("b", 9.0), 2L -> ("a", 2.0), 3L -> ("a", 3.0)))
