@@ -222,6 +222,74 @@ object EventOps {
         |  FROM e)
         |SELECT user_id, event_id, ts_s, first_click, last_click
         |FROM w WHERE event_type = 'purchase' AND first_click IS NOT NULL
-        |ORDER BY user_id, event_id""".stripMargin)
+        |ORDER BY user_id, event_id""".stripMargin),
+
+    // Audience overlap from HLL sketch algebra: |A∩B| estimated by
+    // inclusion-exclusion over the per-segment sketches (est_A + est_B −
+    // est_union) — the two-scan-free way to answer overlap questions
+    // across materialized per-segment sketches. Intersection error
+    // compounds, so the gate is looser (±15%+5) than the union gates.
+    // Exact anchors are hashable; estimates live only in the boolean.
+    "q_hll_overlap" -> QDef(
+      (s, dir) => {
+        val e = ev(s, dir).select(col("event_type"), col("user_id"))
+        val sk = e.filter(col("event_type").isin("click", "purchase"))
+          .groupBy("event_type")
+          .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"),
+            countDistinct("user_id").as("exact"))
+        val est = sk.agg(
+          expr("CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)").as("est_union"),
+          sum(expr("CAST(hll_sketch_estimate(sk) AS BIGINT)")).as("est_sum"),
+          sum("exact").as("exact_sum"))
+        val exactOverlap = e.filter(col("event_type") === "click").select("user_id").distinct()
+          .join(e.filter(col("event_type") === "purchase").select("user_id").distinct(),
+            Seq("user_id"), "left_semi")
+          .agg(count(lit(1)).as("exact_overlap"))
+        est.crossJoin(broadcast(exactOverlap))
+          .select(
+            col("exact_overlap"),
+            (abs((col("est_sum") - col("est_union")) - col("exact_overlap"))
+              <= col("exact_overlap") * 0.15 + lit(5)).as("overlap_ok"))
+      },
+      """WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+        |p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT CAST(COUNT(*) AS BIGINT) AS exact_overlap, true AS overlap_ok
+        |FROM c WHERE EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id)""".stripMargin),
+
+    // Exponentially-weighted moving average of daily event volume
+    // WITHOUT a recursive loop: y_t = α·Σ (1−α)^(t−i)·x_i rewrites as
+    // α·(1−α)^t · prefix_sum(x_i/(1−α)^i) — one ORDERED cumulative
+    // window over the calendar-bounded daily series (the running sum
+    // evaluates in frame order, so both engines add the same terms in
+    // the same sequence). α = 0.3; scale factors stay ≤ ~3e4 over a
+    // 30-day series, well inside double range.
+    "ev_ewma" -> QDef(
+      (s, dir) => {
+        val daily = ev(s, dir)
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("x"))
+        val t0 = daily.agg(min("day").as("d0"))
+        val w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+        daily.crossJoin(broadcast(t0))
+          .withColumn("t", datediff(to_date(col("day")), to_date(col("d0"))))
+          .withColumn("scaled", col("x") / pow(lit(0.7), col("t")))
+          .withColumn("ewma",
+            round(lit(0.3) * pow(lit(0.7), col("t")) * sum("scaled").over(w), 4))
+          .select(col("day"), col("x"), col("ewma"))
+          .orderBy("day")
+      },
+      """WITH daily AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS x
+        |  FROM events GROUP BY 1),
+        |t0 AS (SELECT MIN(day) AS d0 FROM daily),
+        |s AS (
+        |  SELECT day, x, date_diff('day', CAST(d0 AS DATE), CAST(day AS DATE)) AS t,
+        |         x / pow(0.7e0, date_diff('day', CAST(d0 AS DATE), CAST(day AS DATE))) AS scaled
+        |  FROM daily, t0)
+        |SELECT day, x,
+        |       ROUND(0.3e0 * pow(0.7e0, t) *
+        |             SUM(scaled) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |             4) AS ewma
+        |FROM s ORDER BY day""".stripMargin)
   )
 }
