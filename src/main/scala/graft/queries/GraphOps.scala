@@ -97,6 +97,41 @@ object GraphOps {
         |         SELECT m.dst, SUM(r2.rank * m.share) AS c
         |         FROM m JOIN r2 ON r2.node = m.src GROUP BY m.dst) c
         |       ON c.dst = nodes.node)
-        |SELECT node, ROUND(rank, 4) AS rank FROM r3 ORDER BY node""".stripMargin)
+        |SELECT node, ROUND(rank, 4) AS rank FROM r3 ORDER BY node""".stripMargin),
+
+    // Triangle counting on the co-order part graph (parts appearing in
+    // the same order are connected). Degree-ordering discipline: every
+    // edge is stored once as (u < v), and the wedge join closes
+    // u < mid < w exactly once — no triangle is counted from three
+    // rotations, and the join fan-out is Σ deg²(mid) over the ORDERED
+    // adjacency, the standard distributed-triangle bound. The node-id
+    // filter bounds the demo subgraph and pushes to both scans.
+    "q_triangle_count" -> QDef(
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .filter(col("l_partkey") < 300)
+          .select(col("l_orderkey"), col("l_partkey"))
+        val e = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+          .distinct()
+        val wedges = e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
+          .select(col("e1.u").as("wu"), col("e1.v").as("wm"), col("e2.v").as("ww"))
+        val tri = wedges.join(e.as("e3"),
+            col("wu") === col("e3.u") && col("ww") === col("e3.v"))
+          .agg(count(lit(1)).as("n_triangles"))
+        e.agg(count(lit(1)).as("n_edges"))
+          .crossJoin(broadcast(tri))
+      },
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_partkey < 300 AND b.l_partkey < 300)
+        |SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+        |       (SELECT COUNT(*) FROM e e1
+        |        JOIN e e2 ON e1.v = e2.u
+        |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""".stripMargin)
   )
 }
