@@ -211,6 +211,33 @@ object IndexOps {
         |       ROUND((SUM(ln(cw.cw)) - COUNT(*) * ln(t)) / COUNT(*), 4) AS avg_logprob
         |FROM tok JOIN cw USING (w) CROSS JOIN tot
         |WHERE doc_id < 100
-        |GROUP BY doc_id, t ORDER BY doc_id""".stripMargin)
+        |GROUP BY doc_id, t ORDER BY doc_id""".stripMargin),
+
+    // Language-confusion matrix: declared corpus labels × the stopword-
+    // heuristic detector (text_lang_id's expression) — the calibration
+    // artifact that tells a curation pipeline WHERE its lang-id is
+    // untrustworthy (e.g. zh has no latin stopwords, so its row shows
+    // exactly how the heuristic misroutes it). Map-only scoring, counts
+    // partial-aggregate to |langs|² cells.
+    "text_lang_confusion" -> QDef(
+      (s, dir) =>
+        TextOps.defs("text_lang_id").run(s, dir)
+          .join(docs(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+          .groupBy(col("lang").as("declared"), col("pred_lang").as("detected"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("declared", "detected"),
+      """WITH pred AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(regexp_extract_all(text, '\b(the|a|of|to|and)\b')) >= len(regexp_extract_all(text, '\b(der|die|und|das|ist)\b'))
+        |          AND len(regexp_extract_all(text, '\b(the|a|of|to|and)\b')) >= len(regexp_extract_all(text, '\b(le|la|et|les|des)\b'))
+        |          AND len(regexp_extract_all(text, '\b(the|a|of|to|and)\b')) >= len(regexp_extract_all(text, '\b(el|la|de|que|los)\b')) THEN 'en'
+        |         WHEN len(regexp_extract_all(text, '\b(der|die|und|das|ist)\b')) >= len(regexp_extract_all(text, '\b(le|la|et|les|des)\b'))
+        |          AND len(regexp_extract_all(text, '\b(der|die|und|das|ist)\b')) >= len(regexp_extract_all(text, '\b(el|la|de|que|los)\b')) THEN 'de'
+        |         WHEN len(regexp_extract_all(text, '\b(le|la|et|les|des)\b')) >= len(regexp_extract_all(text, '\b(el|la|de|que|los)\b')) THEN 'fr'
+        |         ELSE 'es' END AS detected
+        |  FROM documents)
+        |SELECT d.lang AS declared, p.detected, COUNT(*) AS n
+        |FROM documents d JOIN pred p USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   )
 }
