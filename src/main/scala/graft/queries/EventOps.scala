@@ -227,9 +227,12 @@ object EventOps {
     // Audience overlap from HLL sketch algebra: |A∩B| estimated by
     // inclusion-exclusion over the per-segment sketches (est_A + est_B −
     // est_union) — the two-scan-free way to answer overlap questions
-    // across materialized per-segment sketches. Intersection error
-    // compounds, so the gate is looser (±15%+5) than the union gates.
-    // Exact anchors are hashable; estimates live only in the boolean.
+    // across materialized per-segment sketches. The error budget scales
+    // with the UNION (each of the three estimates carries ~0.8% relative
+    // error of ITS cardinality at lgK=14, and inclusion-exclusion adds
+    // them), NOT with the overlap — a gate proportional to a small
+    // overlap would trip on estimator noise alone at any scale where
+    // overlap ≪ union. All three exact anchors are hashable output.
     "q_hll_overlap" -> QDef(
       (s, dir) => {
         val e = ev(s, dir).select(col("event_type"), col("user_id"))
@@ -240,37 +243,50 @@ object EventOps {
         val est = sk.agg(
           expr("CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)").as("est_union"),
           sum(expr("CAST(hll_sketch_estimate(sk) AS BIGINT)")).as("est_sum"),
-          sum("exact").as("exact_sum"))
+          min(when(col("event_type") === "click", col("exact"))).as("exact_click"),
+          min(when(col("event_type") === "purchase", col("exact"))).as("exact_purchase"))
         val exactOverlap = e.filter(col("event_type") === "click").select("user_id").distinct()
           .join(e.filter(col("event_type") === "purchase").select("user_id").distinct(),
             Seq("user_id"), "left_semi")
           .agg(count(lit(1)).as("exact_overlap"))
         est.crossJoin(broadcast(exactOverlap))
           .select(
-            col("exact_overlap"),
+            col("exact_click"), col("exact_purchase"), col("exact_overlap"),
             (abs((col("est_sum") - col("est_union")) - col("exact_overlap"))
-              <= col("exact_overlap") * 0.15 + lit(5)).as("overlap_ok"))
+              <= (col("exact_click") + col("exact_purchase") - col("exact_overlap")) * 0.05
+                + lit(5)).as("overlap_ok"))
       },
       """WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
-        |p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
-        |SELECT CAST(COUNT(*) AS BIGINT) AS exact_overlap, true AS overlap_ok
-        |FROM c WHERE EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id)""".stripMargin),
+        |p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+        |o AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_overlap
+        |      FROM c WHERE EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id))
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS exact_click,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS exact_purchase,
+        |       exact_overlap, true AS overlap_ok
+        |FROM o""".stripMargin),
 
     // Exponentially-weighted moving average of daily event volume
     // WITHOUT a recursive loop: y_t = α·Σ (1−α)^(t−i)·x_i rewrites as
     // α·(1−α)^t · prefix_sum(x_i/(1−α)^i) — one ORDERED cumulative
     // window over the calendar-bounded daily series (the running sum
     // evaluates in frame order, so both engines add the same terms in
-    // the same sequence). α = 0.3; scale factors stay ≤ ~3e4 over a
-    // 30-day series, well inside double range.
+    // the same sequence). α = 0.3. The series is bounded to the most
+    // recent 365 days BEFORE indexing: the scale factor 1/0.7^t grows
+    // as 1.43^t and overflows double at t≈2090, so an unbounded
+    // calendar would walk off a numeric cliff — within the bounded
+    // horizon the factors stay ≤ ~1e57 and terms older than ~40 days
+    // sit below the 4dp rounding anyway (0.7^40 ≈ 6e-7).
     "ev_ewma" -> QDef(
       (s, dir) => {
         val daily = ev(s, dir)
           .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
           .agg(count(lit(1)).as("x"))
-        val t0 = daily.agg(min("day").as("d0"))
+        val horizon = daily.agg(max("day").as("dmax"))
+        val recent = daily.crossJoin(broadcast(horizon))
+          .filter(datediff(to_date(col("dmax")), to_date(col("day"))) < 365)
+        val t0 = recent.agg(min("day").as("d0"))
         val w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
-        daily.crossJoin(broadcast(t0))
+        recent.crossJoin(broadcast(t0))
           .withColumn("t", datediff(to_date(col("day")), to_date(col("d0"))))
           .withColumn("scaled", col("x") / pow(lit(0.7), col("t")))
           .withColumn("ewma",
@@ -281,11 +297,15 @@ object EventOps {
       """WITH daily AS (
         |  SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS x
         |  FROM events GROUP BY 1),
-        |t0 AS (SELECT MIN(day) AS d0 FROM daily),
+        |h AS (SELECT MAX(day) AS dmax FROM daily),
+        |recent AS (
+        |  SELECT day, x FROM daily, h
+        |  WHERE date_diff('day', CAST(day AS DATE), CAST(dmax AS DATE)) < 365),
+        |t0 AS (SELECT MIN(day) AS d0 FROM recent),
         |s AS (
         |  SELECT day, x, date_diff('day', CAST(d0 AS DATE), CAST(day AS DATE)) AS t,
         |         x / pow(0.7e0, date_diff('day', CAST(d0 AS DATE), CAST(day AS DATE))) AS scaled
-        |  FROM daily, t0)
+        |  FROM recent, t0)
         |SELECT day, x,
         |       ROUND(0.3e0 * pow(0.7e0, t) *
         |             SUM(scaled) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
