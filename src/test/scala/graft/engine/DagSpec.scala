@@ -137,13 +137,15 @@ class DagSpec extends SparkSpec {
     // Diamond-ish DAG: root → {slow, fast}, fast → fast_child. Under the
     // old level-barrier executor fast_child could not START until slow
     // finished; under ready-queue slots it must COMPLETE before slow does
-    // (slow sleeps 3s; fast_child is a trivial 1-row materialization).
+    // (slow sleeps 10s — wide margin so a CPU-starved machine running
+    // the suite under load can't make the trivial 1-row fast_child
+    // materialization lose the race and flake the test).
     val (s, dag) = freshDag()
     s.spark.udf.register("dagspec_sleep_ident",
       (ms: Int, x: Long) => { Thread.sleep(ms); x })
     dag.register(Seq(
       DagTable.source("root", Seq("x" -> "INT64"), Seq(Seq(10))),
-      DagTable.derived("slow", "SELECT dagspec_sleep_ident(3000, x) AS x FROM root"),
+      DagTable.derived("slow", "SELECT dagspec_sleep_ident(10000, x) AS x FROM root"),
       DagTable.derived("fast", "SELECT x + 1 AS x FROM root"),
       DagTable.derived("fast_child", "SELECT x * 2 AS x FROM fast")))
     val res = dag.run(maxConcurrency = 4)
