@@ -12,6 +12,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Match GraftConf: query builders are written for classic
+      // (null-on-invalid) semantics, not ANSI strict mode.
+      .config("spark.sql.ansi.enabled", "false")
       // Local test files are far below the 128 MB default split size —
       // split aggressively so scans parallelize.
       .config("spark.sql.files.maxPartitionBytes", (4 * 1024 * 1024).toString)

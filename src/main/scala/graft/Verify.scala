@@ -15,6 +15,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Match GraftConf: query builders are written for classic
+      // (null-on-invalid) semantics, not ANSI strict mode.
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.files.maxPartitionBytes", (4 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       // See Bench: retained execution plan descriptions (some with huge

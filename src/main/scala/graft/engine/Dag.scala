@@ -127,12 +127,13 @@ final class Dag(session: GraftSession, workDir: Option[Path] = None) {
 
   def run(
       targets: Option[Seq[String]] = None,
-      maxConcurrency: Int = Dag.envMaxConcurrency): DagResult = {
+      maxConcurrency: Int = Dag.envMaxConcurrency,
+      costOf: String => Option[Long] = _ => None): DagResult = {
     val subset = targets match {
       case Some(ts) => closure(ts)
       case None => tables.keySet.toSet
     }
-    runSubset(subset, maxConcurrency)
+    runSubset(subset, maxConcurrency, costOf)
   }
 
   def retryFailed(prev: DagResult, maxConcurrency: Int = Dag.envMaxConcurrency): DagResult =
@@ -168,9 +169,11 @@ final class Dag(session: GraftSession, workDir: Option[Path] = None) {
     * one level with nothing in flight; here skips propagate to a
     * fixpoint so every downstream table resolves immediately.
     */
-  private def runSubset(subset: Set[String], maxConcurrency: Int): DagResult = {
+  private def runSubset(
+      subset: Set[String], maxConcurrency: Int,
+      costOf: String => Option[Long] = _ => None): DagResult = {
     if (subset.isEmpty) return DagResult()
-    topoLevels(subset) // cycle detection: raises CircularDependency
+    val levels = topoLevels(subset) // cycle detection: raises CircularDependency
     val slots = math.max(1, maxConcurrency)
     // Per-table unresolved deps (completed deps are removed; blocked
     // deps stay, which is what marks the table skippable).
@@ -198,17 +201,39 @@ final class Dag(session: GraftSession, workDir: Option[Path] = None) {
     val dependents = subset.map(n => n -> mutable.Buffer.empty[String]).toMap
     subset.foreach(n =>
       deps.getOrElse(n, Nil).filter(subset.contains).foreach(d => dependents(d) += n))
-    val heightMemo = mutable.Map.empty[String, Int]
-    def height(n: String): Int = heightMemo.getOrElseUpdate(n,
-      1 + dependents(n).map(height).maxOption.getOrElse(0))
+    // Heights computed iteratively in reverse topological order — a
+    // definition that recurses one frame per dependency level would
+    // overflow the driver stack on a pathologically deep chain (tens of
+    // thousands of tables) before any table runs.
+    val height: collection.Map[String, Int] = {
+      val h = mutable.Map.empty[String, Int]
+      levels.reverse.foreach(_.foreach { n =>
+        h(n) = 1 + dependents(n).map(h).maxOption.getOrElse(0)
+      })
+      h
+    }
+    // Cost tie-break within equal chain heights: under slot contention
+    // the biggest ready table starts first, so the long pole overlaps
+    // the most other work. Cost is the caller's profile-fed override
+    // (e.g. a q_join_cardinality sweep) or Catalyst's own sizeInBytes
+    // statistic over the table's inputs — evaluated lazily because the
+    // inputs only carry statistics once the dependencies have
+    // materialized, and only under contention so uncontended runs pay
+    // no analysis overhead.
+    val costMemo = mutable.Map.empty[String, Long]
+    def cost(n: String): Long = costMemo.getOrElseUpdate(n,
+      costOf(n).getOrElse(estimateCost(n)))
 
     def isPending(n: String) = !completed(n) && !blocked(n) && !inFlight(n)
     def spawnReady(): Unit = {
       val free = slots - inFlight.size
       if (free > 0) {
-        pendingDeps.keys.toSeq
+        val ready = pendingDeps.keys.toSeq
           .filter(n => isPending(n) && pendingDeps(n).isEmpty)
-          .sortBy(n => (-height(n), n))
+        val ordered =
+          if (ready.size <= free) ready.sortBy(n => (-height(n), n))
+          else ready.sortBy(n => (-height(n), -cost(n), n))
+        ordered
           .take(free)
           .foreach { n =>
             inFlight += n
@@ -254,6 +279,28 @@ final class Dag(session: GraftSession, workDir: Option[Path] = None) {
     } finally pool.shutdown()
     DagResult(succeeded.toSeq, failed.toSeq, skipped.toSeq)
   }
+
+  /** Catalyst sizeInBytes of the table's unexecuted plan — meaningful
+    * once every dependency has materialized as a view (the only time
+    * the scheduler asks). Sources cost their literal row count;
+    * anything unresolvable costs 0 and schedules by height alone.
+    */
+  private def estimateCost(name: String): Long =
+    tables.get(name) match {
+      case Some(DagTable(_, Some(sql), _, _, _)) =>
+        try {
+          val b = session.sql(sql).queryExecution.optimizedPlan.stats.sizeInBytes
+          // Plans over a stats-less leaf report the defaultSizeInBytes
+          // sentinel (Long.MaxValue) — that is "unknown", not "huge";
+          // treating it as huge would let every unknown table outrank
+          // genuinely measured big ones.
+          if (b >= BigInt(session.spark.sessionState.conf.defaultSizeInBytes)) 0L
+          else if (b.isValidLong) b.toLong
+          else Long.MaxValue
+        } catch { case NonFatal(_) => 0L }
+      case Some(t) => t.rows.size.toLong
+      case None => 0L
+    }
 
   /** Materialize one table and register it as a session view. */
   private def execute(name: String): Option[Throwable] =

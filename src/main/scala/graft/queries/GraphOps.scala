@@ -44,14 +44,23 @@ object GraphOps {
 
     "q_pagerank" -> QDef(
       (s, dir) => {
-        val edges = tradeEdges(s, dir)
+        // The edge list and everything derived from it are ≤|nations|²
+        // rows but sit on top of the full lineitem⋈orders fact join —
+        // and Spark performs no cross-subtree common-plan elimination,
+        // so as plain DataFrames the fact join would re-execute once
+        // per plan reference (m ×3 iterations, nodes ×3, plus the
+        // count ≈ 7×). Cache all three; the harness's clearCache
+        // between queries reaps the handful of rows.
+        val edges = tradeEdges(s, dir).cache()
         // Row-count share of each out-edge; tot is integral so the
         // division is a single exact-rounded double op on both engines.
         val m = edges
           .join(edges.groupBy("src").agg(sum("w").as("tot")), "src")
           .select(col("src"), col("dst"), (col("w") / col("tot").cast("double")).as("share"))
+          .cache()
         val nodes = edges.select(col("src").as("node"))
           .union(edges.select(col("dst").as("node"))).distinct()
+          .cache()
         val n = nodes.count() // |nations| — bounded scalar, mirrors the oracle's subquery
         var ranks = nodes.select(col("node"), (lit(1.0) / n).as("rank"))
         for (_ <- 1 to 3) {
@@ -100,35 +109,52 @@ object GraphOps {
         |SELECT node, ROUND(rank, 4) AS rank FROM r3 ORDER BY node""".stripMargin),
 
     // Triangle counting on the co-order part graph (parts appearing in
-    // the same order are connected). ID-ordering: every edge is stored
-    // once as (u < v) and the wedge join closes u < mid < w, so each
-    // triangle is counted exactly once (no rotations). Fan-out is
-    // Σ deg²(mid) over the id-ORIENTED adjacency — adequate for this
-    // bounded subgraph; on a skewed web-scale graph the upgrade is
-    // DEGREE-ordering (orient low-degree → high-degree), which tightens
-    // the bound to O(m^1.5) by keeping hubs out of the wedge middle.
-    // The node-id filter bounds the demo subgraph and pushes to both
-    // scans. The edge list is referenced four times downstream (two
-    // wedge sides, closure probe, edge count) — cache it or Spark
-    // re-executes the fact self-join per reference; the harness's
-    // clearCache between queries reaps the storage.
+    // the same order are connected), DEGREE-ordered: every undirected
+    // edge is oriented from its lower-(degree, id) endpoint to the
+    // higher one, wedges pivot on the common SOURCE, and the closing
+    // edge is probed in the same orientation — each triangle counts
+    // exactly once (its minimum-rank vertex owns both wedge arms).
+    // Orientation bounds every out-degree by O(√m), so wedge fan-out is
+    // Σ outdeg² = O(m^1.5) even when a hub vertex touches half the
+    // graph — the bound id-ordering cannot give on skewed graphs. The
+    // degree table is |nodes| rows (broadcast); the total count is
+    // orientation-invariant, so the oracle keeps the simpler id-ordered
+    // closure. The node-id filter bounds the demo subgraph and pushes
+    // to both scans. The edge list is referenced five times downstream
+    // (degrees, two wedge arms, closure probe, edge count) — cache it
+    // or Spark re-executes the fact self-join per reference; the
+    // harness's clearCache between queries reaps the storage.
     "q_triangle_count" -> QDef(
       (s, dir) => {
         val li = Tables(s, dir, "lineitem")
           .filter(col("l_partkey") < 300)
           .select(col("l_orderkey"), col("l_partkey"))
-        val e = li.as("a").join(li.as("b"),
+        val und = li.as("a").join(li.as("b"),
             col("a.l_orderkey") === col("b.l_orderkey") &&
               col("a.l_partkey") < col("b.l_partkey"))
           .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
           .distinct()
           .cache()
-        val wedges = e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
-          .select(col("e1.u").as("wu"), col("e1.v").as("wm"), col("e2.v").as("ww"))
+        val deg = und.select(col("u").as("x"))
+          .union(und.select(col("v").as("x")))
+          .groupBy("x").agg(count(lit(1)).as("d"))
+        val lowFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+        val e = und
+          .join(broadcast(deg.select(col("x").as("u"), col("d").as("du"))), "u")
+          .join(broadcast(deg.select(col("x").as("v"), col("d").as("dv"))), "v")
+          .select(
+            when(lowFirst, col("u")).otherwise(col("v")).as("s"),
+            when(lowFirst, col("v")).otherwise(col("u")).as("t"),
+            // Rank tuple of the target — orders the two arms of a wedge.
+            when(lowFirst, struct(col("dv").as("d"), col("v").as("id")))
+              .otherwise(struct(col("du").as("d"), col("u").as("id"))).as("trank"))
+        val wedges = e.as("e1").join(e.as("e2"),
+            col("e1.s") === col("e2.s") && col("e1.trank") < col("e2.trank"))
+          .select(col("e1.t").as("wv"), col("e2.t").as("ww"))
         val tri = wedges.join(e.as("e3"),
-            col("wu") === col("e3.u") && col("ww") === col("e3.v"))
+            col("wv") === col("e3.s") && col("ww") === col("e3.t"))
           .agg(count(lit(1)).as("n_triangles"))
-        e.agg(count(lit(1)).as("n_edges"))
+        und.agg(count(lit(1)).as("n_edges"))
           .crossJoin(broadcast(tri))
       },
       """WITH e AS (

@@ -95,6 +95,7 @@ object IndexOps {
       (s, dir) => {
         val pres = docs(s, dir)
           .select(col("doc_id"), split(col("text"), " ").as("ts"))
+          .filter(size(col("ts")) >= 2)
           .select(col("doc_id"), explode(expr(
             "transform(sequence(1, size(ts) - 1), i -> concat(ts[i-1], ' ', ts[i]))"))
             .as("bigram"))
@@ -141,7 +142,7 @@ object IndexOps {
         val uni = toks.select(explode(col("ts")).as("w"))
           .groupBy("w").agg(count(lit(1)).as("cw"))
         val tot = uni.agg(sum("cw").as("t"))
-        val bi = toks.select(explode(expr(
+        val bi = toks.filter(size(col("ts")) >= 2).select(explode(expr(
           "transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS a, ts[i] AS b))"))
           .as("p"))
           .select(col("p.a"), col("p.b"))

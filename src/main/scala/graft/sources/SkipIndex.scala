@@ -110,14 +110,23 @@ object SkipIndex {
         val exact = Tables(s, dir, "lineitem")
           .agg(count(lit(1)).as("n_exact"),
             sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_exact"))
+        // Gate width is a documented statistical bound, not a guess:
+        // under the multinomial model the estimate's relative σ is
+        // √(3/N_eff) with N_eff = rows/cluster-size (orderkey hashing
+        // keeps each order's ~4 lineitems in one file). At the smallest
+        // SF we run (sf0.001, ~6k rows → N_eff ≈ 1.5k) that is ≈4.5%,
+        // so ±20% is a ≥4σ gate there and ≥14σ at sf0.01+ — wide
+        // enough that a generator or SF change cannot flake it while
+        // still failing on any real estimator bug (wrong factor, missed
+        // file, double count all err by ≥25%).
         exact.crossJoin(broadcast(est))
           .select(
             col("n_exact"),
             round(col("rev_exact"), 2).as("rev_exact"),
             (abs(col("s_rows") * factor - col("n_exact"))
-              <= col("n_exact") * 0.10).as("rows_est_ok"),
+              <= col("n_exact") * 0.20).as("rows_est_ok"),
             (abs(col("s_rev") * factor - col("rev_exact"))
-              <= col("rev_exact") * 0.10).as("rev_est_ok"))
+              <= col("rev_exact") * 0.20).as("rev_est_ok"))
       },
       """SELECT COUNT(*) AS n_exact,
         |  ROUND(SUM(l_extendedprice * (1.0e0 - l_discount)), 2) AS rev_exact,

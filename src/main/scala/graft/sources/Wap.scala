@@ -45,6 +45,10 @@ object Wap {
       Left(violations)
     } else {
       val retired = new Path(dest + s".retired-${ProcessHandle.current().pid()}")
+      // A stale retired dir from a crashed earlier publish (pids recycle)
+      // would make rename() NEST dest inside it instead of replacing it,
+      // and the rollback path would then restore the wrong layout.
+      if (fs.exists(retired)) fs.delete(retired, true)
       if (fs.exists(destPath) && !fs.rename(destPath, retired))
         throw new IllegalStateException(s"could not retire $dest")
       if (!fs.rename(staging, destPath)) {

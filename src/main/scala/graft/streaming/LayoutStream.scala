@@ -57,7 +57,13 @@ object LayoutStream {
           LayoutOps.writeZClustered(all, col(xCol), col(yCol), s"$dir/base_$batchId", nParts)
           // Cleanup strictly after the new base's _SUCCESS: consumed
           // landings and superseded bases are unreachable either way.
-          pending.foreach(id => fs.delete(new Path(root, s"landing_$id"), true))
+          // Sweep ALL landings ≤ batchId, not just this round's pending
+          // set — a crash between a previous base commit and its cleanup
+          // (or a replayed compacting batch re-landing) leaves orphans at
+          // or below the old base id that the pending filter never
+          // revisits; they are contained in that base, hence in this one.
+          StreamOps.committedIds(fs, root, "landing_").filter(_ <= batchId)
+            .foreach(id => fs.delete(new Path(root, s"landing_$id"), true))
           baseId.foreach(b => fs.delete(new Path(root, s"base_$b"), true))
         }
       }

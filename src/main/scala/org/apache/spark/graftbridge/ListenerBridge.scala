@@ -15,6 +15,28 @@ object ListenerBridge {
   def waitUntilEmpty(sc: SparkContext): Unit = sc.listenerBus.waitUntilEmpty()
 }
 
+/** Accumulates input records read across all tasks (file scans and
+  * cached-block reads both land in inputMetrics). The re-execution
+  * signal: a plan that re-runs a fact join per subtree reference reads
+  * the fact table's rows once per reference, so total recordsRead
+  * exposes duplicate executions that wall-clock noise hides.
+  */
+final class InputAccounting extends SparkListener {
+  val records = new AtomicLong(0)
+
+  override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+    if (t.taskMetrics != null) records.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+
+  /** Run `f`, return the input records attributed to it. */
+  def measure[A](sc: SparkContext)(f: => A): Long = {
+    ListenerBridge.waitUntilEmpty(sc)
+    val r0 = records.get
+    f
+    ListenerBridge.waitUntilEmpty(sc)
+    records.get - r0
+  }
+}
+
 /** Accumulates shuffle-write bytes+records across all tasks. Attribute a
   * region of work by snapshotting around it and draining the bus first.
   */

@@ -20,4 +20,32 @@ class GraphOpsSpec extends SparkSpec {
     // the ranks — a constant vector would mean the iteration is a no-op.
     assert(ranks.max - ranks.min > 1e-4, "ranks did not separate from uniform")
   }
+
+  test("pagerank executes the fact join once (input-record accounting)") {
+    // The final ranks plan references the edge-derived tables ~7 times
+    // (m and nodes once per iteration, plus the node count). Uncached,
+    // every reference re-runs the lineitem⋈orders fact join, so total
+    // input records would be ≥ 7× the fact tables; with the edge list
+    // materialized once they are read ~once. Gate at 2× the one-pass
+    // footprint — far below the ~7× of the re-executing plan, far above
+    // cache-read noise (the cached tables are ≤|nations|² rows).
+    import graft.Tables
+    val onePass =
+      Seq("lineitem", "orders", "customer", "supplier").map(t =>
+        Tables(spark, dir, t).count()).sum +
+        2 * Tables(spark, dir, "nation").count()
+    val acct = new org.apache.spark.graftbridge.InputAccounting
+    spark.sparkContext.addSparkListener(acct)
+    try {
+      spark.catalog.clearCache()
+      val read = acct.measure(spark.sparkContext) {
+        GraphOps.defs("q_pagerank").run(spark, dir).collect()
+      }
+      assert(read < 2L * onePass,
+        s"pagerank read $read input records — fact join re-executing (one pass ≈ $onePass)")
+    } finally {
+      spark.sparkContext.removeSparkListener(acct)
+      spark.catalog.clearCache()
+    }
+  }
 }
