@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table access for the driver-generated TPC-H-ish test data
   * (see /root/repo/TESTDATA.md). Mirrors the reference's parquet loading
@@ -22,9 +22,18 @@ object Tables {
       // Order is preserved and all queries tie-break on event_id.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
-      if (raw.schema("ts").dataType == LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+      raw.schema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // Some generator versions write plain timestamp[us] without
+        // isAdjustedToUTC, which Spark reads as TIMESTAMP_NTZ. All
+        // downstream queries (and the UTC-pinned sessions) expect the
+        // instant type; the cast reinterprets the naive value in the
+        // session zone (UTC), so wall-clock values are unchanged.
+        case TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
