@@ -24,6 +24,10 @@ object GraphOps {
   /** (src, dst, w): shipment counts between supplier and customer
     * nations — joins are all key-equi and the two nation dims broadcast.
     */
+  /** Exposed for the scratch profiler only. */
+  private[graft] def tradeEdgesForProfiling(s: SparkSession, dir: String): DataFrame =
+    tradeEdges(s, dir)
+
   private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
     val li = Tables(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
     val ord = Tables(s, dir, "orders").select("o_orderkey", "o_custkey")
@@ -61,16 +65,24 @@ object GraphOps {
         val nodes = edges.select(col("src").as("node"))
           .union(edges.select(col("dst").as("node"))).distinct()
           .cache()
-        val n = nodes.count() // |nations| — bounded scalar, mirrors the oracle's subquery
-        var ranks = nodes.select(col("node"), (lit(1.0) / n).as("rank"))
+        // |nodes| rides along as a broadcast one-row aggregate (the
+        // oracle's nn CTE) instead of a driver-side count(): profiling
+        // showed the query is overhead-bound, not data-bound — a
+        // separate count job plus per-iteration materialization cost
+        // ~1s of pure job-scheduling on 25-row data. One action means
+        // one job: the fact join runs once into the cache and the
+        // three iterations fuse into the same execution.
+        val nn = broadcast(nodes.agg(count(lit(1)).as("n_nodes")))
+        var ranks = nodes.crossJoin(nn)
+          .select(col("node"), (lit(1.0) / col("n_nodes")).as("rank"))
         for (_ <- 1 to 3) {
           val contrib = m.join(broadcast(ranks), col("src") === col("node"))
             .groupBy(col("dst"))
             .agg(sum(col("rank") * col("share")).as("c"))
-          ranks = nodes
+          ranks = nodes.crossJoin(nn)
             .join(contrib, col("node") === col("dst"), "left")
             .select(col("node"),
-              (lit(0.15 / n) + lit(0.85) * coalesce(col("c"), lit(0.0))).as("rank"))
+              (lit(0.15) / col("n_nodes") + lit(0.85) * coalesce(col("c"), lit(0.0))).as("rank"))
         }
         ranks.select(col("node"), round(col("rank"), 4).as("rank")).orderBy("node")
       },
