@@ -83,17 +83,12 @@ object ClusterOps {
             (col("doc_id") === col("cluster_id")).cast("long").as("is_canonical"))
           .orderBy("doc_id")
       },
-      // Transitive closure via recursive CTE = the same components.
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
-        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS sh
-        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
-        |p AS (
-        |  SELECT a.doc_id AS da, b.doc_id AS db
-        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
-        |e AS (SELECT da AS src, db AS dst FROM p UNION ALL SELECT db, da FROM p),
+      // Transitive closure via recursive CTE = the same components. Pair
+      // generation is the shared subquadratic prefix-filter CTE (see
+      // TextOps.jaccardPairsCte) — the closure itself runs over the tiny
+      // verified pair set, so WITH RECURSIVE stays cheap at any sweep SF.
+      s"""${"WITH RECURSIVE" + TextOps.jaccardPairsCte(langBlocked = false).stripPrefix("WITH")},
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM p UNION ALL SELECT doc_b, doc_a FROM p),
         |reach AS (
         |  SELECT src, dst FROM e
         |  UNION

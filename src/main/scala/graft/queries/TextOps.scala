@@ -86,6 +86,41 @@ object TextOps {
     * MinHash + LSH banding. Shared by the `dedup_minhash_lsh` operator
     * and the connected-components clustering in [[ClusterOps]].
     */
+  /** DuckDB oracle CTE producing exact 3-shingle Jaccard >= 0.5 pairs as
+    * `p(doc_a, doc_b, jaccard)` — SUBQUADRATIC, so the oracle stays
+    * runnable at the sweep scale factors (the previous all-pairs
+    * formulation was O(n²) list-intersections: >12 min at sf0.1's 5000
+    * docs; this runs in ~1 min). Candidate generation is the same
+    * prefix-filter argument ngramJaccardPairs uses on the Spark side:
+    * J(A,B) >= 0.5 implies |A∩B| >= ceil(|A|/2), so under ANY global
+    * shingle order (lexicographic here; hashed on the Spark side — the
+    * order need not match, it only needs to be consistent within the
+    * oracle) some shared shingle falls in the first floor(n/2)+1 sorted
+    * positions of BOTH docs, and max(|A|,|B|) <= 2*min(|A|,|B|). Exact
+    * verification then runs only on candidates, so the final pair set is
+    * IDENTICAL to the all-pairs formulation.
+    */
+  private[queries] def jaccardPairsCte(langBlocked: Boolean): String = {
+    val langCol = if (langBlocked) ", lang" else ""
+    val langEq = if (langBlocked) "AND a.lang = b.lang " else ""
+    s"""WITH t AS (
+       |  SELECT doc_id$langCol,
+       |    list_sort(list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+       |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))) AS sh
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+       |x AS (
+       |  SELECT doc_id$langCol, len(sh) AS n, UNNEST(sh[1 : len(sh)//2 + 1]) AS s1 FROM t),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM x a JOIN x b ON a.s1 = b.s1 $langEq${""}AND a.doc_id < b.doc_id
+       |  WHERE GREATEST(a.n, b.n) <= 2 * LEAST(a.n, b.n)),
+       |p AS (
+       |  SELECT da AS doc_a, db AS doc_b,
+       |    ROUND(len(list_intersect(ta.sh, tb.sh)) * 1.0 / len(list_distinct(list_concat(ta.sh, tb.sh))), 4) AS jaccard
+       |  FROM cand JOIN t ta ON ta.doc_id = da JOIN t tb ON tb.doc_id = db
+       |  WHERE len(list_intersect(ta.sh, tb.sh)) * 1.0 / len(list_distinct(list_concat(ta.sh, tb.sh))) >= 0.5)""".stripMargin
+  }
+
   def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     val k = 32; val bands = 16; val rows = 2
     // Hashed sorted shingles are reused by the signature, the banding
@@ -230,18 +265,13 @@ object TextOps {
         |FROM documents ORDER BY doc_id""".stripMargin),
 
     // §2.3#36 exact n-gram Jaccard near-dup pairs, blocked by language.
+    // (Oracle CTE shared with dedup_minhash_lsh / dedup_simhash /
+    // dedup_clusters — see jaccardPairsCte.)
     // This is the exact baseline the MinHash/LSH path approximates.
     "dedup_ngram_jaccard" -> QDef(
       (s, dir) => ngramJaccardPairs(s, dir).orderBy("doc_a", "doc_b"),
-      """WITH t AS (
-        |  SELECT doc_id, lang,
-        |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
-        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS sh
-        |  FROM documents WHERE len(string_split(text, ' ')) >= 3)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
-        |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+      s"""${jaccardPairsCte(langBlocked = true)}
+        |SELECT doc_a, doc_b, jaccard FROM p
         |ORDER BY doc_a, doc_b""".stripMargin),
 
     // §2.3#37 MinHash + LSH banding near-dup detection: the 100 TB path.
@@ -253,15 +283,8 @@ object TextOps {
       (s, dir) => minhashPairs(s, dir).orderBy("doc_a", "doc_b"),
       // Exact-Jaccard oracle: valid because verified LSH output at τ=0.5
       // equals the exact result when band recall holds (checked in specs).
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
-        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS sh
-        |  FROM documents WHERE len(string_split(text, ' ')) >= 3)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
-        |FROM t a JOIN t b ON a.doc_id < b.doc_id
-        |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+      s"""${jaccardPairsCte(langBlocked = false)}
+        |SELECT doc_a, doc_b, jaccard FROM p
         |ORDER BY doc_a, doc_b""".stripMargin),
 
     // §2.3#38 SimHash near-dup fingerprints (Hamming-space path). The
@@ -284,14 +307,8 @@ object TextOps {
             (bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 26).as("hamming_close"))
           .orderBy("doc_a", "doc_b")
       },
-      """WITH t AS (
-        |  SELECT doc_id, lang,
-        |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
-        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS sh
-        |  FROM documents WHERE len(string_split(text, ' ')) >= 3)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, true AS hamming_close
-        |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+      s"""${jaccardPairsCte(langBlocked = true)}
+        |SELECT doc_a, doc_b, true AS hamming_close FROM p
         |ORDER BY doc_a, doc_b""".stripMargin),
 
     // §2.3#42 language ID: per-language stopword-hit scores, argmax with a
