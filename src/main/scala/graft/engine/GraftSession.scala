@@ -77,32 +77,91 @@ object GraftSession {
     * `FROM UNNEST([1, 2, 3]) AS x` → a subquery exploding an array()
     * literal (reference: client_test.clj test-bigquery-syntax). Kept
     * deliberately narrow — bracket literals only inside UNNEST, so
-    * subscripts and strings are untouched.
+    * subscripts are untouched — and applied over a LEXED view of the
+    * query: string literals, backtick identifiers and comments are
+    * masked behind placeholder tokens before any pattern runs, so a
+    * literal containing `SAFE_CAST(` or `AS INT64)` survives verbatim
+    * (this closes the round-5 documented limitation of the raw-text
+    * pass). Masking also makes UNNEST arrays containing string literals
+    * robust: a `]` inside a quoted element no longer terminates the
+    * bracket match, because the literal is a single opaque token when
+    * the pattern runs.
     */
   def rewriteBqSyntax(q: String): String = {
+    val (masked, saved) = maskProtected(q)
     val unnestAliased = "(?i)UNNEST\\(\\[([^\\]]*)\\]\\)\\s+AS\\s+(\\w+)".r
     val unnestBare = "(?i)UNNEST\\(\\[([^\\]]*)\\]\\)".r
-    val step0 = unnestAliased.replaceAllIn(q, m => s"(SELECT explode(array(${m.group(1)})) AS ${m.group(2)})")
+    val step0 = unnestAliased.replaceAllIn(masked, m => s"(SELECT explode(array(${m.group(1)})) AS ${m.group(2)})")
     val step1 = unnestBare.replaceAllIn(step0, m => s"(SELECT explode(array(${m.group(1)})) AS col)")
     // SAFE_CAST(x AS T) is cast SYNTAX, not a function call, so no
     // FunctionRegistry builder can see it; Spark's TRY_CAST has the
     // identical NULL-on-failure contract. BigQuery type names are mapped
     // to Spark's (INT64→BIGINT etc.) only in cast-tail position — `AS
     // <type>` immediately followed by `)` — so a column alias that
-    // happens to be named INT64/BOOL/… is left alone. KNOWN LIMITATION
-    // of this textual layer (tested): the patterns are applied to the
-    // raw query text, so a string LITERAL containing `SAFE_CAST(` or a
-    // cast-tail like `AS INT64)` is still rewritten; exact scoping needs
-    // a parser, which is what the Catalyst path (BQCompat builders +
-    // GraftExtensions) provides for everything that parses.
+    // happens to be named INT64/BOOL/… is left alone.
     val step2 = "(?i)\\bSAFE_CAST\\s*\\(".r.replaceAllIn(step1, "TRY_CAST(")
     val typeMap = Seq(
       "INT64" -> "BIGINT", "FLOAT64" -> "DOUBLE", "BOOL" -> "BOOLEAN",
       "BYTES" -> "BINARY", "NUMERIC" -> "DECIMAL(38,9)")
-    typeMap.foldLeft(step2) { case (acc, (bq, sp)) =>
+    val rewritten = typeMap.foldLeft(step2) { case (acc, (bq, sp)) =>
       s"(?i)\\bAS\\s+$bq\\s*\\)".r.replaceAllIn(acc, s"AS $sp)")
     }
+    unmask(rewritten, saved)
   }
+
+  /** Lex q into rewritable text with string literals ('…' / "…", both
+    * backslash and doubled-quote escapes), backtick identifiers and
+    * comments (line comments after `--`, and block comments in the
+    * slash-star form) replaced by control-char placeholder tokens
+    * (U+0001 idx U+0002 — cannot appear in the rewrite
+    * patterns or collide with SQL text). Returns the masked string and
+    * the saved tokens for [[unmask]].
+    */
+  private def maskProtected(q: String): (String, IndexedSeq[String]) = {
+    val out = new StringBuilder
+    val saved = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    def push(tok: String): Unit = {
+      out.append('\u0001').append(saved.size).append('\u0002'); saved += tok; ()
+    }
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (c == '\'' || c == '"') {
+        val start = i
+        i += 1
+        var done = false
+        while (i < q.length && !done) {
+          val ch = q.charAt(i)
+          if (ch == '\\' && i + 1 < q.length) i += 2
+          else if (ch == c && i + 1 < q.length && q.charAt(i + 1) == c) i += 2
+          else if (ch == c) { i += 1; done = true }
+          else i += 1
+        }
+        push(q.substring(start, i))
+      } else if (c == '`') {
+        val start = i
+        i += 1
+        while (i < q.length && q.charAt(i) != '`') i += 1
+        if (i < q.length) i += 1
+        push(q.substring(start, i))
+      } else if (c == '-' && i + 1 < q.length && q.charAt(i + 1) == '-') {
+        val start = i
+        while (i < q.length && q.charAt(i) != '\n') i += 1
+        push(q.substring(start, i))
+      } else if (c == '/' && i + 1 < q.length && q.charAt(i + 1) == '*') {
+        val start = i
+        i += 2
+        while (i + 1 < q.length && !(q.charAt(i) == '*' && q.charAt(i + 1) == '/')) i += 1
+        i = math.min(q.length, i + 2)
+        push(q.substring(start, i))
+      } else { out.append(c); i += 1 }
+    }
+    (out.toString, saved.toIndexedSeq)
+  }
+
+  private def unmask(s: String, saved: IndexedSeq[String]): String =
+    "\u0001(\\d+)\u0002".r.replaceAllIn(s,
+      m => java.util.regex.Matcher.quoteReplacement(saved(m.group(1).toInt)))
 
   /** BigQuery type name → Spark type (reference: rpc/types.rs ColumnDef). */
   def bqType(t: String): DataType = t.trim.toUpperCase match {

@@ -85,6 +85,33 @@ class GraftSessionSpec extends SparkSpec {
       "SELECT CAST(a AS BIGINT) FROM t")
   }
 
+  test("rewrite patterns never fire inside literals, identifiers or comments") {
+    import GraftSession.rewriteBqSyntax
+    // String literals survive verbatim — including rewrite-pattern text
+    // (the round-5 raw-text pass rewrote these; the lexed pass must not).
+    assert(rewriteBqSyntax("SELECT 'SAFE_CAST(x AS INT64)' AS s FROM t") ==
+      "SELECT 'SAFE_CAST(x AS INT64)' AS s FROM t")
+    assert(rewriteBqSyntax("SELECT \"CAST(a AS BOOL)\" FROM t") ==
+      "SELECT \"CAST(a AS BOOL)\" FROM t")
+    // …while the same pattern OUTSIDE the literal still rewrites.
+    assert(rewriteBqSyntax("SELECT SAFE_CAST(x AS INT64), 'AS INT64)' FROM t") ==
+      "SELECT TRY_CAST(x AS BIGINT), 'AS INT64)' FROM t")
+    // Escapes: doubled quotes and backslash escapes stay inside one token.
+    assert(rewriteBqSyntax("SELECT 'it''s AS INT64)' FROM t") ==
+      "SELECT 'it''s AS INT64)' FROM t")
+    assert(rewriteBqSyntax("SELECT 'a\\' AS BOOL)' FROM t") ==
+      "SELECT 'a\\' AS BOOL)' FROM t")
+    // Backtick identifiers and comments are opaque to the patterns.
+    assert(rewriteBqSyntax("SELECT `SAFE_CAST(y` FROM t -- SAFE_CAST(z AS INT64)") ==
+      "SELECT `SAFE_CAST(y` FROM t -- SAFE_CAST(z AS INT64)")
+    assert(rewriteBqSyntax("SELECT /* CAST(a AS INT64) */ b FROM t") ==
+      "SELECT /* CAST(a AS INT64) */ b FROM t")
+    // UNNEST arrays still rewrite WITH string elements — even ones
+    // containing ']', which terminated the bracket match pre-lexer.
+    assert(rewriteBqSyntax("SELECT * FROM UNNEST(['a]b', 'c']) AS v") ==
+      "SELECT * FROM (SELECT explode(array('a]b', 'c')) AS v)")
+  }
+
   test("BigQuery type mapping covers arrays and rejects junk") {
     import org.apache.spark.sql.types._
     assert(GraftSession.bqType("ARRAY<INT64>") == ArrayType(LongType))
