@@ -30,10 +30,8 @@ object AggViewStream {
   def aggViewSink(
       rows: DataFrame, keyCol: String, valCol: String,
       tableDir: String, checkpointDir: String, retainSnapshots: Int = 3): StreamingQuery =
-    rows.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
+    SnapshotStore.snapshotSink(rows, tableDir, checkpointDir, retainSnapshots) {
+      (prev, batch) =>
         val fresh = batch
           .groupBy(col(keyCol))
           .agg(
@@ -41,19 +39,15 @@ object AggViewStream {
             sum(col(valCol).cast("double")).as("s"),
             min(col(valCol).cast("double")).as("mn"),
             max(col(valCol).cast("double")).as("mx"))
-        val merged = StreamOps.latestSnapshot(spark, tableDir, below = Some(batchId)) match {
-          case Some(prev) =>
-            prev.unionByName(fresh)
+        prev match {
+          case Some(p) =>
+            p.unionByName(fresh)
               .groupBy(col(keyCol))
               .agg(sum("n").as("n"), sum("s").as("s"),
                 min("mn").as("mn"), max("mx").as("mx"))
           case None => fresh
         }
-        merged.write.mode("overwrite").parquet(s"$tableDir/snap_$batchId")
-        StreamOps.pruneSnapshots(spark, tableDir, batchId, retainSnapshots)
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    }
 
   /** Read the current view, with derived columns (avg) computed from the
     * mergeable basis.
@@ -74,10 +68,8 @@ object AggViewStream {
   def statsCatalogSink(
       rows: DataFrame, cols: Seq[String],
       tableDir: String, checkpointDir: String, retainSnapshots: Int = 3): StreamingQuery =
-    rows.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
+    SnapshotStore.snapshotSink(rows, tableDir, checkpointDir, retainSnapshots) {
+      (prev, batch) =>
         val fresh = cols.map { c =>
           batch.agg(
             count(lit(1)).as("n"),
@@ -87,17 +79,13 @@ object AggViewStream {
             .select(lit(c).as("col_name"), col("n"),
               coalesce(col("n_null"), lit(0L)).as("n_null"), col("mn"), col("mx"))
         }.reduce(_.unionByName(_))
-        val merged = StreamOps.latestSnapshot(spark, tableDir, below = Some(batchId)) match {
-          case Some(prev) =>
-            prev.unionByName(fresh)
+        prev match {
+          case Some(p) =>
+            p.unionByName(fresh)
               .groupBy(col("col_name"))
               .agg(sum("n").as("n"), sum("n_null").as("n_null"),
                 min("mn").as("mn"), max("mx").as("mx"))
           case None => fresh
         }
-        merged.write.mode("overwrite").parquet(s"$tableDir/snap_$batchId")
-        StreamOps.pruneSnapshots(spark, tableDir, batchId, retainSnapshots)
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    }
 }

@@ -62,14 +62,11 @@ object AnnStream {
   private def indexSink(
       vectors: DataFrame, encodeBatch: DataFrame => DataFrame,
       tableDir: String, checkpointDir: String, retainSnapshots: Int): StreamingQuery =
-    vectors.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
+    SnapshotStore.snapshotSinkWithId(vectors, tableDir, checkpointDir, retainSnapshots) {
+      (prev, batch, batchId) =>
         val fresh = encodeBatch(
             batch.select(col("vec_id").cast("long").as("vec_id"), col("v")))
           .withColumn("ingest_batch", lit(batchId))
-        val prev = StreamOps.latestSnapshot(spark, tableDir, below = Some(batchId))
         val all = prev.map(_.unionByName(fresh)).getOrElse(fresh)
         // Latest ingest wins per vec_id: a hash-shuffle on vec_id sized
         // by index + batch — no window over anything unkeyed. The
@@ -83,11 +80,7 @@ object AnnStream {
           .orderBy(col("ingest_batch").desc, hash(col("v")).desc)
         all.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
-          .write.mode("overwrite").parquet(s"$tableDir/snap_$batchId")
-        StreamOps.pruneSnapshots(spark, tableDir, batchId, retainSnapshots)
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    }
 
   /** Query the live index: ADC + exact re-rank over the latest committed
     * snapshot, with the SAME frozen model that encoded it

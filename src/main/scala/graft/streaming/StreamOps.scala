@@ -141,11 +141,8 @@ object StreamOps {
       updates: DataFrame, tableDir: String, checkpointDir: String,
       retainSnapshots: Int = 3)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    updates.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val prev = latestSnapshot(spark, tableDir, below = Some(batchId))
+    SnapshotStore.snapshotSink(updates, tableDir, checkpointDir, retainSnapshots) {
+      (prev, batch) =>
         val all = prev match {
           case Some(p) => p.unionByName(batch)
           case None => batch
@@ -156,72 +153,31 @@ object StreamOps {
         all
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
-          .write.mode("overwrite").parquet(s"$tableDir/snap_$batchId")
-        pruneSnapshots(spark, tableDir, batchId, retainSnapshots)
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    }
 
-  /** Retention: snapshots older than the last `retainSnapshots` are
-    * dead weight. Prune AFTER the new snapshot commits, so a crash
-    * mid-prune still leaves a complete chain. The floor is 2, NOT 1:
-    * a replay of batch B reads the latest snapshot STRICTLY BELOW B, so
-    * snap_{B-1} must survive B's prune — if it were deleted and the
-    * process died between B's foreachBatch and its checkpoint commit,
-    * the replayed B would find no predecessor and silently restart the
-    * state from one batch of data. Shared by every snapshot-chain sink
-    * (mergeSink, AnnStream sinks, AggViewStream).
+  /** Chain walk + retention live in [[SnapshotStore]] (shared by every
+    * snapshot sink); these thin aliases keep the public read/maintenance
+    * surface where the streaming docs introduced it.
     */
   private[streaming] def pruneSnapshots(
       spark: org.apache.spark.sql.SparkSession, tableDir: String,
-      batchId: Long, retainSnapshots: Int): Unit = {
-    val (fs, root) = fsOf(spark, tableDir)
-    committedSnapshotIds(fs, root)
-      .filter(_ <= batchId - math.max(2, retainSnapshots))
-      .foreach { id =>
-        fs.delete(new org.apache.hadoop.fs.Path(root, s"snap_$id"), true)
-      }
-  }
+      batchId: Long, retainSnapshots: Int): Unit =
+    SnapshotStore.prune(spark, tableDir, batchId, retainSnapshots)
 
-  /** `tableDir`'s FileSystem from the session's Hadoop conf — resolves
-    * HDFS/S3A/file URIs alike, unlike java.io.File which silently only
-    * works on the local filesystem.
-    */
   private[streaming] def fsOf(spark: org.apache.spark.sql.SparkSession, tableDir: String)
-      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
-    val root = new org.apache.hadoop.fs.Path(tableDir)
-    (root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
-  }
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) =
+    SnapshotStore.fsOf(spark, tableDir)
 
-  /** Ids of COMMITTED `<prefix><id>` children of `root` (Spark writes
-    * _SUCCESS on completion) — the discovery primitive every
-    * batch-id-addressed directory chain shares (snap_/landing_/base_).
-    */
   private[streaming] def committedIds(
       fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
       prefix: String): Seq[Long] =
-    if (!fs.exists(root)) Nil
-    else fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
-      .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
-      .map(_.getPath.getName.stripPrefix(prefix).toLong)
+    SnapshotStore.committedIds(fs, root, prefix)
 
-  private def committedSnapshotIds(
-      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path): Seq[Long] =
-    committedIds(fs, root, "snap_")
-
-  /** The current merged state: the highest-numbered snapshot directory
-    * (optionally restricted to ids strictly below `below` — what a
-    * replaying batch must read to stay idempotent).
-    */
+  /** The current merged state — see [[SnapshotStore.latest]]. */
   def latestSnapshot(
       spark: org.apache.spark.sql.SparkSession, tableDir: String,
-      below: Option[Long] = None): Option[DataFrame] = {
-    val (fs, root) = fsOf(spark, tableDir)
-    val ids = committedSnapshotIds(fs, root).filter(id => below.forall(id < _))
-    if (ids.isEmpty) None
-    else Some(spark.read.parquet(s"$tableDir/snap_${ids.max}"))
-  }
+      below: Option[Long] = None): Option[DataFrame] =
+    SnapshotStore.latest(spark, tableDir, below)
 
   /** Gap-based sessionization: a session closes when its user is silent
     * for `gapSecs` (closed either by a later event or by event-time
