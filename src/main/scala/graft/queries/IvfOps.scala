@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -103,11 +102,14 @@ object IvfOps {
     * produced earlier (any batch) against the SAME frozen `cents`; this
     * never reassigns them.
     *
-    * Probe selection ranks every centroid per query (cells×queries rows —
-    * tiny) and keeps the `nprobe` best. Probed-cell candidates are scored
-    * map-side (probes broadcast) and ranked with the two-phase bounded
-    * top-k (VectorOps.topKPerQuery): partial buffers cap at k entries per
-    * query per partition, so the candidate set itself never crosses an
+    * Probe selection scores every centroid per query (cells×queries rows —
+    * tiny) and keeps the `nprobe` best through the SAME two-phase bounded
+    * top-k as the final rank — no window anywhere in the ANN tier; the
+    * probe rank's tie-break (sim DESC, cid ASC) is identical to the
+    * row_number formulation it replaced. Probed-cell candidates are then
+    * scored map-side (probes broadcast) and ranked with
+    * VectorOps.topKPerQuery: partial buffers cap at k entries per query
+    * per partition, so the candidate set itself never crosses an
     * exchange.
     */
   def searchCells(
@@ -116,12 +118,12 @@ object IvfOps {
     val centDf = s.createDataFrame(
       s.sparkContext.parallelize(cents.zipWithIndex.map { case (cv, cid) => (cid, cv) }, 1))
       .toDF("cid", "cv")
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("cid"))
-    val probed = qs.crossJoin(broadcast(centDf))
-      .select(col("q_id"), col("qv"), col("cid"), cosineSim(col("qv"), col("cv")).as("sim"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= nprobe)
-      .select(col("q_id"), col("qv"), col("cid"))
+    val probeScored = qs.crossJoin(broadcast(centDf))
+      .select(col("q_id"), col("cid").cast("long").as("neighbor_id"),
+        cosineSim(col("qv"), col("cv")).as("sim"))
+    val probed = VectorOps.topKPerQuery(probeScored, "sim", nprobe)
+      .join(broadcast(qs), Seq("q_id"))
+      .select(col("q_id"), col("qv"), col("neighbor_id").cast("int").as("cid"))
 
     val scored = cells.join(broadcast(probed), Seq("cid"))
       .filter(col("vec_id") =!= col("q_id"))

@@ -160,15 +160,29 @@ object Relational4 {
     // over an unbounded frame (partial aggregation inside the window).
     "q_window_ratio" -> QDef(
       (s, dir) => {
+        // The group total sums as DECIMAL(18,2): double summation is
+        // order-dependent (Spark's partial aggs vs DuckDB's sequential
+        // scan disagree in the last bits at sf0.1's group sizes, which
+        // flips the ratio's 6th decimal), while decimal addition is
+        // exact and associative — both engines then divide identical
+        // operands and round identical doubles. c_acctbal carries 2
+        // fractional digits by TPC-H construction, so the cast is
+        // lossless. The trailing + 0.0 canonicalizes IEEE signed zero:
+        // DuckDB's ROUND returns -0.0 for tiny negative shares where
+        // Spark returns +0.0, and the value comparator renders them as
+        // different strings ('-0.000000' vs '0.000000').
         val w = Window.partitionBy("c_mktsegment")
         t(s, dir, "customer")
           .select(
             col("c_custkey"), col("c_mktsegment"),
-            round(col("c_acctbal") / sum("c_acctbal").over(w), 6).as("bal_share"))
+            (round(col("c_acctbal") /
+              sum(col("c_acctbal").cast("decimal(18,2)")).over(w).cast("double"), 6)
+              + lit(0.0)).as("bal_share"))
           .orderBy("c_custkey")
       },
       """SELECT c_custkey, c_mktsegment,
-        |  ROUND(c_acctbal / SUM(c_acctbal) OVER (PARTITION BY c_mktsegment), 6) AS bal_share
+        |  ROUND(c_acctbal / CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY c_mktsegment) AS DOUBLE), 6) + 0.0 AS bal_share
         |FROM customer ORDER BY c_custkey""".stripMargin),
 
     // TPC-H Q5: local-supplier volume — the classic 6-way snowflake with

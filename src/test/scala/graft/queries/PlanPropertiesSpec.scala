@@ -211,8 +211,11 @@ class PlanPropertiesSpec extends SparkSpec {
       s"hinted broadcast lost under config drift: ${hintedStill.take(1000)}")
   }
 
-  test("ANN final ranks use the bounded top-k aggregate, not a per-query window") {
-    for (q <- Seq("ann_cosine_topk", "ann_lsh_topk", "ann_pq_topk")) {
+  test("ANN ranks use the bounded top-k aggregate — zero windows anywhere in the tier") {
+    // ann_ivf_topk joined this set in round 7 when its probe-selection
+    // stage (the last window in the ANN tier) moved onto the same
+    // bounded top-k as the final ranks.
+    for (q <- Seq("ann_cosine_topk", "ann_lsh_topk", "ann_pq_topk", "ann_ivf_topk")) {
       val plan = SparkEntry.queries(q)(spark, sfDir)
         .queryExecution.optimizedPlan.toString
       assert(plan.contains("bounded_topk"), s"$q lost the two-phase top-k: ${plan.take(1000)}")
