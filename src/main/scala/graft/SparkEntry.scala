@@ -39,7 +39,10 @@ object SparkEntry {
       graft.queries.IndexOps.defs ++
       graft.queries.GraphOps.defs ++
       graft.queries.IncrementalOps.defs ++
-      graft.queries.CodecOps.defs
+      graft.queries.CodecOps.defs ++
+      graft.queries.EventOps2.defs ++
+      graft.queries.Relational5.defs ++
+      graft.queries.TextOps2.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graftbridge.{BoundedTopK, ColumnBridge, CosineSimilarity, DotProduct, JaccardSimilarity, JaccardSortedLong}
+import org.apache.spark.sql.graftbridge.{BoundedTopK, ColumnBridge, CosineSimilarity, DotProduct, IntersectCountSortedLong, JaccardSimilarity, JaccardSortedLong}
 
 /** Column-level entry points + SQL registration for the native codegen
   * kernels defined in org.apache.spark.sql.graftbridge.
@@ -16,6 +16,10 @@ object GraftFunctions {
 
   def jaccardSortedLong(a: Column, b: Column): Column =
     ColumnBridge.column(JaccardSortedLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def intersectSortedLong(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      IntersectCountSortedLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))

@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Interval analytics over the events table: overlap merging and
+  * sweep-line concurrency — the two classic "events as time ranges"
+  * operators (uptime/coverage accounting and peak-load sizing).
+  *
+  * Every event is widened to a fixed 300 s activity interval; all
+  * arithmetic stays in whole-second integers end-to-end, so the engines
+  * agree bit-for-bit and the oracles hash-match without tolerance
+  * gates.
+  */
+object EventOps2 {
+
+  private def ev(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "events")
+
+  val defs: Map[String, QDef] = Map(
+
+    // §2 25fd interval COVERAGE: merge overlapping [ts, ts+300) activity
+    // intervals per user (classic lag/cummax island detection), then
+    // report islands and total covered seconds. Windows partition by
+    // user_id — bounded per-key state, shuffle keyed like every other
+    // per-user analytic; nothing global.
+    "ev_interval_merge" -> QDef(
+      (s, dir) => {
+        val byUser = Window.partitionBy("user_id").orderBy("st", "event_id")
+        val prevEnd = max("en").over(byUser.rowsBetween(Window.unboundedPreceding, -1))
+        val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev(s, dir)
+          .select(col("user_id"), col("event_id"),
+            unix_timestamp(col("ts")).as("st"),
+            (unix_timestamp(col("ts")) + 300L).as("en"))
+          .withColumn("prev_end", prevEnd)
+          .withColumn("is_new",
+            when(col("prev_end").isNull || col("st") > col("prev_end"), 1L).otherwise(0L))
+          .withColumn("island", sum("is_new").over(cum))
+          .groupBy("user_id", "island")
+          .agg(min("st").as("ist"), max("en").as("ien"))
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n_islands"),
+            sum(col("ien") - col("ist")).as("covered_s"))
+          .orderBy("user_id")
+      },
+      """WITH iv AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS st,
+        |    CAST(floor(epoch(ts)) AS BIGINT) + 300 AS en
+        |  FROM events),
+        |flag AS (
+        |  SELECT user_id, event_id, st, en,
+        |    CASE WHEN MAX(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |         OR st > MAX(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    THEN 1 ELSE 0 END AS is_new
+        |  FROM iv),
+        |isl AS (
+        |  SELECT user_id, st, en,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY st, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM flag),
+        |grp AS (
+        |  SELECT user_id, island, MIN(st) AS ist, MAX(en) AS ien
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT user_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_islands,
+        |  CAST(SUM(ien - ist) AS BIGINT) AS covered_s
+        |FROM grp GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    // §2 25fe sweep-line PEAK CONCURRENCY per (event_type, day):
+    // +1/-1 boundary deltas, running sum, max. Intervals clip at the
+    // day boundary so every delta lands in its (type, day) partition —
+    // that keying is what keeps the sweep scalable: partitions stay
+    // bounded (one type-day of deltas) instead of one global ordered
+    // scan. Ends sort before starts at the same instant (touching
+    // intervals don't count as concurrent) — the delta ASC tie-break
+    // encodes that identically in both engines.
+    "ev_peak_concurrency" -> QDef(
+      (s, dir) => {
+        val base = ev(s, dir).select(
+          col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          unix_timestamp(col("ts")).as("st"),
+          least(unix_timestamp(col("ts")) + 300L,
+            (floor(unix_timestamp(col("ts")) / 86400L) + 1L) * 86400L).as("en"))
+        val deltas = base.select(col("event_type"), col("day"), col("st").as("t"), lit(1L).as("d"))
+          .unionAll(base.select(col("event_type"), col("day"), col("en").as("t"), lit(-1L).as("d")))
+        val sweep = Window.partitionBy("event_type", "day").orderBy("t", "d")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        deltas
+          .withColumn("load", sum("d").over(sweep))
+          .groupBy("event_type", "day")
+          .agg(max("load").as("peak"))
+          .orderBy("event_type", "day")
+      },
+      """WITH base AS (
+        |  SELECT event_type,
+        |    strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS st,
+        |    LEAST(CAST(floor(epoch(ts)) AS BIGINT) + 300,
+        |      (CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 1) * 86400) AS en
+        |  FROM events),
+        |deltas AS (
+        |  SELECT event_type, day, st AS t, CAST(1 AS BIGINT) AS d FROM base
+        |  UNION ALL
+        |  SELECT event_type, day, en AS t, CAST(-1 AS BIGINT) AS d FROM base),
+        |sweep AS (
+        |  SELECT event_type, day,
+        |    SUM(d) OVER (PARTITION BY event_type, day ORDER BY t, d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS load
+        |  FROM deltas)
+        |SELECT event_type, day, CAST(MAX(load) AS BIGINT) AS peak
+        |FROM sweep GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  )
+}

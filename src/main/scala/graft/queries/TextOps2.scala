@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-7 text operators: a smoothed bigram language model (the
+  * sequence-aware upgrade of text_unigram_logprob's quality signal) and
+  * asymmetric n-gram CONTAINMENT (quote/subset detection — the near-dup
+  * relation Jaccard misses, because a short document embedded verbatim
+  * in a long one has low Jaccard but containment ≈ 1).
+  *
+  * Both stay pure Catalyst: bigram stats are partial-aggregated counts;
+  * containment candidates come from an inverted-index join on the
+  * contained side's shingles, never all-pairs.
+  */
+object TextOps2 {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
+
+  private def tokd(s: SparkSession, dir: String): DataFrame =
+    Eval.barrier(
+      Eval.fanOut(
+        docs(s, dir)
+          .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= 3)))
+
+  val defs: Map[String, QDef] = Map(
+
+    // §2 25fh bigram LM scoring with add-one smoothing: corpus bigram +
+    // unigram counts (two partial-agg shuffles over vocabulary-sized
+    // keys), then each doc's mean negative log2 P(w_i | w_{i-1}) with
+    // P = (c(w1,w2) + 1) / (c(w1) + V). The join back to per-doc bigrams
+    // is keyed by bigram — vocabulary-scale, never corpus-scale. Output
+    // is the 25 most-predictable docs (lowest mean surprisal): the
+    // fluency signal a quality filter thresholds on. log2/division run
+    // on exact integer counts, so both engines round identical doubles.
+    "text_bigram_lm" -> QDef(
+      (s, dir) => {
+        val t = tokd(s, dir)
+        val bi = t.select(col("doc_id"),
+            explode(transform(sequence(lit(1), size(col("toks")) - 1),
+              i => struct(
+                element_at(col("toks"), i).as("w1"),
+                element_at(col("toks"), i + 1).as("w2")))).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val cBi = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+        val cUni = bi.groupBy("w1").agg(count(lit(1)).as("cu"))
+        val v = bi.select(countDistinct(col("w2")).as("vsz"))
+        bi.join(cBi, Seq("w1", "w2"))
+          .join(cUni, Seq("w1"))
+          .crossJoin(broadcast(v))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_bigrams"),
+            round(avg(-log2((col("cb") + 1.0) / (col("cu") + col("vsz")))), 4)
+              .as("mean_surprisal"))
+          .orderBy(col("mean_surprisal"), col("doc_id"))
+          .limit(25)
+      },
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |bi AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        |  FROM t, UNNEST(range(1, len(toks))) AS u(i)),
+        |cbi AS (SELECT w1, w2, COUNT(*) AS cb FROM bi GROUP BY 1, 2),
+        |cuni AS (SELECT w1, COUNT(*) AS cu FROM bi GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT w2) AS vsz FROM bi)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  ROUND(AVG(-log2((cb + 1.0) / (cu + vsz))), 4) AS mean_surprisal
+        |FROM bi JOIN cbi USING (w1, w2) JOIN cuni USING (w1) CROSS JOIN v
+        |GROUP BY doc_id
+        |ORDER BY mean_surprisal, doc_id LIMIT 25""".stripMargin),
+
+    // §2 25fi n-gram containment (quote detection): pairs where ≥ 80% of
+    // the SHORTER doc's shingles appear in the longer one. Candidates
+    // come from an inverted-index equi-join on the contained side's
+    // prefix shingles: containment ≥ 0.8 implies a shared shingle in the
+    // first floor(0.2·n)+1 of ANY consistent order (prefix-filter, same
+    // argument as the Jaccard tier), so the join is O(index hits), never
+    // all-pairs. Verification is the exact sorted-merge intersection
+    // kernel on candidates only.
+    "text_containment" -> QDef(
+      (s, dir) => {
+        val d = Eval.barrier(
+          tokd(s, dir).select(col("doc_id"),
+            array_sort(TextOps.shingleHashes(TextOps.shinglesFromToks(col("toks")))).as("hs"))
+            .withColumn("nsh", size(col("hs")))).cache()
+        // Contained side exposes only its prefix (1 - τ share + 1);
+        // container side indexes ALL shingles.
+        val prefix = d.select(col("doc_id"), col("nsh"),
+          explode(slice(col("hs"), lit(1),
+            (col("nsh") * lit(0.2)).cast("int") + 1)).as("ph"))
+        val index = d.select(col("doc_id"), explode(col("hs")).as("ph"))
+        val cand = prefix.as("a").join(index.as("b"),
+            col("a.ph") === col("b.ph") && col("a.doc_id") =!= col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_in"), col("b.doc_id").as("doc_out"))
+          .distinct()
+        // τ = 0.8 as the exact integer inequality 5·|A∩B| >= 4·|A| —
+        // no float threshold at the filter boundary on either engine;
+        // the rounded ratio is display-only.
+        cand
+          .join(d.select(col("doc_id").as("doc_in"), col("hs").as("hs_a"),
+            col("nsh").as("n_in")), "doc_in")
+          .join(d.select(col("doc_id").as("doc_out"), col("hs").as("hs_b")), "doc_out")
+          .select(col("doc_in"), col("doc_out"), col("n_in"),
+            graft.functions.GraftFunctions.intersectSortedLong(col("hs_a"), col("hs_b")).as("inter"))
+          .filter(col("inter") * 5L >= col("n_in") * 4L)
+          .select(col("doc_in"), col("doc_out"),
+            round(col("inter") / col("n_in").cast("double"), 4).as("containment"))
+          .orderBy("doc_in", "doc_out")
+      },
+      // Same prefix-filter argument as the Jaccard oracles, asymmetric
+      // form: the contained side exposes floor(0.2n)+1 sorted shingles,
+      // the container side indexes ALL of them — subquadratic, exact.
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_sort(list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))) AS sh
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |x AS (
+        |  SELECT doc_id, UNNEST(sh[1 : CAST(floor(0.2 * len(sh)) AS INT) + 1]) AS s1 FROM t),
+        |y AS (SELECT doc_id, UNNEST(sh) AS s1 FROM t),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_in, y.doc_id AS doc_out
+        |  FROM x JOIN y ON x.s1 = y.s1 AND x.doc_id <> y.doc_id)
+        |SELECT doc_in, doc_out,
+        |  ROUND(len(list_intersect(ta.sh, tb.sh)) * 1.0 / len(ta.sh), 4) AS containment
+        |FROM cand JOIN t ta ON ta.doc_id = doc_in JOIN t tb ON tb.doc_id = doc_out
+        |WHERE 5 * len(list_intersect(ta.sh, tb.sh)) >= 4 * len(ta.sh)
+        |ORDER BY doc_in, doc_out""".stripMargin)
+  )
+}

@@ -251,6 +251,42 @@ object SortedLongJaccardKernel {
     val union = na + nb - inter
     if (union == 0) 0.0 else inter.toDouble / union.toDouble
   }
+
+  def intersectCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter
+  }
+}
+
+/** Intersection COUNT over pre-sorted distinct long arrays — the
+  * asymmetric-similarity primitive (containment = |A∩B| / |A|) sharing
+  * the same O(n) merge as the Jaccard kernel.
+  */
+case class IntersectCountSortedLong(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "intersect_count_sorted_long"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedLongJaccardKernel.intersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.sql.graftbridge.SortedLongJaccardKernel.intersectCount($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** Jaccard over pre-sorted distinct long arrays (hashed shingles): a
