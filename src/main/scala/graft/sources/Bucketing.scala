@@ -30,6 +30,25 @@ object Bucketing {
       .format("parquet")
       .saveAsTable(table)
 
+  /** SECONDARY-SORT bucket writer: buckets on `key`, sorts each bucket
+    * file by (`key`, `secondary`). With the single-file-per-bucket
+    * invariant and [[enableSortedBucketScan]], the scan advertises the
+    * COMPOUND order, so per-key ORDER-SENSITIVE operators — windows
+    * ordered by the secondary column, ordered collect_list, merge-join
+    * with tie-break — run with neither an exchange NOR a sort: presorted
+    * runs straight off parquet. This is the write-once/read-many layout
+    * for event logs replayed per entity in time order at 100 TB.
+    */
+  def writeBucketedSorted(
+      df: DataFrame, table: String, key: String, secondary: String, buckets: Int): Unit =
+    df.repartition(buckets, df(key))
+      .write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key)
+      .sortBy(key, secondary)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Let bucketed scans advertise their sortBy order. Spark 3+ default-
     * disabled this (the order only holds when every bucket is one file,
     * which [[writeBucketed]] guarantees via its aligned pre-partition);

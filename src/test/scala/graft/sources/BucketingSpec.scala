@@ -35,4 +35,35 @@ class BucketingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
   }
+
+  test("secondary-sort buckets feed an ordered window with no exchange and no sort") {
+    val dir = "/root/testdata/sf0.001"
+    spark.sql("DROP TABLE IF EXISTS b_li_sorted")
+    val wh = new java.io.File("spark-warehouse")
+    def rm(f: java.io.File): Unit = { Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); () }
+    rm(new java.io.File(wh, "b_li_sorted"))
+    val lineitem = spark.read.parquet(s"$dir/lineitem.parquet")
+    Bucketing.enableSortedBucketScan(spark)
+    Bucketing.writeBucketedSorted(lineitem, "b_li_sorted", "l_orderkey", "l_linenumber", 8)
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey").orderBy("l_linenumber")
+    val ranked = spark.table("b_li_sorted")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        row_number().over(w).as("rn"))
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"secondary-sorted bucket window should not shuffle:\n${plan.take(3000)}")
+    assert(!plan.contains("Sort "),
+      s"secondary-sorted bucket window should not re-sort:\n${plan.take(3000)}")
+
+    // Semantics: rank within order by line number == the recomputed one.
+    val expected = lineitem
+      .select(col("l_orderkey"), col("l_linenumber"), row_number().over(w).as("rn"))
+      .collect().map(r => (r.get(0), r.get(1), r.get(2))).toSet
+    val got = ranked.collect().map(r => (r.get(0), r.get(1), r.get(2))).toSet
+    assert(got == expected)
+
+    spark.sql("DROP TABLE IF EXISTS b_li_sorted")
+  }
 }
