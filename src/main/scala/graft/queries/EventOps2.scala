@@ -73,6 +73,47 @@ object EventOps2 {
         |  CAST(SUM(ien - ist) AS BIGINT) AS covered_s
         |FROM grp GROUP BY user_id ORDER BY user_id""".stripMargin),
 
+    // §2 25fk TIME-BOUNDED ordered funnel: signup → click → purchase
+    // where each step lands within 3600 s of the previous one —
+    // the windowed upgrade of ev_funnel's unbounded ordering. Each stage
+    // is a grouped MIN over the candidate step events joined against the
+    // previous stage's anchor (partial-aggregated, keyed by user_id; no
+    // per-user windows, no sort). Min-qualifying-timestamp chaining is
+    // deterministic whole-second integer arithmetic on both engines.
+    "ev_funnel_windowed" -> QDef(
+      (s, dir) => {
+        val e = ev(s, dir)
+          .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("ts_s"))
+        val a = e.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("ts_s").as("ta"))
+        val b = e.filter(col("event_type") === "click").join(a, "user_id")
+          .filter(col("ts_s") > col("ta") && col("ts_s") <= col("ta") + 3600L)
+          .groupBy("user_id").agg(min("ts_s").as("tb"))
+        val c = e.filter(col("event_type") === "purchase").join(b, "user_id")
+          .filter(col("ts_s") > col("tb") && col("ts_s") <= col("tb") + 3600L)
+          .groupBy("user_id").agg(min("ts_s").as("tc"))
+        a.agg(count(lit(1)).as("n_signup"))
+          .crossJoin(b.agg(count(lit(1)).as("n_click_1h")))
+          .crossJoin(c.agg(count(lit(1)).as("n_purchase_1h")))
+      },
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |  FROM events),
+        |a AS (SELECT user_id, MIN(ts_s) AS ta FROM e
+        |      WHERE event_type = 'signup' GROUP BY 1),
+        |b AS (SELECT e.user_id, MIN(ts_s) AS tb
+        |      FROM e JOIN a USING (user_id)
+        |      WHERE event_type = 'click' AND ts_s > ta AND ts_s <= ta + 3600
+        |      GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(ts_s) AS tc
+        |      FROM e JOIN b USING (user_id)
+        |      WHERE event_type = 'purchase' AND ts_s > tb AND ts_s <= tb + 3600
+        |      GROUP BY 1)
+        |SELECT
+        |  CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_signup,
+        |  CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_click_1h,
+        |  CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_purchase_1h""".stripMargin),
+
     // §2 25fe sweep-line PEAK CONCURRENCY per (event_type, day):
     // +1/-1 boundary deltas, running sum, max. Intervals clip at the
     // day boundary so every delta lands in its (type, day) partition —

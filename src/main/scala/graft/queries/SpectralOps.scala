@@ -32,21 +32,21 @@ object SpectralOps {
 
   private def emb(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "embeddings")
 
-  /** One matvec: y = Σ v·(v·x) with x a literal; returns the dense
-    * d-vector and the Rayleigh numerator xᵀMx = Σ (v·x)² (|x| = 1).
+  /** One matvec: y = Σ v·(v·x) with x a literal — a single job (map
+    * pass + d-key partial-agg shuffle). The Rayleigh numerator needs no
+    * second pass: with |x| = 1, xᵀMx = x·(Mx) = x·y, a d-length driver
+    * dot product.
     */
   private def matvec(vecs: DataFrame, x: Seq[Double]): (Seq[Double], Double) = {
     val xl = typedlit(x)
-    val dotted = vecs.select(col("v"),
-      graft.functions.GraftFunctions.dot(col("v"), xl).as("dp"))
-    val row = dotted
+    val y = vecs
+      .select(col("v"), graft.functions.GraftFunctions.dot(col("v"), xl).as("dp"))
       .select(posexplode(col("v")).as(Seq("pos", "vj")), col("dp"))
       .groupBy("pos").agg(sum(col("vj") * col("dp")).as("yj"))
       .agg(array_sort(collect_list(struct(col("pos"), col("yj")))).as("pm"))
       .select(transform(col("pm"), e => e.getField("yj")).as("y"))
-      .head()
-    val y = row.getSeq[Double](0)
-    val rayleigh = dotted.agg(sum(col("dp") * col("dp"))).head().getDouble(0)
+      .head().getSeq[Double](0)
+    val rayleigh = x.zip(y).map { case (a, b) => a * b }.sum
     (y, rayleigh)
   }
 
@@ -77,9 +77,11 @@ object SpectralOps {
           prev = x
           x = normalize(y)
         }
-        val trace = vecs.agg(sum(graft.functions.GraftFunctions.dot(col("v"), col("v"))))
-          .head().getDouble(0)
-        val nvec = vecs.count()
+        val anchors = vecs.agg(
+          sum(graft.functions.GraftFunctions.dot(col("v"), col("v"))).as("trace"),
+          count(lit(1)).as("n")).head()
+        val trace = anchors.getDouble(0)
+        val nvec = anchors.getLong(1)
         val align = math.abs(x.zip(prev).map { case (a, b) => a * b }.sum)
         val norm = math.sqrt(x.map(a => a * a).sum)
         import s.implicits._
