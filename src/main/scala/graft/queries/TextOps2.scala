@@ -94,9 +94,13 @@ object TextOps2 {
         val prefix = d.select(col("doc_id"), col("nsh"),
           explode(slice(col("hs"), lit(1),
             (col("nsh") * lit(0.2)).cast("int") + 1)).as("ph"))
-        val index = d.select(col("doc_id"), explode(col("hs")).as("ph"))
+        // Lossless size bound: C(A→B) >= 0.8 needs |A∩B| >= 0.8|A| and
+        // |A∩B| <= |B|, so |B| >= 0.8|A| — prunes candidates where the
+        // container is too small before the verification join.
+        val index = d.select(col("doc_id"), col("nsh").as("nsh_b"), explode(col("hs")).as("ph"))
         val cand = prefix.as("a").join(index.as("b"),
-            col("a.ph") === col("b.ph") && col("a.doc_id") =!= col("b.doc_id"))
+            col("a.ph") === col("b.ph") && col("a.doc_id") =!= col("b.doc_id") &&
+              col("b.nsh_b") * 5L >= col("a.nsh") * 4L)
           .select(col("a.doc_id").as("doc_in"), col("b.doc_id").as("doc_out"))
           .distinct()
         // τ = 0.8 as the exact integer inequality 5·|A∩B| >= 4·|A| —
@@ -122,11 +126,13 @@ object TextOps2 {
         |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))) AS sh
         |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
         |x AS (
-        |  SELECT doc_id, UNNEST(sh[1 : CAST(floor(0.2 * len(sh)) AS INT) + 1]) AS s1 FROM t),
-        |y AS (SELECT doc_id, UNNEST(sh) AS s1 FROM t),
+        |  SELECT doc_id, len(sh) AS n,
+        |    UNNEST(sh[1 : CAST(floor(0.2 * len(sh)) AS INT) + 1]) AS s1 FROM t),
+        |y AS (SELECT doc_id, len(sh) AS n, UNNEST(sh) AS s1 FROM t),
         |cand AS (
         |  SELECT DISTINCT x.doc_id AS doc_in, y.doc_id AS doc_out
-        |  FROM x JOIN y ON x.s1 = y.s1 AND x.doc_id <> y.doc_id)
+        |  FROM x JOIN y ON x.s1 = y.s1 AND x.doc_id <> y.doc_id
+        |    AND 5 * y.n >= 4 * x.n)
         |SELECT doc_in, doc_out,
         |  ROUND(len(list_intersect(ta.sh, tb.sh)) * 1.0 / len(ta.sh), 4) AS containment
         |FROM cand JOIN t ta ON ta.doc_id = doc_in JOIN t tb ON tb.doc_id = doc_out

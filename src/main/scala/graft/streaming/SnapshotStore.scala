@@ -88,17 +88,8 @@ object SnapshotStore {
       src: DataFrame, tableDir: String, checkpointDir: String,
       retainSnapshots: Int)(
       merge: (Option[DataFrame], DataFrame) => DataFrame): StreamingQuery =
-    src.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val prev = latest(spark, tableDir, below = Some(batchId))
-        merge(prev, batch)
-          .write.mode("overwrite").parquet(s"$tableDir/snap_$batchId")
-        prune(spark, tableDir, batchId, retainSnapshots)
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    snapshotSinkWithId(src, tableDir, checkpointDir, retainSnapshots)(
+      (prev, batch, _) => merge(prev, batch))
 
   /** [[snapshotSink]] for merges that need the batch id (e.g. an
     * ingest-batch column in the stored rows).
