@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFu
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.graftbridge.{CosineSimilarity, JaccardSimilarity, JaccardSortedLong, SimHash64}
+import org.apache.spark.sql.graftbridge.{CosineSimilarity, IntersectCountSortedLong, JaccardSimilarity, JaccardSortedLong, SimHash64}
 
 import graft.functions.BQCompat
 
@@ -67,6 +67,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("jaccard_sorted_long"),
       info("jaccard_sorted_long", "jaccard_sorted_long(a, b) - Jaccard over pre-sorted distinct long arrays (merge-count)"),
       { case Seq(a: Expression, b: Expression) => JaccardSortedLong(a, b) }: Seq[Expression] => Expression))
+    ext.injectFunction((
+      FunctionIdentifier("intersect_count_sorted_long"),
+      info("intersect_count_sorted_long", "intersect_count_sorted_long(a, b) - intersection size of two pre-sorted distinct long arrays (merge-count)"),
+      { case Seq(a: Expression, b: Expression) => IntersectCountSortedLong(a, b) }: Seq[Expression] => Expression))
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit SimHash of a string array"),

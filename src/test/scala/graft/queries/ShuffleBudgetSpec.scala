@@ -30,7 +30,13 @@ class ShuffleBudgetSpec extends SparkSpec {
     // (measured r5: 1.6 / 36 / 9.2 KiB)
     "text_bpe_pairs" -> 32 * 1024L,
     "text_pmi_topk" -> 128 * 1024L,
-    "curate_global_index" -> 64 * 1024L)
+    "curate_global_index" -> 64 * 1024L,
+    // round-7 subquadratic claims, CI-pinned: containment shuffles
+    // candidates (prefix-filtered + size-bounded), never all-pairs;
+    // bigram LM shuffles vocabulary-scale counts
+    // (measured r7: 260 / 311 KiB)
+    "text_containment" -> 1024 * 1024L,
+    "text_bigram_lm" -> 1024 * 1024L)
 
   test("headline queries stay inside their shuffle-byte budgets") {
     val acc = new ShuffleAccounting
