@@ -75,6 +75,85 @@ object TextOps2 {
         |GROUP BY doc_id
         |ORDER BY mean_surprisal, doc_id LIMIT 25""".stripMargin),
 
+    // §2 25fl intra-corpus DUPLICATED-PASSAGE fraction (the
+    // C4/RefinedWeb boilerplate signal, distinct from decontamination's
+    // external benchmark overlap): for each doc, the share of its 8-gram
+    // passages that also occur in ≥ 1 OTHER doc. Passages hash to longs
+    // map-side; the global passage→distinct-doc-count table is one
+    // partial-agg shuffle at passage-vocabulary scale; the join back is
+    // keyed by passage hash. Integer counts → exact ratio both engines.
+    "text_dup_fraction" -> QDef(
+      (s, dir) => {
+        val t = tokd(s, dir).filter(size(col("toks")) >= 8)
+        val win = t.select(col("doc_id"),
+            explode(array_distinct(transform(sequence(lit(1), size(col("toks")) - 7),
+              i => xxhash64(concat_ws(" ",
+                (0 to 7).map(o => element_at(col("toks"), i + o)): _*))))).as("ph"))
+        val docsPer = win.groupBy("ph").agg(countDistinct(col("doc_id")).as("nd"))
+        win.join(docsPer, "ph")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_passages"),
+            sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("dup_passages"))
+          .select(col("doc_id"), col("n_passages"), col("dup_passages"),
+            round(col("dup_passages") / col("n_passages").cast("double"), 4).as("dup_frac"))
+          .orderBy("doc_id")
+      },
+      // DuckDB has no xxhash64 — the passage TEXT itself is the key
+      // (same counts, engine-local key representation).
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 8),
+        |win AS (
+        |  SELECT doc_id, UNNEST(list_distinct(list_transform(
+        |    range(1, len(toks) - 6),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+        |         toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]))) AS ph
+        |  FROM t),
+        |dp AS (SELECT ph, COUNT(DISTINCT doc_id) AS nd FROM win GROUP BY 1)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_passages,
+        |  CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_passages,
+        |  ROUND(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS dup_frac
+        |FROM win JOIN dp USING (ph)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // §2 25fm sliding-window CHUNKING with overlap (64-token windows,
+    // stride 48 — the training-sample shaping step between curation and
+    // packing): pure map-side explode, chunk count ceil((n-64)/48)+1,
+    // every chunk tagged with its token span and boundary tokens so the
+    // oracle pins alignment exactly.
+    "curate_chunk_overlap" -> QDef(
+      (s, dir) => {
+        val t = tokd(s, dir)
+        val width = 64; val stride = 48
+        t.select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+          .select(col("doc_id"), col("toks"), col("n"),
+            explode(sequence(lit(0),
+              greatest(ceil((col("n") - lit(width)).cast("double") / stride).cast("long"), lit(0L))))
+              .as("ci"))
+          .select(
+            col("doc_id"), col("ci").as("chunk_idx"),
+            least(lit(width.toLong), col("n") - col("ci") * stride).as("n_tokens"),
+            element_at(col("toks"), (col("ci") * stride + 1).cast("int")).as("first_tok"),
+            element_at(col("toks"),
+              least(col("ci") * stride + width, col("n")).cast("int")).as("last_tok"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |c AS (
+        |  SELECT doc_id, toks, n,
+        |    UNNEST(range(0, GREATEST(CAST(ceil((n - 64) * 1.0 / 48) AS BIGINT), 0) + 1)) AS ci
+        |  FROM t)
+        |SELECT doc_id, ci AS chunk_idx,
+        |  LEAST(64, n - ci * 48) AS n_tokens,
+        |  toks[CAST(ci * 48 + 1 AS INT)] AS first_tok,
+        |  toks[CAST(LEAST(ci * 48 + 64, n) AS INT)] AS last_tok
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin),
+
     // §2 25fi n-gram containment (quote detection): pairs where ≥ 80% of
     // the SHORTER doc's shingles appear in the longer one. Candidates
     // come from an inverted-index equi-join on the contained side's
