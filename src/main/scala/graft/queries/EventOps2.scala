@@ -84,11 +84,16 @@ object EventOps2 {
       (s, dir) => {
         val e = ev(s, dir)
           .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("ts_s"))
+        // a and b are each referenced twice (next stage + final count);
+        // cache the per-user anchors or their event scans re-execute
+        // per reference.
         val a = e.filter(col("event_type") === "signup")
           .groupBy("user_id").agg(min("ts_s").as("ta"))
+          .cache()
         val b = e.filter(col("event_type") === "click").join(a, "user_id")
           .filter(col("ts_s") > col("ta") && col("ts_s") <= col("ta") + 3600L)
           .groupBy("user_id").agg(min("ts_s").as("tb"))
+          .cache()
         val c = e.filter(col("event_type") === "purchase").join(b, "user_id")
           .filter(col("ts_s") > col("tb") && col("ts_s") <= col("tb") + 3600L)
           .groupBy("user_id").agg(min("ts_s").as("tc"))

@@ -39,12 +39,18 @@ object TextOps2 {
     "text_bigram_lm" -> QDef(
       (s, dir) => {
         val t = tokd(s, dir)
+        // bi feeds four subtrees (bigram counts, unigram counts, the
+        // vocabulary size and the per-doc join) and Spark performs no
+        // cross-subtree common-plan elimination — cache it once or the
+        // tokenize+explode re-executes per reference (the round-5
+        // PageRank lesson; the harness's clearCache reaps it).
         val bi = t.select(col("doc_id"),
             explode(transform(sequence(lit(1), size(col("toks")) - 1),
               i => struct(
                 element_at(col("toks"), i).as("w1"),
                 element_at(col("toks"), i + 1).as("w2")))).as("b"))
           .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .cache()
         val cBi = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
         val cUni = bi.groupBy("w1").agg(count(lit(1)).as("cu"))
         val v = bi.select(countDistinct(col("w2")).as("vsz"))
@@ -85,10 +91,13 @@ object TextOps2 {
     "text_dup_fraction" -> QDef(
       (s, dir) => {
         val t = tokd(s, dir).filter(size(col("toks")) >= 8)
+        // win feeds both the global passage counts and the per-doc join —
+        // cache, or the window explode runs twice.
         val win = t.select(col("doc_id"),
             explode(array_distinct(transform(sequence(lit(1), size(col("toks")) - 7),
               i => xxhash64(concat_ws(" ",
                 (0 to 7).map(o => element_at(col("toks"), i + o)): _*))))).as("ph"))
+          .cache()
         val docsPer = win.groupBy("ph").agg(countDistinct(col("doc_id")).as("nd"))
         win.join(docsPer, "ph")
           .groupBy("doc_id")
