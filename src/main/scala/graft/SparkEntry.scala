@@ -43,7 +43,8 @@ object SparkEntry {
       graft.queries.EventOps2.defs ++
       graft.queries.Relational5.defs ++
       graft.queries.TextOps2.defs ++
-      graft.queries.SpectralOps.defs
+      graft.queries.SpectralOps.defs ++
+      graft.queries.Analytics4.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

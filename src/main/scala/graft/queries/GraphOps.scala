@@ -120,6 +120,60 @@ object GraphOps {
         |       ON c.dst = nodes.node)
         |SELECT node, ROUND(rank, 4) AS rank FROM r3 ORDER BY node""".stripMargin),
 
+    // §2 25fr BFS hop distances on the SPARSIFIED trade graph: keep
+    // edges with weight ≥ 1.5× the mean (as the exact integer
+    // inequality 2·w·|E| ≥ 3·Σw — scale-invariant, so the graph keeps
+    // real multi-hop structure at every SF), then three unrolled
+    // min-plus rounds from the alphabetically-first nation. Each round
+    // joins the ≤|nations| distance vector (broadcast) against the
+    // edge list and partial-aggregates the min — the same per-iteration
+    // shape as PageRank, O(|edges|) forever. Unreached nodes report -1.
+    "q_bfs_hops" -> QDef(
+      (s, dir) => {
+        val all = tradeEdges(s, dir).cache()
+        val tot = broadcast(all.agg(
+          sum("w").as("totw"), count(lit(1)).as("ne")))
+        val edges = all.crossJoin(tot)
+          .filter(col("w") * col("ne") * 2L >= col("totw") * 3L)
+          .select("src", "dst")
+          .cache()
+        val nodes = Tables(s, dir, "nation").select(col("n_name").as("node"))
+        val src = nodes.agg(min("node").as("node"))
+        var dist = broadcast(src).withColumn("d", lit(0L))
+        for (_ <- 1 to 3) {
+          val step = edges.join(broadcast(dist), col("src") === col("node"))
+            .select(col("dst").as("node"), (col("d") + 1L).as("d"))
+          dist = dist.unionByName(step).groupBy("node").agg(min("d").as("d"))
+        }
+        nodes.join(dist, Seq("node"), "left")
+          .select(col("node"), coalesce(col("d"), lit(-1L)).as("hops"))
+          .orderBy("node")
+      },
+      """WITH e0 AS (
+        |  SELECT sn.n_name AS src, cn.n_name AS dst, COUNT(*) AS w
+        |  FROM lineitem
+        |  JOIN orders   ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT SUM(w) AS totw, COUNT(*) AS ne FROM e0),
+        |e AS (SELECT src, dst FROM e0 CROSS JOIN tot WHERE w * ne * 2 >= totw * 3),
+        |r0 AS (SELECT MIN(n_name) AS node, CAST(0 AS BIGINT) AS d FROM nation),
+        |r1 AS (SELECT node, MIN(d) AS d FROM (
+        |  SELECT node, d FROM r0
+        |  UNION ALL SELECT e.dst, r0.d + 1 FROM e JOIN r0 ON e.src = r0.node) GROUP BY 1),
+        |r2 AS (SELECT node, MIN(d) AS d FROM (
+        |  SELECT node, d FROM r1
+        |  UNION ALL SELECT e.dst, r1.d + 1 FROM e JOIN r1 ON e.src = r1.node) GROUP BY 1),
+        |r3 AS (SELECT node, MIN(d) AS d FROM (
+        |  SELECT node, d FROM r2
+        |  UNION ALL SELECT e.dst, r2.d + 1 FROM e JOIN r2 ON e.src = r2.node) GROUP BY 1)
+        |SELECT n_name AS node, COALESCE(r3.d, -1) AS hops
+        |FROM nation LEFT JOIN r3 ON n_name = r3.node
+        |ORDER BY node""".stripMargin),
+
     // Triangle counting on the co-order part graph (parts appearing in
     // the same order are connected), DEGREE-ordered: every undirected
     // edge is oriented from its lower-(degree, id) endpoint to the
