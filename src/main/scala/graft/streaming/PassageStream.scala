@@ -47,6 +47,10 @@ object PassageStream {
       retainSnapshots: Int = 3): StreamingQuery =
     SnapshotStore.snapshotSinkWithId(docs, tableDir, checkpointDir, retainSnapshots) {
       (prev, batch, batchId) =>
+        // Cached for the batch's three uses (tag join, per-doc counts,
+        // fresh passage counts); the reference drops at batch end and
+        // the ContextCleaner reaps the storage — no unpersist hook
+        // exists after the store's lazy snapshot write consumes it.
         val win = passages(batch).cache()
         // Tag against what was seen BEFORE this batch (prev snapshot).
         val seen = prev match {
