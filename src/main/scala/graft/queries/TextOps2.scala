@@ -163,6 +163,48 @@ object TextOps2 {
         |  toks[CAST(LEAST(ci * 48 + 64, n) AS INT)] AS last_tok
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin),
 
+    // §2 25fs character-entropy quality signal (the Gopher-style
+    // gibberish/boilerplate screen): per-doc Shannon entropy over the
+    // character distribution. Float determinism by construction: the
+    // per-char counts are exact integers, the entropy terms fold over
+    // the ASCENDING-sorted count list with a 0.0 seed on BOTH engines
+    // (identical operand sequence → identical IEEE sum; swapping equal
+    // counts cannot change partial sums), so the rounded value
+    // hash-matches without a tolerance gate. Counts partial-aggregate
+    // by (doc, char) — alphabet-bounded state per doc.
+    "text_char_entropy" -> QDef(
+      (s, dir) => {
+        val d = docs(s, dir).select(col("doc_id"), col("text"))
+        val counts = d
+          .select(col("doc_id"), length(col("text")).cast("double").as("nc"),
+            explode(transform(sequence(lit(1), length(col("text"))),
+              i => col("text").substr(i, lit(1)))).as("ch"))
+          .groupBy("doc_id", "nc", "ch").agg(count(lit(1)).as("c"))
+        counts
+          .groupBy("doc_id", "nc")
+          .agg(array_sort(collect_list(col("c"))).as("cs"))
+          .select(col("doc_id"),
+            col("nc").cast("long").as("n_chars"),
+            size(col("cs")).cast("long").as("distinct_chars"),
+            round(aggregate(col("cs"), lit(0.0),
+              (acc, c) => acc - (c / col("nc")) * log2(c / col("nc"))), 4).as("entropy"))
+          .orderBy("doc_id")
+      },
+      """WITH ch AS (
+        |  SELECT doc_id, len(text) AS nc, substr(text, CAST(i AS INT), 1) AS c1
+        |  FROM documents, UNNEST(range(1, len(text) + 1)) AS u(i)),
+        |cnt AS (
+        |  SELECT doc_id, nc, c1, COUNT(*) AS c FROM ch GROUP BY 1, 2, 3),
+        |lst AS (
+        |  SELECT doc_id, nc, list_sort(list(c)) AS cs FROM cnt GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(nc AS BIGINT) AS n_chars,
+        |  CAST(len(cs) AS BIGINT) AS distinct_chars,
+        |  ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(cs, c -> -(c / CAST(nc AS DOUBLE)) * log2(c / CAST(nc AS DOUBLE)))),
+        |    (a, b) -> a + b), 4) AS entropy
+        |FROM lst ORDER BY doc_id""".stripMargin),
+
     // §2 25fi n-gram containment (quote detection): pairs where ≥ 80% of
     // the SHORTER doc's shingles appear in the longer one. Candidates
     // come from an inverted-index equi-join on the contained side's
