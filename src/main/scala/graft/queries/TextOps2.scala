@@ -163,6 +163,43 @@ object TextOps2 {
         |  toks[CAST(LEAST(ci * 48 + 64, n) AS INT)] AS last_tok
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin),
 
+    // §2 25ft OOV rate against a corpus-derived top-k vocabulary (the
+    // tokenizer-coverage report a training pipeline runs before
+    // committing a vocab): term counts partial-aggregate at vocabulary
+    // scale, the top-10 vocab selects by the deterministic
+    // (count DESC, term ASC) order and broadcasts back, and each doc
+    // reports its out-of-vocabulary token share. Exact integers
+    // end-to-end.
+    "text_oov_rate" -> QDef(
+      (s, dir) => {
+        val toks = tokd(s, dir)
+          .select(col("doc_id"), explode(col("toks")).as("t"))
+          .cache()
+        val vocab = toks.groupBy("t").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("t")).limit(10)
+          .select(col("t"), lit(1L).as("in_vocab"))
+        toks.join(broadcast(vocab), Seq("t"), "left")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_tokens"),
+            sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+            round(col("n_oov") / col("n_tokens").cast("double"), 4).as("oov_rate"))
+          .orderBy("doc_id")
+      },
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |vocab AS (
+        |  SELECT t FROM (SELECT t, COUNT(*) AS c FROM toks GROUP BY 1)
+        |  ORDER BY c DESC, t LIMIT 10)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  ROUND(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS oov_rate
+        |FROM toks LEFT JOIN vocab v ON toks.t = v.t
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
     // §2 25fs character-entropy quality signal (the Gopher-style
     // gibberish/boilerplate screen): per-doc Shannon entropy over the
     // character distribution. Float determinism by construction: the
