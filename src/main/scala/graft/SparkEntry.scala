@@ -44,7 +44,10 @@ object SparkEntry {
       graft.queries.Relational5.defs ++
       graft.queries.TextOps2.defs ++
       graft.queries.SpectralOps.defs ++
-      graft.queries.Analytics4.defs
+      graft.queries.Analytics4.defs ++
+      graft.queries.LinkOps.defs ++
+      graft.queries.StatsOps2.defs ++
+      graft.queries.CurateOps2.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

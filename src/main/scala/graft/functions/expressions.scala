@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graftbridge.{BoundedTopK, ColumnBridge, CosineSimilarity, DotProduct, IntersectCountSortedLong, JaccardSimilarity, JaccardSortedLong}
+import org.apache.spark.sql.graftbridge.{BoundedTopK, ColumnBridge, CosineSimilarity, DamerauLevenshtein, DotProduct, IntersectCountSortedLong, JaccardSimilarity, JaccardSortedLong, JaroWinklerSim}
 
 /** Column-level entry points + SQL registration for the native codegen
   * kernels defined in org.apache.spark.sql.graftbridge.
@@ -23,6 +23,16 @@ object GraftFunctions {
 
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Jaro-Winkler similarity, DuckDB-parity semantics (floor-divided
+    * transpositions, boost only above 0.7) — see EditDistanceKernel.
+    */
+  def jaroWinkler(a: Column, b: Column): Column =
+    ColumnBridge.column(JaroWinklerSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** True Damerau-Levenshtein distance (DuckDB-parity). */
+  def damerauLev(a: Column, b: Column): Column =
+    ColumnBridge.column(DamerauLevenshtein(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Bounded top-k aggregate (score DESC, id ASC): map-side partial
     * buffers hold at most k entries, so a top-k-per-group over a scored

@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Coreset selection for training-data diversity: greedy k-center
+  * (farthest-point traversal) over the embedding corpus.
+  */
+object CurateOps2 {
+
+  val defs: Map[String, QDef] = Map(
+
+    // §2 25gd greedy k-center coreset (farthest-point selection): pick
+    // k = 8 maximally-spread vectors from the sampled embedding
+    // registry — the diverse-subset step before annotation/eval-set
+    // construction. Each round broadcasts the ≤ k chosen centers,
+    // computes every candidate's min squared distance in ONE map-only
+    // pass over the corpus (no pairwise join), and takes the argmax via
+    // a TakeOrdered(1) — so a round is O(|corpus| · k) work, k bounded
+    // collects of one row each, never a materialized distance matrix.
+    // Distances are double-exact on both engines: elements cast to
+    // DOUBLE first, then an index-ordered left fold of (x−y)² (the
+    // text_char_entropy determinism argument); ties broken by vec_id.
+    // The oracle replays the same greedy walk as a recursive CTE.
+    "curate_kcenter_diverse" -> QDef(
+      (s, dir) => {
+        import s.implicits._
+        val k = 8
+        val pts = Tables(s, dir, "embeddings")
+          .filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+          .cache() // scanned k times; reaped by the harness clearCache + unpersist below
+        val seed = pts.orderBy("vec_id").limit(1).collect()(0)
+        // (step, vec_id, embedding, dist-at-selection)
+        var chosen = List((1, seed.getLong(0), seed.getSeq[Double](1), 0.0))
+        var step = 2
+        while (step <= k) {
+          val centers = chosen.map { case (_, id, e, _) => (id, e) }.toDF("cid", "cemb")
+          val ids = chosen.map(_._2)
+          val next = pts.filter(!col("vec_id").isInCollection(ids))
+            .crossJoin(broadcast(centers))
+            .select(col("vec_id"), col("emb"),
+              aggregate(zip_with(col("emb"), col("cemb"), (x, y) => (x - y) * (x - y)),
+                lit(0.0), (acc, v) => acc + v).as("d"))
+            .groupBy("vec_id")
+            .agg(min("d").as("dmin"), first("emb").as("emb"))
+            .orderBy(col("dmin").desc, col("vec_id"))
+            .limit(1)
+            .collect()(0) // bounded: one row per round, k rounds
+          chosen = chosen :+ ((step, next.getLong(0), next.getSeq[Double](2), next.getDouble(1)))
+          step += 1
+        }
+        pts.unpersist()
+        chosen.map { case (st, id, _, d) => (st, id, d) }
+          .toDF("step", "vec_id", "dist")
+          .select(col("step"), col("vec_id"), round(col("dist"), 4).as("dist"))
+          .orderBy("step")
+      },
+      """WITH RECURSIVE pts AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+        |seed AS (SELECT MIN(vec_id) AS sid FROM pts),
+        |sel AS (
+        |  SELECT 1 AS step, (SELECT sid FROM seed) AS vec_id,
+        |         CAST(0.0 AS DOUBLE) AS dist, [(SELECT sid FROM seed)] AS chosen
+        |  UNION ALL
+        |  SELECT step + 1, nxt.vec_id, nxt.dist, list_append(chosen, nxt.vec_id)
+        |  FROM sel, LATERAL (
+        |    SELECT p.vec_id,
+        |      MIN(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(range(1, 65), i ->
+        |          (CAST(p.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE)) *
+        |          (CAST(p.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE)))),
+        |        (a, b) -> a + b)) AS dist
+        |    FROM pts p, pts q
+        |    WHERE list_contains(sel.chosen, q.vec_id)
+        |      AND NOT list_contains(sel.chosen, p.vec_id)
+        |    GROUP BY p.vec_id
+        |    ORDER BY dist DESC, p.vec_id
+        |    LIMIT 1) nxt
+        |  WHERE step < 8)
+        |SELECT step, vec_id, ROUND(dist, 4) AS dist
+        |FROM sel ORDER BY step""".stripMargin)
+  )
+}

@@ -36,7 +36,16 @@ class ShuffleBudgetSpec extends SparkSpec {
     // bigram LM shuffles vocabulary-scale counts
     // (measured r7: 260 / 311 KiB)
     "text_containment" -> 1024 * 1024L,
-    "text_bigram_lm" -> 1024 * 1024L)
+    "text_bigram_lm" -> 1024 * 1024L,
+    // round-7 continuation: linkage joins a broadcast vocabulary-scale
+    // dictionary (shuffle = dirty-name counts only); the stats tier is
+    // partial-agg scalars; KS shuffles distinct-value counts once; the
+    // bitmap index shuffles 8 bytes per (user, partition)
+    "q_fuzzy_link" -> 64 * 1024L,
+    "q_ks_test" -> 64 * 1024L,
+    "q_ols_regression" -> 64 * 1024L,
+    "q_bitmap_presence" -> 64 * 1024L,
+    "q_chi_square" -> 64 * 1024L)
 
   test("headline queries stay inside their shuffle-byte budgets") {
     val acc = new ShuffleAccounting
