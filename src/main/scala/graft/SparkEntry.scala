@@ -47,7 +47,8 @@ object SparkEntry {
       graft.queries.Analytics4.defs ++
       graft.queries.LinkOps.defs ++
       graft.queries.StatsOps2.defs ++
-      graft.queries.CurateOps2.defs
+      graft.queries.CurateOps2.defs ++
+      graft.queries.SketchOps2.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
