@@ -119,6 +119,51 @@ object EventOps2 {
         |  CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_click_1h,
         |  CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_purchase_1h""".stripMargin),
 
+    // §2 25gh funnel with NEGATION (signup → purchase ≤ 1 h, excluding
+    // users who hit an error strictly between the two anchor events) —
+    // the exclusion-step funnel flavor batch SQL usually punts on. The
+    // anchor times chain as grouped MINs joined stage-to-stage (the
+    // ev_funnel_windowed shape); the negation is one equi-join of the
+    // error stream against the per-user anchor interval plus an ANTI
+    // join — everything keyed by user_id, no per-user sort.
+    "ev_funnel_negation" -> QDef(
+      (s, dir) => {
+        val e = ev(s, dir)
+          .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("ts_s"))
+        val a = e.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("ts_s").as("ta"))
+          .cache()
+        val p = e.filter(col("event_type") === "purchase").join(a, "user_id")
+          .filter(col("ts_s") > col("ta") && col("ts_s") <= col("ta") + 3600L)
+          .groupBy("user_id").agg(min("ts_s").as("tp"))
+        // j feeds both the error-interval join and the final counts.
+        val j = p.join(a, "user_id").cache()
+        val bad = e.filter(col("event_type") === "error").join(j, "user_id")
+          .filter(col("ts_s") > col("ta") && col("ts_s") < col("tp"))
+          .select("user_id").distinct()
+        a.agg(count(lit(1)).as("n_signup"))
+          .crossJoin(j.agg(count(lit(1)).as("n_purchase_1h")))
+          .crossJoin(j.join(bad, Seq("user_id"), "left_anti")
+            .agg(count(lit(1)).as("n_clean")))
+      },
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |  FROM events),
+        |a AS (SELECT user_id, MIN(ts_s) AS ta FROM e
+        |      WHERE event_type = 'signup' GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(ts_s) AS tp
+        |      FROM e JOIN a USING (user_id)
+        |      WHERE event_type = 'purchase' AND ts_s > ta AND ts_s <= ta + 3600
+        |      GROUP BY 1),
+        |j AS (SELECT user_id, ta, tp FROM p JOIN a USING (user_id)),
+        |bad AS (SELECT DISTINCT e.user_id FROM e JOIN j USING (user_id)
+        |        WHERE event_type = 'error' AND ts_s > ta AND ts_s < tp)
+        |SELECT
+        |  CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_signup,
+        |  CAST((SELECT COUNT(*) FROM j) AS BIGINT) AS n_purchase_1h,
+        |  CAST((SELECT COUNT(*) FROM j WHERE user_id NOT IN (SELECT user_id FROM bad))
+        |    AS BIGINT) AS n_clean""".stripMargin),
+
     // §2 25fe sweep-line PEAK CONCURRENCY per (event_type, day):
     // +1/-1 boundary deltas, running sum, max. Intervals clip at the
     // day boundary so every delta lands in its (type, day) partition —

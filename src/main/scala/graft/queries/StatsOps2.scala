@@ -241,6 +241,61 @@ object StatsOps2 {
         |        ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6) AS r2
         |FROM sl ORDER BY l_returnflag""".stripMargin),
 
+    // §2 25gi trailing-7-day rolling regression slope of daily revenue
+    // (the trend detector over a metric series): day sums as exact
+    // DECIMALs, the trailing frame's five moment sums accumulate inside
+    // ONE ROWS BETWEEN 6 PRECEDING window over the calendar-bounded
+    // series (ev_ewma exception), and each day's slope evaluates as the
+    // identical closed-form double expression — the windowed variant of
+    // q_ols_regression. The regressor is the exact integer epoch-day,
+    // so every sum is exact on both engines; n < 2 frames yield NULL.
+    "q_rolling_slope" -> QDef(
+      (s, dir) => {
+        val daily = Tables(s, dir, "orders")
+          .groupBy(col("o_orderdate").as("d"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("y"))
+          .withColumn("t", floor(unix_timestamp(col("d")) / 86400L))
+        val w = Window.orderBy("d").rowsBetween(-6, 0)
+        daily
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("st", sum(col("t")).over(w))
+          .withColumn("sy", sum(col("y")).over(w))
+          .withColumn("sty", sum(col("t") * col("y")).over(w))
+          .withColumn("stt", sum(col("t") * col("t")).over(w))
+          .select(
+            date_format(col("d"), "yyyy-MM-dd").as("day"),
+            col("n"),
+            round(when(col("n") >= 2,
+              (col("n").cast("double") * col("sty").cast("double") -
+                col("st").cast("double") * col("sy").cast("double")) /
+                (col("n").cast("double") * col("stt").cast("double") -
+                  col("st").cast("double") * col("st").cast("double"))), 4)
+              .as("slope_7d"))
+          .orderBy("day")
+      },
+      """WITH daily AS (
+        |  SELECT o_orderdate AS d,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y,
+        |    CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS t
+        |  FROM orders GROUP BY 1),
+        |w AS (
+        |  SELECT d,
+        |    COUNT(*) OVER fr AS n,
+        |    SUM(t) OVER fr AS st,
+        |    SUM(y) OVER fr AS sy,
+        |    SUM(t * y) OVER fr AS sty,
+        |    SUM(t * t) OVER fr AS stt
+        |  FROM daily
+        |  WINDOW fr AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT strftime(d, '%Y-%m-%d') AS day, CAST(n AS BIGINT) AS n,
+        |  ROUND(CASE WHEN n >= 2 THEN
+        |    (CAST(n AS DOUBLE) * CAST(sty AS DOUBLE) -
+        |     CAST(st AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE) -
+        |     CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+        |  END, 4) AS slope_7d
+        |FROM w ORDER BY day""".stripMargin),
+
     // §2 25gc bitmap activity index: each user's first-calendar-month
     // presence packed into one BIGINT (bit d-1 = active on day d) via a
     // bit_or partial aggregate — the roaring-bitmap pattern at its

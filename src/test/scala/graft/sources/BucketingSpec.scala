@@ -36,6 +36,52 @@ class BucketingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
   }
 
+  test("snapshot diff over bucketed versions plans no exchange (the 100 TB diff path)") {
+    val dir = "/root/testdata/sf0.001"
+    Seq("b_v1", "b_v2").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val wh = new java.io.File("spark-warehouse")
+    def rm(f: java.io.File): Unit = { Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); () }
+    Seq("b_v1", "b_v2").foreach(t => rm(new java.io.File(wh, t)))
+    val v1 = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    // Same derivation as q_table_diff's in-query v2.
+    val v2 = v1.filter(col("o_orderkey") % 97 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        col("o_orderstatus"))
+      .unionByName(v1.filter(col("o_orderkey") % 89 === 1)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_totalprice"), col("o_orderstatus")))
+    Bucketing.enableSortedBucketScan(spark)
+    Bucketing.writeBucketed(v1, "b_v1", "o_orderkey", 8)
+    Bucketing.writeBucketed(v2, "b_v2", "o_orderkey", 8)
+
+    def classify(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.as("a").join(b.as("b"), col("a.o_orderkey") === col("b.o_orderkey"), "full_outer")
+        .select(
+          when(col("a.o_orderkey").isNull, "added")
+            .when(col("b.o_orderkey").isNull, "removed")
+            .when(col("a.o_totalprice") =!= col("b.o_totalprice") ||
+              col("a.o_orderstatus") =!= col("b.o_orderstatus"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy("status").agg(count(lit(1)).as("n"))
+
+    val bucketedDiff = classify(spark.table("b_v1"), spark.table("b_v2"))
+    val plan = bucketedDiff.queryExecution.executedPlan.toString
+    // The join itself must be co-located; the only exchange allowed is
+    // the 4-row status aggregation after it.
+    val joinPart = plan.split("HashAggregate").last
+    assert(!joinPart.contains("Exchange"),
+      s"bucketed snapshot diff should join without a shuffle:\n${plan.take(3000)}")
+
+    val got = bucketedDiff.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val expected = classify(v1, v2).collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == expected)
+
+    Seq("b_v1", "b_v2").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("secondary-sort buckets feed an ordered window with no exchange and no sort") {
     val dir = "/root/testdata/sf0.001"
     spark.sql("DROP TABLE IF EXISTS b_li_sorted")
