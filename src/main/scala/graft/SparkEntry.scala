@@ -48,7 +48,8 @@ object SparkEntry {
       graft.queries.LinkOps.defs ++
       graft.queries.StatsOps2.defs ++
       graft.queries.CurateOps2.defs ++
-      graft.queries.SketchOps2.defs
+      graft.queries.SketchOps2.defs ++
+      graft.queries.Analytics5.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

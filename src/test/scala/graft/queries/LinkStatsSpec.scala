@@ -47,6 +47,21 @@ class LinkStatsSpec extends SparkSpec {
     assert(plan.contains("partial_bit_or"), plan.take(2000))
   }
 
+  test("concentration ranking runs bucket-partitioned, not one global window") {
+    val plan = SparkEntry.queries("q_concentration")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(b#") ||
+      plan.contains("windowspecdefinition(b "), plan.take(3000))
+  }
+
+  test("readability is map-only: no exchange before the output sort") {
+    val plan = SparkEntry.queries("text_readability")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // The only exchange allowed is the range partitioning of the final
+    // ORDER BY; a hash exchange would mean an accidental aggregation.
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(3000))
+  }
+
   test("KS cumulative sums run bucket-partitioned, not one global window") {
     val plan = SparkEntry.queries("q_ks_test")(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -45,7 +45,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_ks_test" -> 64 * 1024L,
     "q_ols_regression" -> 64 * 1024L,
     "q_bitmap_presence" -> 64 * 1024L,
-    "q_chi_square" -> 64 * 1024L)
+    "q_chi_square" -> 64 * 1024L,
+    // concentration ranks through bucket-offset composition — shuffle =
+    // per-customer sums + tiny prefix tables, never a global sort
+    "q_concentration" -> 64 * 1024L)
 
   test("headline queries stay inside their shuffle-byte budgets") {
     val acc = new ShuffleAccounting
