@@ -96,6 +96,65 @@ object LinkOps {
         |FROM best WHERE rn = 1 AND dl <= 2
         |ORDER BY adj, dnoun""".stripMargin),
 
+    // §2 25gl entity resolution end-to-end: cluster the distinct name
+    // registry into canonical entities. Edges link names sharing a noun
+    // whose adjectives are ≤ 1 Damerau-Levenshtein apart (the
+    // 'cold ring' ≡ 'old ring' family) — computed on the vocabulary-
+    // scale distinct registry, never the row corpus. Components resolve
+    // by two unrolled min-label propagation rounds (cluster diameter
+    // here ≤ 2; the dedup_clusters iterative machinery is the unbounded-
+    // diameter fallback), every min over strings — no float anywhere.
+    // Each entity keeps its lexicographically-least name as the
+    // canonical id; row counts ride along for the merge report.
+    "q_entity_resolution" -> QDef(
+      (s, dir) => {
+        val p = parts(s, dir)
+        val names = p.groupBy("adj", "noun").agg(count(lit(1)).as("n_rows"))
+          .withColumn("name", concat_ws(" ", col("adj"), col("noun")))
+          .cache() // feeds edges + both propagation rounds
+        val e0 = names.select(col("noun"), col("adj"), col("name"))
+        val edges = e0.as("a").join(e0.as("b"),
+            col("a.noun") === col("b.noun") && col("a.name") =!= col("b.name"))
+          .filter(GraftFunctions.damerauLev(col("a.adj"), col("b.adj")) <= 1)
+          .select(col("a.name").as("src"), col("b.name").as("dst"))
+        def propagate(l: DataFrame): DataFrame = {
+          val nb = edges
+            .join(l.select(col("name").as("dst"), col("lbl").as("nl")), "dst")
+            .groupBy(col("src").as("name")).agg(min("nl").as("nl"))
+          l.join(nb, Seq("name"), "left")
+            .select(col("name"), least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+        }
+        val l0 = names.select(col("name"), col("name").as("lbl"))
+        propagate(propagate(l0))
+          .join(names.select("name", "n_rows"), "name")
+          .select(col("lbl").as("entity"), col("name"), col("n_rows"))
+          .orderBy("entity", "name")
+      },
+      """WITH p AS (
+        |  SELECT string_split(p_name,' ')[1] AS adj, string_split(p_name,' ')[2] AS noun,
+        |         COUNT(*) AS n_rows
+        |  FROM part GROUP BY 1, 2),
+        |names AS (SELECT adj, noun, n_rows, adj || ' ' || noun AS name FROM p),
+        |edges AS (
+        |  SELECT a.name AS src, b.name AS dst
+        |  FROM names a JOIN names b
+        |    ON a.noun = b.noun AND a.name <> b.name
+        |  WHERE damerau_levenshtein(a.adj, b.adj) <= 1),
+        |l0 AS (SELECT name, name AS lbl FROM names),
+        |r1 AS (
+        |  SELECT l.name, LEAST(l.lbl, COALESCE(MIN(n.lbl), l.lbl)) AS lbl
+        |  FROM l0 l LEFT JOIN edges e ON l.name = e.src
+        |            LEFT JOIN l0 n ON n.name = e.dst
+        |  GROUP BY l.name, l.lbl),
+        |r2 AS (
+        |  SELECT l.name, LEAST(l.lbl, COALESCE(MIN(n.lbl), l.lbl)) AS lbl
+        |  FROM r1 l LEFT JOIN edges e ON l.name = e.src
+        |            LEFT JOIN r1 n ON n.name = e.dst
+        |  GROUP BY l.name, l.lbl)
+        |SELECT r2.lbl AS entity, r2.name AS name, names.n_rows
+        |FROM r2 JOIN names ON r2.name = names.name
+        |ORDER BY entity, r2.name""".stripMargin),
+
     // §2 25fv snapshot table diff: the audit step between two versions
     // of a fact table (v2 is derived in-query: keys ≡ 0 mod 97 deleted,
     // prices of keys ≡ 0 mod 13 shifted by an exactly-representable
