@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graftbridge.{BoundedTopK, ColumnBridge, CosineSimilarity, DamerauLevenshtein, DotProduct, IntersectCountSortedLong, JaccardSimilarity, JaccardSortedLong, JaroWinklerSim}
+import org.apache.spark.sql.graftbridge.{BoundedTopK, ColumnBridge, CosineSimilarity, DamerauLevenshtein, DotProduct, HilbertIndex, IntersectCountSortedLong, JaccardSimilarity, JaccardSortedLong, JaroWinklerSim}
 
 /** Column-level entry points + SQL registration for the native codegen
   * kernels defined in org.apache.spark.sql.graftbridge.
@@ -33,6 +33,10 @@ object GraftFunctions {
   /** True Damerau-Levenshtein distance (DuckDB-parity). */
   def damerauLev(a: Column, b: Column): Column =
     ColumnBridge.column(DamerauLevenshtein(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Order-256 Hilbert-curve index (layout clustering). */
+  def hilbert(x: Column, y: Column): Column =
+    ColumnBridge.column(HilbertIndex(ColumnBridge.expression(x), ColumnBridge.expression(y)))
 
   /** Bounded top-k aggregate (score DESC, id ASC): map-side partial
     * buffers hold at most k entries, so a top-k-per-group over a scored

@@ -120,6 +120,44 @@ object LayoutOps {
         |  CAST(list_sum(list_transform(range(0, 16),
         |    i -> (((user_id % 256 >> i) & 1) << (2 * i))
         |       + (((event_id % 256 >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS zval
+        |FROM events ORDER BY event_id""".stripMargin),
+
+    // §2 25gn Hilbert-curve index (the locality-preserving sibling of
+    // q_zorder_value — a Hilbert walk never takes Z-order's long
+    // diagonal jumps, so clustered range scans touch fewer runs): the
+    // native order-256 xy2d kernel (Hilbert.scala, one static call in
+    // generated code); all-integer level fold with quadrant rotation,
+    // replicated EXACTLY by the oracle as a struct-accumulator
+    // list_reduce — bit-for-bit, no tolerance.
+    "q_hilbert_value" -> QDef(
+      (s, dir) => {
+        val x = pmod(col("user_id"), lit(256L))
+        val y = pmod(col("event_id"), lit(256L))
+        Tables(s, dir, "events")
+          .select(
+            col("event_id"),
+            x.as("hx"), y.as("hy"),
+            graft.functions.GraftFunctions.hilbert(x, y).as("hval"))
+          .orderBy("event_id")
+      },
+      """SELECT event_id, user_id % 256 AS hx, event_id % 256 AS hy,
+        |  (list_reduce(
+        |    list_prepend({'x': CAST(user_id % 256 AS BIGINT),
+        |                  'y': CAST(event_id % 256 AS BIGINT),
+        |                  'd': CAST(0 AS BIGINT)},
+        |      list_transform([128,64,32,16,8,4,2,1],
+        |        s -> {'x': CAST(s AS BIGINT), 'y': CAST(0 AS BIGINT),
+        |              'd': CAST(0 AS BIGINT)})),
+        |    (acc, lvl) -> CASE
+        |      WHEN (acc.y & lvl.x) != 0 THEN
+        |        {'x': acc.x, 'y': acc.y,
+        |         'd': acc.d + lvl.x * lvl.x *
+        |           (CASE WHEN (acc.x & lvl.x) != 0 THEN 2 ELSE 1 END)}
+        |      WHEN (acc.x & lvl.x) != 0 THEN
+        |        {'x': lvl.x - 1 - acc.y, 'y': lvl.x - 1 - acc.x,
+        |         'd': acc.d + lvl.x * lvl.x * 3}
+        |      ELSE {'x': acc.y, 'y': acc.x, 'd': acc.d}
+        |    END)).d AS hval
         |FROM events ORDER BY event_id""".stripMargin)
   )
 }
