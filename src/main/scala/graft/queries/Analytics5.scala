@@ -30,12 +30,7 @@ object Analytics5 {
         val cust = Tables(s, dir, "orders")
           .groupBy("o_custkey")
           .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("x"))
-        val mm = cust.agg(min(col("x").cast("double")).as("lo"),
-          max(col("x").cast("double")).as("hi"))
-        val bucketed = cust.crossJoin(broadcast(mm))
-          .withColumn("b", least(lit(nb - 1),
-            floor((col("x").cast("double") - col("lo")) /
-              ((col("hi") - col("lo") + 0.001) / nb)).cast("int")))
+        val bucketed = Buckets.assign(cust, col("x"), nb)
         // 32-row prefix tables (count + revenue offsets): tiny windows.
         val offs = bucketed.groupBy("b")
           .agg(count(lit(1)).as("bn"), sum("x").as("bx"))

@@ -1,0 +1,27 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The ONE implementation of range bucketization for the bucket-offset
+  * composition (curate_global_index pattern): a broadcast min/max row,
+  * fixed-width buckets with the +0.001 span epsilon (keeps the max
+  * value inside the last bucket and makes the degenerate hi == lo span
+  * positive), and the least() clamp. Deployed by q_skyline, q_ks_test
+  * and q_concentration — extracted so the epsilon/clamp semantics can
+  * never drift between deployments. Bucket assignment is monotone in
+  * the value, which is the property every caller's prefix-offset
+  * argument rests on.
+  */
+object Buckets {
+
+  /** Add an int bucket column `b` (0..nb-1, monotone in `value`). */
+  def assign(df: DataFrame, value: Column, nb: Int): DataFrame = {
+    val mm = df.agg(min(value.cast("double")).as("__lo"), max(value.cast("double")).as("__hi"))
+    df.crossJoin(broadcast(mm))
+      .withColumn("b", least(lit(nb - 1),
+        floor((value.cast("double") - col("__lo")) /
+          ((col("__hi") - col("__lo") + 0.001) / nb)).cast("int")))
+      .drop("__lo", "__hi")
+  }
+}

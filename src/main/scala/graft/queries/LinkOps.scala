@@ -111,7 +111,11 @@ object LinkOps {
         val p = parts(s, dir)
         val names = p.groupBy("adj", "noun").agg(count(lit(1)).as("n_rows"))
           .withColumn("name", concat_ws(" ", col("adj"), col("noun")))
-          .cache() // feeds edges + both propagation rounds
+          // Feeds edges + both propagation rounds + the final join; the
+          // returned lazy plan still references it, so no in-operator
+          // unpersist is possible — the harness clearCache reaps it
+          // (same lifecycle as text_bigram_lm's bi cache).
+          .cache()
         val e0 = names.select(col("noun"), col("adj"), col("name"))
         val edges = e0.as("a").join(e0.as("b"),
             col("a.noun") === col("b.noun") && col("a.name") =!= col("b.name"))
@@ -212,37 +216,37 @@ object LinkOps {
 
     // §2 25fw 2-D Pareto frontier (skyline: minimal price, maximal
     // size). Phase 1 collapses the corpus to per-price maxima (one
-    // partial agg keyed by price). Phase 2 prunes: 64 price-range
-    // buckets from a broadcast min/max, a prefix-max over the 64-row
-    // bucket table, and any row whose size is ≤ the best size in a
-    // strictly-lower bucket is dominated and dropped before the exact
-    // pass. Phase 3 runs the frontier window over survivors only. The
-    // prune preserves the running max (the minimal-price achiever of
-    // any prefix max always survives — see spec), so the result equals
-    // the plain single-window formulation the oracle uses.
+    // partial agg keyed by price). Phase 2: 64 price-range buckets
+    // (shared Buckets.assign), a prefix-max over the 64-row bucket
+    // table, and any row whose size is ≤ the best size in a
+    // strictly-lower bucket is dominated and dropped. Phase 3 is fully
+    // PARTITIONED — no global window even in the adversarial case where
+    // the prune drops nothing (size increasing with price): the true
+    // prefix max over all preceding prices equals greatest(pmx — the
+    // lower-bucket max computed over ALL rows pre-prune — and the
+    // running max over same-bucket survivors; a pruned same-bucket
+    // row's msize ≤ its pmx, so dropping it never lowers the combined
+    // max). Equals the oracle's plain single-window form — see spec.
     "q_skyline" -> QDef(
       (s, dir) => {
         val nb = 64
         val pm = Tables(s, dir, "part")
           .groupBy(col("p_retailprice").as("price"))
           .agg(max(col("p_size")).as("msize"), min(col("p_partkey")).as("rep_key"))
-        val mm = pm.agg(min("price").as("lo"), max("price").as("hi"))
-        val bucketed = pm.crossJoin(broadcast(mm))
-          .withColumn("b", least(lit(nb - 1),
-            floor((col("price") - col("lo")) /
-              ((col("hi") - col("lo") + 0.001) / nb)).cast("int")))
-          .drop("lo", "hi")
+        val bucketed = Buckets.assign(pm, col("price"), nb)
         // Bucket prefix maxima: ≤ 64 rows — the tiny-window exception.
         val bmax = bucketed.groupBy("b").agg(max("msize").as("bm"))
           .withColumn("pmx", max("bm").over(
             Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)))
           .select("b", "pmx")
-        val surv = bucketed.join(broadcast(bmax), "b")
+        val wl = Window.partitionBy("b").orderBy("price")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        bucketed.join(broadcast(bmax), "b")
           .filter(col("pmx").isNull || col("msize") > col("pmx"))
-        surv
-          .withColumn("prevmax", max("msize").over(
-            Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)))
-          .filter(col("prevmax").isNull || col("msize") > col("prevmax"))
+          .withColumn("prevmax", greatest(
+            coalesce(col("pmx"), lit(-1)),
+            coalesce(max("msize").over(wl), lit(-1))))
+          .filter(col("msize") > col("prevmax"))
           .select(col("price"), col("msize").as("size"), col("rep_key"))
           .orderBy("price")
       },

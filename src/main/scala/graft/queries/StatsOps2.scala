@@ -86,12 +86,8 @@ object StatsOps2 {
           .agg(
             sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
             sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c2"))
-        val mm = s0.agg(min("value").as("lo"), max("value").as("hi"),
-          sum("c1").as("n1"), sum("c2").as("n2"))
-        val bucketed = s0.crossJoin(broadcast(mm))
-          .withColumn("b", least(lit(nb - 1),
-            floor((col("value") - col("lo")) /
-              ((col("hi") - col("lo") + 0.001) / nb)).cast("int")))
+        val tot = s0.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+        val bucketed = Buckets.assign(s0, col("value"), nb)
         // 32-row bucket table: the tiny-window exception.
         val offs = bucketed.groupBy("b")
           .agg(sum("c1").as("s1"), sum("c2").as("s2"))
@@ -103,6 +99,7 @@ object StatsOps2 {
         val wb = Window.partitionBy("b").orderBy("value")
           .rowsBetween(Window.unboundedPreceding, 0)
         bucketed.join(broadcast(offs), "b")
+          .crossJoin(broadcast(tot))
           .select(col("n1"), col("n2"),
             (col("o1") + sum("c1").over(wb)).as("a1"),
             (col("o2") + sum("c2").over(wb)).as("a2"))
@@ -137,8 +134,10 @@ object StatsOps2 {
         val c = ev(s, dir)
           .select(col("event_type").as("t"), (dayofmonth(col("ts")) <= 15).as("h1"))
           .groupBy("t")
+          // when(h1, 0).otherwise(1) — not when(!h1, 1) — so a NULL ts
+          // routes into c2 exactly like the oracle's CASE ELSE branch.
           .agg(sum(when(col("h1"), 1L).otherwise(0L)).as("c1"),
-            sum(when(!col("h1"), 1L).otherwise(0L)).as("c2"))
+            sum(when(col("h1"), 0L).otherwise(1L)).as("c2"))
         val n = c.agg(sum("c1").as("n1"), sum("c2").as("n2"))
         c.crossJoin(broadcast(n))
           .select(col("n1"), col("n2"), col("t"),

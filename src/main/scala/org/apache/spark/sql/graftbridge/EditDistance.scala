@@ -79,37 +79,54 @@ object EditDistanceKernel {
     if (lb == 0) return la.toLong
     val maxd = la + lb
     // H is the DP table with the extra -1 row/column of the full
-    // Damerau algorithm (Lowrance-Wagner), indexed with a +1 offset.
-    val h = Array.ofDim[Int](la + 2, lb + 2)
-    h(0)(0) = maxd
+    // Damerau algorithm (Lowrance-Wagner), indexed with a +1 offset —
+    // ONE flat primitive array (this runs once per candidate join row
+    // in q_fuzzy_link / q_entity_resolution; an array-of-arrays plus a
+    // boxing HashMap was measurable GC churn in the generated loop).
+    val w = lb + 2
+    val h = new Array[Int]((la + 2) * w)
+    h(0) = maxd
     var i = 0
-    while (i <= la) { h(i + 1)(0) = maxd; h(i + 1)(1) = i; i += 1 }
+    while (i <= la) { h((i + 1) * w) = maxd; h((i + 1) * w + 1) = i; i += 1 }
     var j = 0
-    while (j <= lb) { h(0)(j + 1) = maxd; h(1)(j + 1) = j; j += 1 }
-    val da = new java.util.HashMap[Character, Integer]()
+    while (j <= lb) { h(j + 1) = maxd; h(w + j + 1) = j; j += 1 }
+    // Last-seen row per character: a flat table for Latin-1 (the
+    // normalized-key common case), boxed map only for wider chars.
+    val daSmall = new Array[Int](256)
+    var daWide: java.util.HashMap[Character, Integer] = null
+    def daGet(c: Char): Int =
+      if (c < 256) daSmall(c)
+      else if (daWide == null) 0
+      else { val v = daWide.get(c); if (v == null) 0 else v.intValue() }
+    def daPut(c: Char, v: Int): Unit =
+      if (c < 256) daSmall(c) = v
+      else {
+        if (daWide == null) daWide = new java.util.HashMap[Character, Integer]()
+        daWide.put(c, v); ()
+      }
     i = 1
     while (i <= la) {
       var db = 0
       j = 1
       while (j <= lb) {
-        val k: Int = { val v = da.get(s2.charAt(j - 1)); if (v == null) 0 else v.intValue() }
+        val k = daGet(s2.charAt(j - 1))
         val l = db
         var cost = 1
         if (s1.charAt(i - 1) == s2.charAt(j - 1)) { cost = 0; db = j }
-        var best = h(i)(j) + cost
-        val ins = h(i + 1)(j) + 1
+        var best = h(i * w + j) + cost
+        val ins = h((i + 1) * w + j) + 1
         if (ins < best) best = ins
-        val del = h(i)(j + 1) + 1
+        val del = h(i * w + j + 1) + 1
         if (del < best) best = del
-        val tr = h(k)(l) + (i - k - 1) + 1 + (j - l - 1)
+        val tr = h(k * w + l) + (i - k - 1) + 1 + (j - l - 1)
         if (tr < best) best = tr
-        h(i + 1)(j + 1) = best
+        h((i + 1) * w + j + 1) = best
         j += 1
       }
-      da.put(s1.charAt(i - 1), i)
+      daPut(s1.charAt(i - 1), i)
       i += 1
     }
-    h(la + 1)(lb + 1).toLong
+    h((la + 1) * w + lb + 1).toLong
   }
 }
 

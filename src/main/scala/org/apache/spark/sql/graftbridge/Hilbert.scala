@@ -13,7 +13,12 @@ import org.apache.spark.sql.types._
   */
 object HilbertKernel {
   def xy2d(xIn: Long, yIn: Long): Long = {
-    var x = xIn; var y = yIn; var d = 0L
+    // Mask to the curve's domain: out-of-range bits would otherwise
+    // smear through the reflections into colliding indices (the
+    // expression accepts any LongType — the kernel is total, like
+    // zValue's shift/mask construction, instead of trusting callers
+    // to remember the mod-256 quantization).
+    var x = xIn & 255L; var y = yIn & 255L; var d = 0L
     var s = 128L
     while (s > 0) {
       val rx = if ((x & s) > 0) 1L else 0L

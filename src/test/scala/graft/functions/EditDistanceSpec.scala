@@ -36,8 +36,12 @@ class EditDistanceSpec extends SparkSpec {
     assert(jw("TRATE", "TRACE") == 0.9066666666666667)
     // jaro exactly 2/3 — below the 0.7 boost threshold, no prefix bonus.
     assert(jw("ac", "ab") == 0.6666666666666666)
-    // Above-threshold but zero common prefix — boost is a no-op.
+    // Below-threshold despite a 2-char common prefix — no boost.
     assert(jw("abcdef", "abzxyw") == 0.5555555555555555)
+    // ABOVE threshold with zero common prefix — boost fires but adds 0
+    // (the l == 0 branch of the prefix scan).
+    assert(jw("abcd", "bacd") == 0.9166666666666666)
+    assert(jw("zbcdef", "abcdef") == 0.888888888888889)
     assert(jw("", "") == 0.0)
     assert(jw("ab", "") == 0.0)
     assert(jw("a", "a") == 1.0)

@@ -32,6 +32,13 @@ class LinkStatsSpec extends SparkSpec {
       .orderBy("price")
       .collect().map(r => (r.getDouble(0), r.getInt(1), r.getLong(2))).toSeq
     assert(got == plain)
+    // And the exact pass itself is partitioned: no windowspec without a
+    // partition key anywhere in the plan (the adversarial all-survivors
+    // case would otherwise degenerate to one global sorted partition).
+    val plan = SparkEntry.queries("q_skyline")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("windowspecdefinition(price"),
+      s"skyline still plans a global price-ordered window: ${plan.take(3000)}")
   }
 
   test("OLS moment sums combine map-side (partial aggregation in plan)") {
