@@ -294,6 +294,46 @@ object Multimodal {
         hex(col("thumb")).as("thumb_hex"))
       .orderBy("doc_id")
 
+  /** Perceptual dHash over a REAL ImageIO pixel decode: sample a 9×8
+    * grid from the decoded raster (integer index arithmetic — no
+    * interpolation, so the oracle replays it from character codes) and
+    * set bit r·8+c when the left sample outranks its right neighbor.
+    * The standard near-dup signature for image corpora; returns 0 for
+    * undecodable payloads (degrade, never kill the stage).
+    */
+  def dHash(payload: Array[Byte]): Long = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return 0L
+    val w = img.getWidth; val h = img.getHeight
+    val raster = img.getRaster
+    var bits = 0L
+    var r = 0
+    while (r < 8) {
+      val ri = r * h / 8
+      var c = 0
+      while (c < 8) {
+        val p1 = raster.getSample(c * w / 9, ri, 0)
+        val p2 = raster.getSample((c + 1) * w / 9, ri, 0)
+        if (p1 > p2) bits |= (1L << (r * 8 + c))
+        c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
+  /** Oracle expression for one dHash sample: the byte the Spark side's
+    * decoded raster holds at grid cell (k/8, colExpr) — position
+    * arithmetic identical to [[dHash]], zero beyond the text (the PNG
+    * pad row).
+    */
+  private def oraclePix(colExpr: String): String = {
+    val pos = s"((k // 8) * h // 8) * 32 + ($colExpr * 32 // 9) + 1"
+    s"(CASE WHEN $pos <= n THEN ascii(text[CAST($pos AS INT)]) ELSE 0 END)"
+  }
+
   private def oracleFeature(i: Int): String =
     s"CAST(list_sum(list_transform(range(1, LENGTH(text) + 1), " +
       s"p -> CASE WHEN (p - 1) % 8 = $i THEN ascii(text[p]) ELSE 0 END)) AS BIGINT) AS f$i"
@@ -347,6 +387,73 @@ object Multimodal {
         |  upper(array_to_string(list_transform(range(0, least(64, L)),
         |    i -> lpad(to_hex(ascii(text[CAST(i * greatest(1, L // 64) + 1 AS BIGINT)])), 2, '0')), '')) AS thumb_hex
         |FROM (SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS L FROM documents)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin),
+
+    // §2 25go image near-dup by perceptual hash — the multimodal twin
+    // of dedup_simhash: each payload round-trips the REAL PNG encode →
+    // ImageIO pixel decode, the decoded raster dHashes to 64 bits, and
+    // near-dup partners come from 4×16-bit LSH band buckets (the
+    // simhash-tier shape — candidates shuffle by band bucket, NEVER
+    // all-pairs) verified at Hamming ≤ 6 via one bit_count(xor) per
+    // candidate. The oracle replays the hash from character codes
+    // (sampling arithmetic identical to the raster walk) and the same
+    // banding algebra — bit-for-bit including the sign bit, since both
+    // engines shift BIGINTs arithmetically.
+    "mm_dhash_neardup" -> QDef(
+      (s, dir) => {
+        import s.implicits._
+        val dh = Eval.fanOut(
+            Tables(s, dir, "documents")
+              .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes")))
+          .as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, b) => (id, dHash(pngBytes(b))) })
+          .toDF("doc_id", "dh")
+          // Feeds both band sides + the output join; harness clearCache
+          // reaps it (text_bigram_lm lifecycle).
+          .cache()
+        val bands = dh.select(col("doc_id"), col("dh"),
+            explode(array((0 until 4).map(lit(_)): _*)).as("k"))
+          .withColumn("bv", expr("shiftright(dh, k * 16) & 65535"))
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.k") === col("b.k") && col("a.bv") === col("b.bv") &&
+              col("a.doc_id") =!= col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+            col("a.dh").as("h1"), col("b.dh").as("h2"))
+          .distinct()
+        val counts = cand.filter(expr("bit_count(h1 ^ h2)") <= 6)
+          .groupBy(col("d1").as("doc_id"))
+          .agg(countDistinct(col("d2")).as("cnt"))
+        dh.join(counts, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("dh").as("dhash"),
+            coalesce(col("cnt"), lit(0L)).as("n_neardup"))
+          .orderBy("doc_id")
+      },
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) AS n,
+         |         greatest(1, (length(text) + 31) // 32) AS h
+         |  FROM documents),
+         |dh AS (
+         |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 64), k ->
+         |    CASE WHEN ${oraclePix("(k % 8)")} > ${oraclePix("((k % 8) + 1)")}
+         |    -- DuckDB raises on 1 << 63; the sign bit is its literal
+         |    THEN (CASE WHEN k = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+         |          ELSE (CAST(1 AS BIGINT) << CAST(k AS INT)) END)
+         |    ELSE CAST(0 AS BIGINT) END))
+         |    AS BIGINT) AS dh
+         |  FROM d),
+         |bands AS (
+         |  SELECT doc_id, dh, k AS band, (dh >> CAST(k * 16 AS INT)) & 65535 AS bv
+         |  FROM dh, UNNEST(range(0, 4)) u(k)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.dh AS h1, b.dh AS h2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id <> b.doc_id),
+         |okc AS (
+         |  SELECT d1, COUNT(DISTINCT d2) AS cnt FROM cand
+         |  WHERE bit_count(xor(h1, h2)) <= 6 GROUP BY 1)
+         |SELECT dh.doc_id, dh.dh AS dhash,
+         |  CAST(COALESCE(cnt, 0) AS BIGINT) AS n_neardup
+         |FROM dh LEFT JOIN okc ON dh.doc_id = okc.d1
+         |ORDER BY dh.doc_id""".stripMargin)
   )
 }
