@@ -49,7 +49,10 @@ object SparkEntry {
       graft.queries.StatsOps2.defs ++
       graft.queries.CurateOps2.defs ++
       graft.queries.SketchOps2.defs ++
-      graft.queries.Analytics5.defs
+      graft.queries.Analytics5.defs ++
+      graft.queries.SeriesOps.defs ++
+      graft.queries.BasketOps.defs ++
+      graft.queries.RegressOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -15,6 +15,27 @@ import org.apache.spark.sql.functions._
   */
 object Buckets {
 
+  /** Add a global ROW_NUMBER column `i` (1-based, ordered by `value`
+    * then `tie`) with NO single-partition window: bucket assignment,
+    * a broadcast nb-row prefix-count table, and a per-bucket
+    * row_number. Equals ROW_NUMBER() OVER (ORDER BY value, tie) because
+    * bucket assignment is monotone in the value. The tie column must
+    * make the ordering total or the rank is nondeterministic.
+    */
+  def globalRowNumber(df: DataFrame, value: Column, tie: Column, nb: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = assign(df, value, nb)
+    val offs = bucketed.groupBy("b")
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("off_n", coalesce(sum("bn").over(
+        Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("b", "off_n")
+    bucketed.join(broadcast(offs), "b")
+      .withColumn("i",
+        col("off_n") + row_number().over(Window.partitionBy("b").orderBy(value, tie)))
+      .drop("b", "off_n")
+  }
+
   /** Add an int bucket column `b` (0..nb-1, monotone in `value`). */
   def assign(df: DataFrame, value: Column, nb: Int): DataFrame = {
     val mm = df.agg(min(value.cast("double")).as("__lo"), max(value.cast("double")).as("__hi"))
