@@ -161,7 +161,7 @@ object RegressOps {
         |  SELECT label, d, SUM(v) AS sv, COUNT(*) AS nv,
         |         CAST(SUM(v) AS DOUBLE) / COUNT(*) AS cl
         |  FROM q GROUP BY 1, 2),
-        |glob AS (
+        |gcent AS (
         |  SELECT d, CAST(SUM(sv) AS DOUBLE) / SUM(nv) AS cg
         |  FROM bylabel GROUP BY 1),
         |terms AS (
@@ -169,7 +169,7 @@ object RegressOps {
         |    list(cl * cg ORDER BY d) AS t1,
         |    list(cl * cl ORDER BY d) AS t2,
         |    list(cg * cg ORDER BY d) AS t3
-        |  FROM bylabel JOIN glob USING (d) GROUP BY label)
+        |  FROM bylabel JOIN gcent USING (d) GROUP BY label)
         |SELECT label, CAST(n_vectors AS BIGINT) AS n_vectors,
         |  ROUND(
         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), t1), (a, b) -> a + b) /
@@ -212,7 +212,7 @@ object RegressOps {
           .withColumn("rk", row_number().over(
             Window.partitionBy("doc_id").orderBy(col("score").desc, col("plang").asc)))
           .filter(col("rk") === 1)
-        best.groupBy("true_lang", col("plang").as("pred_lang"))
+        best.groupBy(col("true_lang"), col("plang").as("pred_lang"))
           .agg(count(lit(1)).as("n"))
           .orderBy("true_lang", "pred_lang")
       },
