@@ -52,7 +52,8 @@ object SparkEntry {
       graft.queries.Analytics5.defs ++
       graft.queries.SeriesOps.defs ++
       graft.queries.BasketOps.defs ++
-      graft.queries.RegressOps.defs
+      graft.queries.RegressOps.defs ++
+      graft.queries.GeoOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

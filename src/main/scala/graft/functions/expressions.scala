@@ -38,6 +38,12 @@ object GraftFunctions {
   def hilbert(x: Column, y: Column): Column =
     ColumnBridge.column(HilbertIndex(ColumnBridge.expression(x), ColumnBridge.expression(y)))
 
+  /** 6-char geohash cell id of (lat, lon) degrees (spatial bucketing). */
+  def geohash6(lat: Column, lon: Column): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.graftbridge.Geohash6(
+        ColumnBridge.expression(lat), ColumnBridge.expression(lon)))
+
   /** Bounded top-k aggregate (score DESC, id ASC): map-side partial
     * buffers hold at most k entries, so a top-k-per-group over a scored
     * corpus shuffles O(partitions × groups × k) entries — never the

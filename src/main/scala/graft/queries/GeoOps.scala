@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions
+
+/** Geospatial bucketing and distance analytics over deterministic
+  * synthetic coordinates (the schema carries no geography, so both
+  * engines derive centi-degree points from the integer keys with the
+  * same exact modular arithmetic).
+  *
+  * Scale posture: the spatial join is keyed by geohash CELL — the
+  * spatial analogue of the LSH bucket join (never an all-pairs
+  * cross join); nearest-per-customer is a struct-min partial aggregate
+  * (bounded map-side state). The geohash itself is the native
+  * Geohash6 codegen kernel: one deterministic double quantization,
+  * then pure integer bit interleaving that the oracle replicates
+  * bit-for-bit.
+  */
+object GeoOps {
+
+  /** Deterministic centi-degree coordinates from an integer key. */
+  private def lat(key: Column, mult: Long): Column =
+    (key * mult % 18000L) / 100.0 - 90.0
+  private def lon(key: Column, mult: Long): Column =
+    (key * mult % 36000L) / 100.0 - 180.0
+
+  private def custPoints(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer").select(
+      col("c_custkey"),
+      lat(col("c_custkey"), 7919L).as("clat"),
+      lon(col("c_custkey"), 104729L).as("clon"))
+
+  private def suppPoints(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "supplier").select(
+      col("s_suppkey"),
+      lat(col("s_suppkey"), 12553L).as("slat"),
+      lon(col("s_suppkey"), 30011L).as("slon"))
+
+  /** Haversine great-circle distance in km, one fixed operand order. */
+  private def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val dlat = radians(lat2 - lat1) / 2.0
+    val dlon = radians(lon2 - lon1) / 2.0
+    val h = sin(dlat) * sin(dlat) +
+      cos(radians(lat1)) * cos(radians(lat2)) * sin(dlon) * sin(dlon)
+    lit(12742.0) * asin(sqrt(h))
+  }
+
+  val defs: Map[String, QDef] = Map(
+
+    // §2 25gz native geohash encode, bit-for-bit vs the oracle's
+    // integer-fold replication: a 6-char geohash is the Z-order
+    // interleave of 15-bit quantized (lon, lat) rendered in base32.
+    // The only float ops are the two quantizations (identical IEEE
+    // divides + floor on both engines); the fold is shifts and masks.
+    "q_geohash_encode" -> QDef(
+      (s, dir) =>
+        custPoints(s, dir)
+          .filter(col("c_custkey") <= 100)
+          .select(col("c_custkey"),
+            round(col("clat"), 2).as("lat"),
+            round(col("clon"), 2).as("lon"),
+            GraftFunctions.geohash6(col("clat"), col("clon")).as("cell"))
+          .orderBy("c_custkey"),
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |    (c_custkey * 7919 % 18000) / 100.0 - 90.0 AS lat,
+        |    (c_custkey * 104729 % 36000) / 100.0 - 180.0 AS lon
+        |  FROM customer WHERE c_custkey <= 100),
+        |q AS (
+        |  SELECT c_custkey, lat, lon,
+        |    GREATEST(0, LEAST(32767,
+        |      CAST(FLOOR((lat + 90.0) / 180.0 * 32768.0) AS BIGINT))) AS latq,
+        |    GREATEST(0, LEAST(32767,
+        |      CAST(FLOOR((lon + 180.0) / 360.0 * 32768.0) AS BIGINT))) AS lonq
+        |  FROM c),
+        |wcode AS (
+        |  SELECT c_custkey, lat, lon,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, 15)),
+        |      (acc, i) -> acc
+        |        + ((lonq >> CAST(14 - i AS INT)) & 1) * (CAST(1 AS BIGINT) << CAST(29 - 2 * i AS INT))
+        |        + ((latq >> CAST(14 - i AS INT)) & 1) * (CAST(1 AS BIGINT) << CAST(28 - 2 * i AS INT)))
+        |      AS code
+        |  FROM q)
+        |SELECT c_custkey, ROUND(lat, 2) AS lat, ROUND(lon, 2) AS lon,
+        |  array_to_string(list_transform(range(0, 6),
+        |    j -> substr('0123456789bcdefghjkmnpqrstuvwxyz',
+        |                CAST((code >> CAST(25 - 5 * j AS INT)) & 31 AS INT) + 1, 1)), '')
+        |    AS cell
+        |FROM wcode ORDER BY c_custkey""".stripMargin),
+
+    // §2 25ha geohash-cell nearest-supplier join: customers and
+    // suppliers bucket into 32 top-level geohash cells (first char =
+    // top 5 interleaved bits) and join ONLY within a cell — the
+    // spatial analogue of the LSH-bucket join; the supplier side is
+    // dimension-scale, so Catalyst broadcasts it. Nearest supplier per
+    // customer is a struct-min PARTIAL aggregate (map-side state is
+    // one pair per customer); output is the global 20 closest pairs.
+    // Like every grid ANN, cross-cell-boundary neighbors are excluded
+    // by construction — the oracle applies the identical cell rule.
+    "q_geo_cell_join" -> QDef(
+      (s, dir) => {
+        val cust = custPoints(s, dir)
+          .withColumn("cell", substring(GraftFunctions.geohash6(col("clat"), col("clon")), 1, 1))
+        val supp = suppPoints(s, dir)
+          .withColumn("cell", substring(GraftFunctions.geohash6(col("slat"), col("slon")), 1, 1))
+        cust.join(supp, "cell")
+          .withColumn("dist",
+            haversineKm(col("clat"), col("clon"), col("slat"), col("slon")))
+          .groupBy("c_custkey")
+          .agg(min(struct(col("dist"), col("s_suppkey"))).as("m"))
+          .select(col("c_custkey"),
+            col("m.s_suppkey").as("s_suppkey"),
+            col("m.dist").as("dist"))
+          .orderBy(col("dist").asc, col("c_custkey").asc)
+          .limit(20)
+          .select(col("c_custkey"), col("s_suppkey"),
+            round(col("dist"), 3).as("dist_km"))
+      },
+      """WITH cust AS (
+        |  SELECT c_custkey,
+        |    (c_custkey * 7919 % 18000) / 100.0 - 90.0 AS clat,
+        |    (c_custkey * 104729 % 36000) / 100.0 - 180.0 AS clon
+        |  FROM customer),
+        |supp AS (
+        |  SELECT s_suppkey,
+        |    (s_suppkey * 12553 % 18000) / 100.0 - 90.0 AS slat,
+        |    (s_suppkey * 30011 % 36000) / 100.0 - 180.0 AS slon
+        |  FROM supplier),
+        |cc AS (
+        |  SELECT *, substr('0123456789bcdefghjkmnpqrstuvwxyz',
+        |    CAST(16 * ((CAST(FLOOR((clon + 180.0) / 360.0 * 32768.0) AS BIGINT) >> 14) & 1)
+        |       + 8 * ((CAST(FLOOR((clat + 90.0) / 180.0 * 32768.0) AS BIGINT) >> 14) & 1)
+        |       + 4 * ((CAST(FLOOR((clon + 180.0) / 360.0 * 32768.0) AS BIGINT) >> 13) & 1)
+        |       + 2 * ((CAST(FLOOR((clat + 90.0) / 180.0 * 32768.0) AS BIGINT) >> 13) & 1)
+        |       + 1 * ((CAST(FLOOR((clon + 180.0) / 360.0 * 32768.0) AS BIGINT) >> 12) & 1)
+        |      AS INT) + 1, 1) AS cell
+        |  FROM cust),
+        |sc AS (
+        |  SELECT *, substr('0123456789bcdefghjkmnpqrstuvwxyz',
+        |    CAST(16 * ((CAST(FLOOR((slon + 180.0) / 360.0 * 32768.0) AS BIGINT) >> 14) & 1)
+        |       + 8 * ((CAST(FLOOR((slat + 90.0) / 180.0 * 32768.0) AS BIGINT) >> 14) & 1)
+        |       + 4 * ((CAST(FLOOR((slon + 180.0) / 360.0 * 32768.0) AS BIGINT) >> 13) & 1)
+        |       + 2 * ((CAST(FLOOR((slat + 90.0) / 180.0 * 32768.0) AS BIGINT) >> 13) & 1)
+        |       + 1 * ((CAST(FLOOR((slon + 180.0) / 360.0 * 32768.0) AS BIGINT) >> 12) & 1)
+        |      AS INT) + 1, 1) AS cell
+        |  FROM supp),
+        |pairs AS (
+        |  SELECT c_custkey, s_suppkey,
+        |    12742.0 * ASIN(SQRT(
+        |      SIN(RADIANS(slat - clat) / 2.0) * SIN(RADIANS(slat - clat) / 2.0)
+        |      + COS(RADIANS(clat)) * COS(RADIANS(slat))
+        |        * SIN(RADIANS(slon - clon) / 2.0) * SIN(RADIANS(slon - clon) / 2.0)))
+        |      AS dist
+        |  FROM cc JOIN sc USING (cell)),
+        |nearest AS (
+        |  SELECT c_custkey, s_suppkey, dist,
+        |    ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY dist, s_suppkey) AS rk
+        |  FROM pairs)
+        |SELECT c_custkey, s_suppkey, ROUND(dist, 3) AS dist_km
+        |FROM nearest WHERE rk = 1
+        |ORDER BY dist ASC, c_custkey ASC LIMIT 20""".stripMargin)
+  )
+}
