@@ -53,7 +53,8 @@ object SparkEntry {
       graft.queries.SeriesOps.defs ++
       graft.queries.BasketOps.defs ++
       graft.queries.RegressOps.defs ++
-      graft.queries.GeoOps.defs
+      graft.queries.GeoOps.defs ++
+      graft.queries.MlOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

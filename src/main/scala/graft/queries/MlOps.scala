@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Distributed ML beyond closed-form: kNN auto-labeling through the
+  * bounded top-k kernel, and iterative Newton logistic regression whose
+  * per-row gradient/Hessian contributions are quantized to DECIMAL
+  * before summation — the trick that makes an ITERATIVE float algorithm
+  * engine-exact (exact sums are order-independent, so partitioning
+  * cannot change the fit, and the 12-dp quantization absorbs libm
+  * 1-ulp divergence between engines).
+  */
+object MlOps {
+
+  private def emb(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "embeddings")
+
+  val defs: Map[String, QDef] = Map(
+
+    // §2 25hb kNN auto-labeling (weak supervision): the 50-vector
+    // holdout is classified by majority label of its 5 nearest corpus
+    // neighbors (cosine, 6-dp rounded before ranking like every ANN
+    // path). Scoring is a map-only broadcast pass; the rank goes
+    // through the bounded top-k aggregate, so the only per-query
+    // exchange carries partitions × 50 × 5 entries; labels join back
+    // against the corpus by broadcasting the 250-row top-k table.
+    // Vote argmax ties break toward the smaller label on both engines.
+    "ml_knn_label" -> QDef(
+      (s, dir) => {
+        val e = Eval.barrier(Eval.fanOut(
+          emb(s, dir).select(col("vec_id"), col("label").cast("long").as("label"),
+            VectorOps.asDouble(col("embedding")).as("v"))))
+        val q = e.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("q_id"), col("label").as("true_label"),
+            col("v").as("qv"))
+        val corpus = e.filter(col("vec_id") >= 50)
+        val scored = corpus.crossJoin(broadcast(q.select("q_id", "qv")))
+          .select(col("q_id"), col("vec_id").as("neighbor_id"),
+            round(VectorOps.cosine(col("qv"), col("v")), 6).as("cosine"))
+        val top = VectorOps.topKPerQuery(scored, "cosine", 5)
+        val votes = e.select(col("vec_id"), col("label"))
+          .join(broadcast(top), col("vec_id") === col("neighbor_id"))
+          .groupBy("q_id", "label").agg(count(lit(1)).as("cnt"))
+        votes
+          .groupBy("q_id")
+          .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+          .select(col("q_id"), (-col("m.nl")).as("pred_label"),
+            col("m.cnt").as("votes"))
+          .join(broadcast(q.select("q_id", "true_label")), "q_id")
+          .select(col("q_id"), col("true_label"), col("pred_label"), col("votes"),
+            when(col("true_label") === col("pred_label"), 1L).otherwise(0L)
+              .as("correct"))
+          .orderBy("q_id")
+      },
+      """WITH e AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, label AS true_label, v AS qv FROM e WHERE vec_id < 50),
+        |c AS (SELECT * FROM e WHERE vec_id >= 50),
+        |scored AS (
+        |  SELECT q_id, c.vec_id AS nid, c.label AS nlabel,
+        |    ROUND(list_cosine_similarity(qv, c.v), 6) AS cos
+        |  FROM q CROSS JOIN c),
+        |top AS (
+        |  SELECT q_id, nlabel,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, nid) AS rk
+        |  FROM scored),
+        |votes AS (
+        |  SELECT q_id, nlabel, COUNT(*) AS cnt FROM top WHERE rk <= 5 GROUP BY 1, 2),
+        |best AS (
+        |  SELECT q_id, nlabel, cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cnt DESC, nlabel ASC) AS vr
+        |  FROM votes)
+        |SELECT q.q_id, q.true_label, b.nlabel AS pred_label,
+        |       CAST(b.cnt AS BIGINT) AS votes,
+        |       CASE WHEN q.true_label = b.nlabel THEN 1 ELSE 0 END AS correct
+        |FROM best b JOIN q ON q.q_id = b.q_id
+        |WHERE b.vr = 1 ORDER BY q.q_id""".stripMargin),
+
+    // §2 25hc logistic regression by TWO unrolled Newton steps
+    // (urgent-priority ~ scaled order value). Step 1 is closed-form
+    // (β=0 ⇒ p=½, W=¼I): every sum is exact DECIMAL. Step 2's per-row
+    // gradient/Hessian contributions pass through q12 (round to 12 dp,
+    // cast DECIMAL(26,12)) BEFORE summation: the sums become exact and
+    // order-independent, and the 12-dp grid absorbs the ≤1-ulp libm
+    // differences in exp() between engines (a flipped quantization
+    // needs a value within 1 ulp of a 5e-13 boundary; the final 5-dp
+    // rounding sits 7 orders of magnitude above any residual). Each
+    // Newton step is one partial-agg pass over the fact table — the
+    // honest iterative-ML shape (no fact-scale caching).
+    "ml_logreg_newton" -> QDef(
+      (s, dir) => {
+        def q12(c: Column): Column = round(c, 12).cast("decimal(26,12)")
+        val o = Tables(s, dir, "orders").select(
+          (col("o_orderpriority") === "1-URGENT").cast("int").as("y"),
+          col("o_totalprice").cast("decimal(18,2)").as("xd"))
+          .withColumn("x", col("xd").cast("double") / 100000.0)
+        // Step 1: exact-decimal Gram/gradient at β = 0.
+        val s1 = o.agg(
+          count(lit(1)).as("n"), sum("y").as("sy"),
+          sum("xd").as("sx"), sum(col("xd") * col("xd")).as("sxx"),
+          sum(col("y") * col("xd")).as("sxy"))
+          .select(col("n"),
+            (col("sy").cast("double") - lit(0.5) * col("n").cast("double")).as("g0"),
+            ((col("sxy") - lit(BigDecimal("0.5")) * col("sx")).cast("double") /
+              100000.0).as("g1"),
+            (lit(0.25) * col("n").cast("double")).as("h00"),
+            (lit(0.25) * (col("sx").cast("double") / 100000.0)).as("h01"),
+            (lit(0.25) * (col("sxx").cast("double") / 10000000000.0)).as("h11"))
+          .select(col("n"), col("g0"), col("g1"), col("h00"), col("h01"), col("h11"),
+            (col("h00") * col("h11") - col("h01") * col("h01")).as("det"))
+          .select(col("n"),
+            ((col("g0") * col("h11") - col("g1") * col("h01")) / col("det")).as("b0"),
+            ((col("g1") * col("h00") - col("g0") * col("h01")) / col("det")).as("b1"))
+        // Step 2: quantized-decimal contributions at β = (b0, b1).
+        val s2 = o.crossJoin(broadcast(s1))
+          .withColumn("p",
+            lit(1.0) / (lit(1.0) + exp(-(col("b0") + col("b1") * col("x")))))
+          .agg(
+            max("n").as("n"), max("b0").as("b0"), max("b1").as("b1"),
+            sum(q12(col("y") - col("p"))).as("g0d"),
+            sum(q12((col("y") - col("p")) * col("x"))).as("g1d"),
+            sum(q12(col("p") * (lit(1.0) - col("p")))).as("h00d"),
+            sum(q12(col("p") * (lit(1.0) - col("p")) * col("x"))).as("h01d"),
+            sum(q12(col("p") * (lit(1.0) - col("p")) * col("x") * col("x"))).as("h11d"))
+          .select(col("n"), col("b0"), col("b1"),
+            col("g0d").cast("double").as("g0"), col("g1d").cast("double").as("g1"),
+            col("h00d").cast("double").as("h00"), col("h01d").cast("double").as("h01"),
+            col("h11d").cast("double").as("h11"))
+          .select(col("n"), col("b0"), col("b1"),
+            (col("h00") * col("h11") - col("h01") * col("h01")).as("det"),
+            col("g0"), col("g1"), col("h00"), col("h01"), col("h11"))
+        s2.select(col("n"),
+          round(col("b0") +
+            (col("g0") * col("h11") - col("g1") * col("h01")) / col("det"), 5).as("b0"),
+          round(col("b1") +
+            (col("g1") * col("h00") - col("g0") * col("h01")) / col("det"), 5).as("b1"))
+      },
+      """WITH o AS (
+        |  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS xd,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) / 100000.0 AS x
+        |  FROM orders),
+        |a1 AS (
+        |  SELECT COUNT(*) AS n, SUM(y) AS sy, SUM(xd) AS sx,
+        |         SUM(xd * xd) AS sxx, SUM(y * xd) AS sxy
+        |  FROM o),
+        |m1 AS (
+        |  SELECT n,
+        |    CAST(sy AS DOUBLE) - 0.5 * CAST(n AS DOUBLE) AS g0,
+        |    CAST(sxy - 0.5 * sx AS DOUBLE) / 100000.0 AS g1,
+        |    0.25 * CAST(n AS DOUBLE) AS h00,
+        |    0.25 * (CAST(sx AS DOUBLE) / 100000.0) AS h01,
+        |    0.25 * (CAST(sxx AS DOUBLE) / 10000000000.0) AS h11
+        |  FROM a1),
+        |b1s AS (
+        |  SELECT n,
+        |    (g0 * h11 - g1 * h01) / (h00 * h11 - h01 * h01) AS b0,
+        |    (g1 * h00 - g0 * h01) / (h00 * h11 - h01 * h01) AS b1
+        |  FROM m1),
+        |p2 AS (
+        |  SELECT n, b0, b1, y, x,
+        |    1.0 / (1.0 + EXP(-(b0 + b1 * x))) AS p
+        |  FROM o CROSS JOIN b1s),
+        |a2 AS (
+        |  SELECT MAX(n) AS n, MAX(b0) AS b0, MAX(b1) AS b1,
+        |    SUM(CAST(ROUND(y - p, 12) AS DECIMAL(26,12))) AS g0d,
+        |    SUM(CAST(ROUND((y - p) * x, 12) AS DECIMAL(26,12))) AS g1d,
+        |    SUM(CAST(ROUND(p * (1.0 - p), 12) AS DECIMAL(26,12))) AS h00d,
+        |    SUM(CAST(ROUND(p * (1.0 - p) * x, 12) AS DECIMAL(26,12))) AS h01d,
+        |    SUM(CAST(ROUND(p * (1.0 - p) * x * x, 12) AS DECIMAL(26,12))) AS h11d
+        |  FROM p2),
+        |m2 AS (
+        |  SELECT n, b0, b1,
+        |    CAST(g0d AS DOUBLE) AS g0, CAST(g1d AS DOUBLE) AS g1,
+        |    CAST(h00d AS DOUBLE) AS h00, CAST(h01d AS DOUBLE) AS h01,
+        |    CAST(h11d AS DOUBLE) AS h11
+        |  FROM a2)
+        |SELECT n,
+        |  ROUND(b0 + (g0 * h11 - g1 * h01) / (h00 * h11 - h01 * h01), 5) AS b0,
+        |  ROUND(b1 + (g1 * h00 - g0 * h01) / (h00 * h11 - h01 * h01), 5) AS b1
+        |FROM m2""".stripMargin)
+  )
+}
