@@ -43,7 +43,10 @@ object BasketOps {
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
           .distinct()
         val nOrders = items.select(countDistinct("o").as("n"))
-        val supp = items.groupBy("p").agg(count(lit(1)).as("sa"))
+        // Part-dim scale, referenced twice (antecedent + consequent
+        // joins): cache so the fact-scale distinct feeding it runs once
+        // for both references.
+        val supp = items.groupBy("p").agg(count(lit(1)).as("sa")).cache()
         val pairs = items
           .groupBy("o").agg(sort_array(collect_set(col("p"))).as("its"))
           .filter(size(col("its")) >= 2)
@@ -108,13 +111,24 @@ object BasketOps {
           .crossJoin(broadcast(maxd))
           .withColumn("rec", datediff(col("mx"), col("last")))
           .drop("mx", "last")
-        val n = cust.count() // customer-dim scale; bounded driver scalar
-        def score(df: DataFrame, v: String, out: String): DataFrame =
-          Buckets.globalRowNumber(df, col(v), col("o_custkey"))
+        // Cache the customer-dim frame ONCE and hang the three rank
+        // pipelines off it as INDEPENDENT branches joined back on
+        // o_custkey (customer-scale equi-joins, co-partitioned by the
+        // join key). Chaining the ranks instead (score(score(score(…)))
+        // re-derives the whole upstream inside every Buckets.assign
+        // min/max aggregate and DOUBLES the plan tree per level — the
+        // chained form planned 326 exchanges; this one is linear.
+        val cc = cust.cache()
+        val n = cc.count() // customer-dim scale; bounded driver scalar
+        def score(v: String, out: String): DataFrame =
+          Buckets.globalRowNumber(cc.select(col("o_custkey"), col(v)), col(v),
+            col("o_custkey"))
             .withColumn(out, (lit(1) + floor(lit(5) * (col("i") - 1) / lit(n))).cast("int"))
-            .drop("i")
-        val scored = score(score(score(cust, "rec", "r_score"),
-          "freq", "f_score"), "mon", "m_score")
+            .select("o_custkey", out)
+        val scored = score("rec", "r_score")
+          .join(score("freq", "f_score"), "o_custkey")
+          .join(score("mon", "m_score"), "o_custkey")
+          .join(cc.select("o_custkey", "mon"), "o_custkey")
         scored.groupBy("r_score", "f_score", "m_score")
           .agg(count(lit(1)).as("n_customers"),
             round(sum("mon").cast("double"), 2).as("revenue"))
