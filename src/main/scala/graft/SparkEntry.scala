@@ -54,7 +54,9 @@ object SparkEntry {
       graft.queries.BasketOps.defs ++
       graft.queries.RegressOps.defs ++
       graft.queries.GeoOps.defs ++
-      graft.queries.MlOps.defs
+      graft.queries.MlOps.defs ++
+      graft.queries.Analytics6.defs ++
+      graft.queries.TextOps3.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
