@@ -48,7 +48,21 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_chi_square" -> 64 * 1024L,
     // concentration ranks through bucket-offset composition — shuffle =
     // per-customer sums + tiny prefix tables, never a global sort
-    "q_concentration" -> 64 * 1024L)
+    "q_concentration" -> 64 * 1024L,
+    // round-7 tranche (measured sf0.001: 195/26/338/0.3/1.4/43/594/97/36 KiB):
+    // logreg is TWO scalar partial-agg passes — a corpus-sized number
+    // means the Newton contributions stopped reducing map-side; the geo
+    // join shuffles only the final per-customer minima; RFM stays at
+    // per-customer sums + prefix tables across all three rank branches
+    "q_assoc_rules" -> 640 * 1024L,
+    "q_rfm_segments" -> 96 * 1024L,
+    "ml_knn_label" -> 1024 * 1024L,
+    "ml_logreg_newton" -> 16 * 1024L,
+    "q_geo_cell_join" -> 16 * 1024L,
+    "emb_label_drift" -> 128 * 1024L,
+    "text_rake_keyphrases" -> 2 * 1024 * 1024L,
+    "curate_winsorize" -> 320 * 1024L,
+    "ev_cohort_ltv" -> 128 * 1024L)
 
   test("headline queries stay inside their shuffle-byte budgets") {
     val acc = new ShuffleAccounting
