@@ -17,6 +17,61 @@ object MlOps {
 
   private def emb(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "embeddings")
 
+  /** (q_id, true_label, pred_label, votes) for the 50-vector holdout —
+    * the 5-NN majority pipeline shared by ml_knn_label and
+    * ml_eval_metrics.
+    */
+  private def knnPredictions(s: SparkSession, dir: String): DataFrame = {
+    val e = Eval.barrier(Eval.fanOut(
+      emb(s, dir).select(col("vec_id"), col("label").cast("long").as("label"),
+        VectorOps.asDouble(col("embedding")).as("v"))))
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("label").as("true_label"),
+        col("v").as("qv"))
+    val corpus = e.filter(col("vec_id") >= 50)
+    val scored = corpus.crossJoin(broadcast(q.select("q_id", "qv")))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(VectorOps.cosine(col("qv"), col("v")), 6).as("cosine"))
+    val top = VectorOps.topKPerQuery(scored, "cosine", 5)
+    val votes = e.select(col("vec_id"), col("label"))
+      .join(broadcast(top), col("vec_id") === col("neighbor_id"))
+      .groupBy("q_id", "label").agg(count(lit(1)).as("cnt"))
+    votes
+      .groupBy("q_id")
+      .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+      .select(col("q_id"), (-col("m.nl")).as("pred_label"),
+        col("m.cnt").as("votes"))
+      .join(broadcast(q.select("q_id", "true_label")), "q_id")
+      .select(col("q_id"), col("true_label"), col("pred_label"), col("votes"))
+  }
+
+  /** The knn oracle's shared CTE chain (through per-query argmax). */
+  private val knnOracleCtes =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, label AS true_label, v AS qv FROM e WHERE vec_id < 50),
+      |c AS (SELECT * FROM e WHERE vec_id >= 50),
+      |scored AS (
+      |  SELECT q_id, c.vec_id AS nid, c.label AS nlabel,
+      |    ROUND(list_cosine_similarity(qv, c.v), 6) AS cos
+      |  FROM q CROSS JOIN c),
+      |top AS (
+      |  SELECT q_id, nlabel,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, nid) AS rk
+      |  FROM scored),
+      |votes AS (
+      |  SELECT q_id, nlabel, COUNT(*) AS cnt FROM top WHERE rk <= 5 GROUP BY 1, 2),
+      |best AS (
+      |  SELECT q_id, nlabel, cnt,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cnt DESC, nlabel ASC) AS vr
+      |  FROM votes),
+      |preds AS (
+      |  SELECT q.q_id, q.true_label, b.nlabel AS pred_label, b.cnt AS votes
+      |  FROM best b JOIN q ON q.q_id = b.q_id
+      |  WHERE b.vr = 1)""".stripMargin
+
   val defs: Map[String, QDef] = Map(
 
     // §2 25hb kNN auto-labeling (weak supervision): the 50-vector
@@ -28,57 +83,73 @@ object MlOps {
     // against the corpus by broadcasting the 250-row top-k table.
     // Vote argmax ties break toward the smaller label on both engines.
     "ml_knn_label" -> QDef(
-      (s, dir) => {
-        val e = Eval.barrier(Eval.fanOut(
-          emb(s, dir).select(col("vec_id"), col("label").cast("long").as("label"),
-            VectorOps.asDouble(col("embedding")).as("v"))))
-        val q = e.filter(col("vec_id") < 50)
-          .select(col("vec_id").as("q_id"), col("label").as("true_label"),
-            col("v").as("qv"))
-        val corpus = e.filter(col("vec_id") >= 50)
-        val scored = corpus.crossJoin(broadcast(q.select("q_id", "qv")))
-          .select(col("q_id"), col("vec_id").as("neighbor_id"),
-            round(VectorOps.cosine(col("qv"), col("v")), 6).as("cosine"))
-        val top = VectorOps.topKPerQuery(scored, "cosine", 5)
-        val votes = e.select(col("vec_id"), col("label"))
-          .join(broadcast(top), col("vec_id") === col("neighbor_id"))
-          .groupBy("q_id", "label").agg(count(lit(1)).as("cnt"))
-        votes
-          .groupBy("q_id")
-          .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
-          .select(col("q_id"), (-col("m.nl")).as("pred_label"),
-            col("m.cnt").as("votes"))
-          .join(broadcast(q.select("q_id", "true_label")), "q_id")
+      (s, dir) =>
+        knnPredictions(s, dir)
           .select(col("q_id"), col("true_label"), col("pred_label"), col("votes"),
             when(col("true_label") === col("pred_label"), 1L).otherwise(0L)
               .as("correct"))
-          .orderBy("q_id")
+          .orderBy("q_id"),
+      s"""$knnOracleCtes
+        |SELECT q_id, true_label, pred_label, CAST(votes AS BIGINT) AS votes,
+        |       CASE WHEN true_label = pred_label THEN 1 ELSE 0 END AS correct
+        |FROM preds ORDER BY q_id""".stripMargin),
+
+    // §2 25hm classifier evaluation report: per-class precision /
+    // recall / F1 over the kNN predictions. Two label-scale partial
+    // aggregations (by true class, by predicted class) full-outer-join
+    // into the ≤|labels| report; every ratio is a guarded fixed-order
+    // double over exact integer counts (F1 in the single-expression
+    // 2tp/(n_true+n_pred) form — no intermediate P/R rounding).
+    "ml_eval_metrics" -> QDef(
+      (s, dir) => {
+        val preds = knnPredictions(s, dir).cache()
+        val byTrue = preds.groupBy(col("true_label").as("label"))
+          .agg(count(lit(1)).as("n_true"),
+            sum((col("true_label") === col("pred_label")).cast("long")).as("tp_t"))
+        val byPred = preds.groupBy(col("pred_label").as("label"))
+          .agg(count(lit(1)).as("n_pred"),
+            sum((col("true_label") === col("pred_label")).cast("long")).as("tp_p"))
+        byTrue.join(byPred, Seq("label"), "full_outer")
+          .select(col("label"),
+            coalesce(col("n_true"), lit(0L)).as("n_true"),
+            coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+            coalesce(col("tp_t"), col("tp_p"), lit(0L)).as("tp"))
+          .select(col("label"), col("n_true"), col("n_pred"), col("tp"),
+            when(col("n_pred") > 0,
+              round(col("tp").cast("double") / col("n_pred").cast("double"), 6))
+              .as("precision"),
+            when(col("n_true") > 0,
+              round(col("tp").cast("double") / col("n_true").cast("double"), 6))
+              .as("recall"),
+            when(col("n_true") + col("n_pred") > 0,
+              round(lit(2.0) * col("tp").cast("double") /
+                (col("n_true") + col("n_pred")).cast("double"), 6)).as("f1"))
+          .orderBy("label")
       },
-      """WITH e AS (
-        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
-        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |q AS (SELECT vec_id AS q_id, label AS true_label, v AS qv FROM e WHERE vec_id < 50),
-        |c AS (SELECT * FROM e WHERE vec_id >= 50),
-        |scored AS (
-        |  SELECT q_id, c.vec_id AS nid, c.label AS nlabel,
-        |    ROUND(list_cosine_similarity(qv, c.v), 6) AS cos
-        |  FROM q CROSS JOIN c),
-        |top AS (
-        |  SELECT q_id, nlabel,
-        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, nid) AS rk
-        |  FROM scored),
-        |votes AS (
-        |  SELECT q_id, nlabel, COUNT(*) AS cnt FROM top WHERE rk <= 5 GROUP BY 1, 2),
-        |best AS (
-        |  SELECT q_id, nlabel, cnt,
-        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cnt DESC, nlabel ASC) AS vr
-        |  FROM votes)
-        |SELECT q.q_id, q.true_label, b.nlabel AS pred_label,
-        |       CAST(b.cnt AS BIGINT) AS votes,
-        |       CASE WHEN q.true_label = b.nlabel THEN 1 ELSE 0 END AS correct
-        |FROM best b JOIN q ON q.q_id = b.q_id
-        |WHERE b.vr = 1 ORDER BY q.q_id""".stripMargin),
+      s"""$knnOracleCtes,
+        |bytrue AS (
+        |  SELECT true_label AS label, COUNT(*) AS n_true,
+        |    SUM(CASE WHEN true_label = pred_label THEN 1 ELSE 0 END) AS tp_t
+        |  FROM preds GROUP BY 1),
+        |bypred AS (
+        |  SELECT pred_label AS label, COUNT(*) AS n_pred,
+        |    SUM(CASE WHEN true_label = pred_label THEN 1 ELSE 0 END) AS tp_p
+        |  FROM preds GROUP BY 1),
+        |joined AS (
+        |  SELECT COALESCE(bytrue.label, bypred.label) AS label,
+        |    COALESCE(n_true, 0) AS n_true, COALESCE(n_pred, 0) AS n_pred,
+        |    COALESCE(tp_t, tp_p, 0) AS tp
+        |  FROM bytrue FULL OUTER JOIN bypred ON bytrue.label = bypred.label)
+        |SELECT label, CAST(n_true AS BIGINT) AS n_true,
+        |  CAST(n_pred AS BIGINT) AS n_pred, CAST(tp AS BIGINT) AS tp,
+        |  CASE WHEN n_pred > 0
+        |    THEN ROUND(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 6) END AS precision,
+        |  CASE WHEN n_true > 0
+        |    THEN ROUND(CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE), 6) END AS recall,
+        |  CASE WHEN n_true + n_pred > 0
+        |    THEN ROUND(2.0 * CAST(tp AS DOUBLE) / CAST(n_true + n_pred AS DOUBLE), 6) END
+        |    AS f1
+        |FROM joined ORDER BY label""".stripMargin),
 
     // §2 25hc logistic regression by TWO unrolled Newton steps
     // (urgent-priority ~ scaled order value). Step 1 is closed-form
