@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -119,15 +120,42 @@ object BasketOps {
         // min/max aggregate and DOUBLES the plan tree per level — the
         // chained form planned 326 exchanges; this one is linear.
         val cc = cust.cache()
-        val n = cc.count() // customer-dim scale; bounded driver scalar
-        def score(v: String, out: String): DataFrame =
-          Buckets.globalRowNumber(cc.select(col("o_custkey"), col(v)), col(v),
-            col("o_custkey"))
-            .withColumn(out, (lit(1) + floor(lit(5) * (col("i") - 1) / lit(n))).cast("int"))
-            .select("o_custkey", out)
-        val scored = score("rec", "r_score")
-          .join(score("freq", "f_score"), "o_custkey")
-          .join(score("mon", "m_score"), "o_custkey")
+        // |customers| rides along as a broadcast one-row aggregate, not
+        // a driver-side count() — one action, one fused execution.
+        val nrow = broadcast(cc.agg(count(lit(1)).as("nc")))
+        // All three metrics rank through ONE partitioned bucket-offset
+        // pipeline: unpivot to (metric, value) rows — doubles carry the
+        // exact total order here (rec/freq are integers, mon is a 2-dp
+        // DECIMAL, all < 2⁵³ when scaled) — then per-metric min/max,
+        // per-(metric, bucket) prefix offsets, and one windowed
+        // row_number partitioned by (metric, bucket). Three separate
+        // rank branches plan ~3× the stages for identical output; the
+        // fused pipeline is ~6 shuffles of 3·|customers| tiny rows.
+        val nb = 32
+        val metrics = cc.select(col("o_custkey"), expr(
+          """stack(3, 'r', cast(rec  as double),
+            |         'f', cast(freq as double),
+            |         'm', cast(mon  as double)) AS (met, v)""".stripMargin))
+        val mm = metrics.groupBy("met").agg(min("v").as("lo"), max("v").as("hi"))
+        val bucketed = metrics.join(broadcast(mm), "met")
+          .withColumn("b", least(lit(nb - 1),
+            floor((col("v") - col("lo")) / ((col("hi") - col("lo") + 0.001) / nb))
+              .cast("int")))
+        val offs = bucketed.groupBy("met", "b").agg(count(lit(1)).as("bn"))
+          .withColumn("off_n", coalesce(sum("bn").over(
+            Window.partitionBy("met").orderBy("b")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("met", "b", "off_n")
+        val ranked = bucketed.join(broadcast(offs), Seq("met", "b"))
+          .withColumn("i", col("off_n") + row_number().over(
+            Window.partitionBy("met", "b").orderBy(col("v"), col("o_custkey"))))
+          .crossJoin(nrow)
+          .withColumn("sc",
+            (lit(1) + floor(lit(5) * (col("i") - 1) / col("nc"))).cast("int"))
+        val scored = ranked.groupBy("o_custkey")
+          .agg(max(when(col("met") === "r", col("sc"))).as("r_score"),
+            max(when(col("met") === "f", col("sc"))).as("f_score"),
+            max(when(col("met") === "m", col("sc"))).as("m_score"))
           .join(cc.select("o_custkey", "mon"), "o_custkey")
         scored.groupBy("r_score", "f_score", "m_score")
           .agg(count(lit(1)).as("n_customers"),
