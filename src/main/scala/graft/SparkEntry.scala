@@ -58,7 +58,8 @@ object SparkEntry {
       graft.queries.Analytics6.defs ++
       graft.queries.TextOps3.defs ++
       graft.queries.Analytics7.defs ++
-      graft.sources.SourceOps2.defs
+      graft.sources.SourceOps2.defs ++
+      graft.queries.EventOps3.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-7 event tranche 2: time-decay multi-touch attribution and
+  * burstiness (Fano-factor) profiling.
+  */
+object EventOps3 {
+
+  private def ev(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "events")
+
+  val defs: Map[String, QDef] = Map(
+
+    // §2 25hn exponential time-decay multi-touch attribution: every
+    // non-purchase event within 72 h before a purchase by the same user
+    // earns weight e^(−Δdays); weights normalize per purchase and the
+    // credit rolls up by touch type. The join is per-user (equi-key,
+    // bounded by events-per-user, the ev_funnel_negation shape). The
+    // logreg determinism recipe applies twice: raw weights AND
+    // normalized shares quantize to DECIMAL(26,12) before their sums,
+    // so the per-purchase normalizers and corpus totals are exact
+    // DECIMAL sums (order-independent), and the 12-dp grid absorbs
+    // libm exp()/epoch ulp differences. Timestamps subtract as double
+    // SECONDS (micros ÷ 10⁶ on both engines), never unix_timestamp's
+    // second-truncation.
+    "ev_decay_attribution" -> QDef(
+      (s, dir) => {
+        def q12(c: Column): Column = round(c, 12).cast("decimal(26,12)")
+        val e = ev(s, dir)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+        val touches = e.filter(col("event_type") =!= "purchase")
+          .select(col("user_id"), col("event_id").as("t_id"),
+            col("ts").as("t_ts"), col("event_type").as("touch"))
+        val pairs = purchases.join(touches, "user_id")
+          .filter(col("t_ts") < col("p_ts") &&
+            col("t_ts") >= col("p_ts") - expr("INTERVAL 72 HOURS"))
+          .withColumn("w", q12(exp(
+            (col("t_ts").cast("double") - col("p_ts").cast("double")) / 86400.0)))
+        val norm = pairs.groupBy("p_id").agg(sum("w").as("sw"))
+        pairs.join(norm, "p_id")
+          .select(col("touch"),
+            q12(col("w").cast("double") / col("sw").cast("double")).as("share"))
+          .groupBy("touch")
+          .agg(count(lit(1)).as("n_touches"),
+            round(sum("share").cast("double"), 4).as("credit"))
+          .orderBy("touch")
+      },
+      """WITH purchases AS (
+        |  SELECT user_id, event_id AS p_id, ts AS p_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |touches AS (
+        |  SELECT user_id, event_id AS t_id, ts AS t_ts, event_type AS touch
+        |  FROM events WHERE event_type <> 'purchase'),
+        |pairs AS (
+        |  SELECT p_id, touch,
+        |    CAST(ROUND(EXP((epoch(t_ts) - epoch(p_ts)) / 86400.0), 12)
+        |      AS DECIMAL(26,12)) AS w
+        |  FROM purchases JOIN touches USING (user_id)
+        |  WHERE t_ts < p_ts AND t_ts >= p_ts - INTERVAL 72 HOUR),
+        |norm AS (SELECT p_id, SUM(w) AS sw FROM pairs GROUP BY 1)
+        |SELECT touch, COUNT(*) AS n_touches,
+        |  ROUND(CAST(SUM(CAST(ROUND(CAST(w AS DOUBLE) / CAST(sw AS DOUBLE), 12)
+        |    AS DECIMAL(26,12))) AS DOUBLE), 4) AS credit
+        |FROM pairs JOIN norm USING (p_id)
+        |GROUP BY touch ORDER BY touch""".stripMargin),
+
+    // §2 25ho burstiness profile: the Fano factor (variance-to-mean
+    // ratio of daily counts) per event type — Poisson arrivals sit at
+    // 1, bursty traffic above. Two integral moments over the
+    // calendar×|types|-bounded daily table; the statistic is one
+    // fixed-order double expression over exact integers.
+    "ev_burstiness" -> QDef(
+      (s, dir) => {
+        val daily = ev(s, dir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("c"))
+        daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"), sum("c").as("sc"),
+            sum(col("c") * col("c")).as("sc2"))
+          .select(col("event_type"), col("n_days"), col("sc").as("n_events"),
+            round((col("n_days") * col("sc2") - col("sc") * col("sc")).cast("double") *
+              col("n_days").cast("double") /
+              ((col("n_days") * (col("n_days") - 1)).cast("double") *
+                col("sc").cast("double")), 6).as("fano"))
+          .orderBy("event_type")
+      },
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, COUNT(*) AS n_days, SUM(c) AS sc, SUM(c * c) AS sc2
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+        |  CAST(sc AS BIGINT) AS n_events,
+        |  ROUND(CAST(n_days * sc2 - sc * sc AS DOUBLE) * CAST(n_days AS DOUBLE)
+        |    / (CAST(n_days * (n_days - 1) AS DOUBLE) * CAST(sc AS DOUBLE)), 6) AS fano
+        |FROM m ORDER BY event_type""".stripMargin)
+  )
+}

@@ -16,6 +16,19 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!plan.contains("l_orderkey"), "scan reads columns q1 never uses")
   }
 
+  test("rfm plans ONE fused rank pipeline, not exploding chained ranks") {
+    // The chained-rank formulation re-derived the whole upstream inside
+    // every Buckets.assign min/max aggregate and planned 326 Exchange
+    // mentions (101 KB plan string); the fused unpivoted pipeline plans
+    // ~32 in ~26 KB. The 60/50 KB gates sit far above fused-form jitter
+    // and far below either regression regime.
+    val plan = SparkEntry.queries("q_rfm_segments")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges < 60, s"rfm plan has $exchanges Exchange mentions — rank chaining is back")
+    assert(plan.length < 50000, s"rfm plan string is ${plan.length} chars")
+  }
+
   test("star join broadcasts the dimension tables") {
     val plan = SparkEntry.queries("q_star_join")(spark, sfDir)
       .queryExecution.executedPlan.toString
