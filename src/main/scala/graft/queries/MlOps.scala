@@ -72,6 +72,111 @@ object MlOps {
       |  FROM best b JOIN q ON q.q_id = b.q_id
       |  WHERE b.vr = 1)""".stripMargin
 
+  /** (y, xd, x) training frame for the logistic fit. */
+  private def logregInput(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders").select(
+      (col("o_orderpriority") === "1-URGENT").cast("int").as("y"),
+      col("o_totalprice").cast("decimal(18,2)").as("xd"))
+      .withColumn("x", col("xd").cast("double") / 100000.0)
+
+  private def q12(c: Column): Column = round(c, 12).cast("decimal(26,12)")
+
+  /** One row (n, b0f, b1f): the UNROUNDED two-step Newton fit shared by
+    * ml_logreg_newton and ml_calibration. Identical across engines
+    * because every sum feeding it is exact DECIMAL (see the QDef doc).
+    */
+  private def logregFit(s: SparkSession, dir: String): DataFrame = {
+    val o = logregInput(s, dir)
+    // Step 1: exact-decimal Gram/gradient at β = 0.
+    val s1 = o.agg(
+      count(lit(1)).as("n"), sum("y").as("sy"),
+      sum("xd").as("sx"), sum(col("xd") * col("xd")).as("sxx"),
+      sum(col("y") * col("xd")).as("sxy"))
+      .select(col("n"),
+        (col("sy").cast("double") - lit(0.5) * col("n").cast("double")).as("g0"),
+        ((col("sxy") - lit(BigDecimal("0.5")) * col("sx")).cast("double") /
+          100000.0).as("g1"),
+        (lit(0.25) * col("n").cast("double")).as("h00"),
+        (lit(0.25) * (col("sx").cast("double") / 100000.0)).as("h01"),
+        (lit(0.25) * (col("sxx").cast("double") / 10000000000.0)).as("h11"))
+      .select(col("n"), col("g0"), col("g1"), col("h00"), col("h01"), col("h11"),
+        (col("h00") * col("h11") - col("h01") * col("h01")).as("det"))
+      .select(col("n"),
+        ((col("g0") * col("h11") - col("g1") * col("h01")) / col("det")).as("b0"),
+        ((col("g1") * col("h00") - col("g0") * col("h01")) / col("det")).as("b1"))
+    // Step 2: quantized-decimal contributions at β = (b0, b1).
+    o.crossJoin(broadcast(s1))
+      .withColumn("p",
+        lit(1.0) / (lit(1.0) + exp(-(col("b0") + col("b1") * col("x")))))
+      .agg(
+        max("n").as("n"), max("b0").as("b0"), max("b1").as("b1"),
+        sum(q12(col("y") - col("p"))).as("g0d"),
+        sum(q12((col("y") - col("p")) * col("x"))).as("g1d"),
+        sum(q12(col("p") * (lit(1.0) - col("p")))).as("h00d"),
+        sum(q12(col("p") * (lit(1.0) - col("p")) * col("x"))).as("h01d"),
+        sum(q12(col("p") * (lit(1.0) - col("p")) * col("x") * col("x"))).as("h11d"))
+      .select(col("n"), col("b0"), col("b1"),
+        col("g0d").cast("double").as("g0"), col("g1d").cast("double").as("g1"),
+        col("h00d").cast("double").as("h00"), col("h01d").cast("double").as("h01"),
+        col("h11d").cast("double").as("h11"))
+      .select(col("n"), col("b0"), col("b1"),
+        (col("h00") * col("h11") - col("h01") * col("h01")).as("det"),
+        col("g0"), col("g1"), col("h00"), col("h01"), col("h11"))
+      .select(col("n"),
+        (col("b0") +
+          (col("g0") * col("h11") - col("g1") * col("h01")) / col("det")).as("b0f"),
+        (col("b1") +
+          (col("g1") * col("h00") - col("g0") * col("h01")) / col("det")).as("b1f"))
+  }
+
+  /** The logreg oracle's shared CTE chain, ending in betaf(n, b0f, b1f). */
+  private val logregOracleCtes =
+    """WITH o AS (
+      |  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y,
+      |         CAST(o_totalprice AS DECIMAL(18,2)) AS xd,
+      |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) / 100000.0 AS x
+      |  FROM orders),
+      |a1 AS (
+      |  SELECT COUNT(*) AS n, SUM(y) AS sy, SUM(xd) AS sx,
+      |         SUM(xd * xd) AS sxx, SUM(y * xd) AS sxy
+      |  FROM o),
+      |m1 AS (
+      |  SELECT n,
+      |    CAST(sy AS DOUBLE) - 0.5 * CAST(n AS DOUBLE) AS g0,
+      |    CAST(sxy - 0.5 * sx AS DOUBLE) / 100000.0 AS g1,
+      |    0.25 * CAST(n AS DOUBLE) AS h00,
+      |    0.25 * (CAST(sx AS DOUBLE) / 100000.0) AS h01,
+      |    0.25 * (CAST(sxx AS DOUBLE) / 10000000000.0) AS h11
+      |  FROM a1),
+      |b1s AS (
+      |  SELECT n,
+      |    (g0 * h11 - g1 * h01) / (h00 * h11 - h01 * h01) AS b0,
+      |    (g1 * h00 - g0 * h01) / (h00 * h11 - h01 * h01) AS b1
+      |  FROM m1),
+      |p2 AS (
+      |  SELECT n, b0, b1, y, x,
+      |    1.0 / (1.0 + EXP(-(b0 + b1 * x))) AS p
+      |  FROM o CROSS JOIN b1s),
+      |a2 AS (
+      |  SELECT MAX(n) AS n, MAX(b0) AS b0, MAX(b1) AS b1,
+      |    SUM(CAST(ROUND(y - p, 12) AS DECIMAL(26,12))) AS g0d,
+      |    SUM(CAST(ROUND((y - p) * x, 12) AS DECIMAL(26,12))) AS g1d,
+      |    SUM(CAST(ROUND(p * (1.0 - p), 12) AS DECIMAL(26,12))) AS h00d,
+      |    SUM(CAST(ROUND(p * (1.0 - p) * x, 12) AS DECIMAL(26,12))) AS h01d,
+      |    SUM(CAST(ROUND(p * (1.0 - p) * x * x, 12) AS DECIMAL(26,12))) AS h11d
+      |  FROM p2),
+      |m2 AS (
+      |  SELECT n, b0, b1,
+      |    CAST(g0d AS DOUBLE) AS g0, CAST(g1d AS DOUBLE) AS g1,
+      |    CAST(h00d AS DOUBLE) AS h00, CAST(h01d AS DOUBLE) AS h01,
+      |    CAST(h11d AS DOUBLE) AS h11
+      |  FROM a2),
+      |betaf AS (
+      |  SELECT n,
+      |    b0 + (g0 * h11 - g1 * h01) / (h00 * h11 - h01 * h01) AS b0f,
+      |    b1 + (g1 * h00 - g0 * h01) / (h00 * h11 - h01 * h01) AS b1f
+      |  FROM m2)""".stripMargin
+
   val defs: Map[String, QDef] = Map(
 
     // §2 25hb kNN auto-labeling (weak supervision): the 50-vector
@@ -163,96 +268,56 @@ object MlOps {
     // Newton step is one partial-agg pass over the fact table — the
     // honest iterative-ML shape (no fact-scale caching).
     "ml_logreg_newton" -> QDef(
+      (s, dir) =>
+        logregFit(s, dir).select(col("n"),
+          round(col("b0f"), 5).as("b0"), round(col("b1f"), 5).as("b1")),
+      s"""$logregOracleCtes
+        |SELECT n, ROUND(b0f, 5) AS b0, ROUND(b1f, 5) AS b1
+        |FROM betaf""".stripMargin),
+
+    // §2 25hp probability calibration curve: the fitted model's
+    // predictions bin into ten fixed [0,1) deciles; each bin reports
+    // observed urgent rate vs mean predicted probability — the
+    // reliability diagram that closes the train→predict→evaluate loop.
+    // The UNROUNDED β is shared with ml_logreg_newton (bit-identical
+    // across engines because every sum feeding it is exact DECIMAL);
+    // mean predicted p per bin goes through the same q12 quantization.
+    "ml_calibration" -> QDef(
       (s, dir) => {
-        def q12(c: Column): Column = round(c, 12).cast("decimal(26,12)")
-        val o = Tables(s, dir, "orders").select(
-          (col("o_orderpriority") === "1-URGENT").cast("int").as("y"),
-          col("o_totalprice").cast("decimal(18,2)").as("xd"))
-          .withColumn("x", col("xd").cast("double") / 100000.0)
-        // Step 1: exact-decimal Gram/gradient at β = 0.
-        val s1 = o.agg(
-          count(lit(1)).as("n"), sum("y").as("sy"),
-          sum("xd").as("sx"), sum(col("xd") * col("xd")).as("sxx"),
-          sum(col("y") * col("xd")).as("sxy"))
-          .select(col("n"),
-            (col("sy").cast("double") - lit(0.5) * col("n").cast("double")).as("g0"),
-            ((col("sxy") - lit(BigDecimal("0.5")) * col("sx")).cast("double") /
-              100000.0).as("g1"),
-            (lit(0.25) * col("n").cast("double")).as("h00"),
-            (lit(0.25) * (col("sx").cast("double") / 100000.0)).as("h01"),
-            (lit(0.25) * (col("sxx").cast("double") / 10000000000.0)).as("h11"))
-          .select(col("n"), col("g0"), col("g1"), col("h00"), col("h01"), col("h11"),
-            (col("h00") * col("h11") - col("h01") * col("h01")).as("det"))
-          .select(col("n"),
-            ((col("g0") * col("h11") - col("g1") * col("h01")) / col("det")).as("b0"),
-            ((col("g1") * col("h00") - col("g0") * col("h01")) / col("det")).as("b1"))
-        // Step 2: quantized-decimal contributions at β = (b0, b1).
-        val s2 = o.crossJoin(broadcast(s1))
-          .withColumn("p",
-            lit(1.0) / (lit(1.0) + exp(-(col("b0") + col("b1") * col("x")))))
-          .agg(
-            max("n").as("n"), max("b0").as("b0"), max("b1").as("b1"),
-            sum(q12(col("y") - col("p"))).as("g0d"),
-            sum(q12((col("y") - col("p")) * col("x"))).as("g1d"),
-            sum(q12(col("p") * (lit(1.0) - col("p")))).as("h00d"),
-            sum(q12(col("p") * (lit(1.0) - col("p")) * col("x"))).as("h01d"),
-            sum(q12(col("p") * (lit(1.0) - col("p")) * col("x") * col("x"))).as("h11d"))
-          .select(col("n"), col("b0"), col("b1"),
-            col("g0d").cast("double").as("g0"), col("g1d").cast("double").as("g1"),
-            col("h00d").cast("double").as("h00"), col("h01d").cast("double").as("h01"),
-            col("h11d").cast("double").as("h11"))
-          .select(col("n"), col("b0"), col("b1"),
-            (col("h00") * col("h11") - col("h01") * col("h01")).as("det"),
-            col("g0"), col("g1"), col("h00"), col("h01"), col("h11"))
-        s2.select(col("n"),
-          round(col("b0") +
-            (col("g0") * col("h11") - col("g1") * col("h01")) / col("det"), 5).as("b0"),
-          round(col("b1") +
-            (col("g1") * col("h00") - col("g0") * col("h01")) / col("det"), 5).as("b1"))
+        val beta = broadcast(logregFit(s, dir))
+        // Bins span the OBSERVED probability range (a weak-signal model
+        // concentrates p near the base rate, emptying absolute [0,1)
+        // deciles). Quantize p to 12-dp DECIMAL FIRST: min/max and the
+        // bin arithmetic then run on bit-identical values on both
+        // engines — raw double p differs by libm ulps.
+        val pred = logregInput(s, dir).crossJoin(beta)
+          .withColumn("pq", q12(
+            lit(1.0) / (lit(1.0) + exp(-(col("b0f") + col("b1f") * col("x"))))))
+        val mm = pred.agg(min("pq").as("lo"), max("pq").as("hi"))
+        pred.crossJoin(broadcast(mm))
+          .withColumn("bin", least(lit(9),
+            floor((col("pq") - col("lo")).cast("double") * 10.0 /
+              ((col("hi") - col("lo")).cast("double") + 1e-9)).cast("int")))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"), sum("y").as("k"), sum("pq").as("sp"))
+          .select(col("bin"), col("n"), col("k"),
+            round(col("k").cast("double") / col("n").cast("double"), 6).as("obs_rate"),
+            round(col("sp").cast("double") / col("n").cast("double"), 6).as("mean_p"))
+          .orderBy("bin")
       },
-      """WITH o AS (
-        |  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y,
-        |         CAST(o_totalprice AS DECIMAL(18,2)) AS xd,
-        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) / 100000.0 AS x
-        |  FROM orders),
-        |a1 AS (
-        |  SELECT COUNT(*) AS n, SUM(y) AS sy, SUM(xd) AS sx,
-        |         SUM(xd * xd) AS sxx, SUM(y * xd) AS sxy
-        |  FROM o),
-        |m1 AS (
-        |  SELECT n,
-        |    CAST(sy AS DOUBLE) - 0.5 * CAST(n AS DOUBLE) AS g0,
-        |    CAST(sxy - 0.5 * sx AS DOUBLE) / 100000.0 AS g1,
-        |    0.25 * CAST(n AS DOUBLE) AS h00,
-        |    0.25 * (CAST(sx AS DOUBLE) / 100000.0) AS h01,
-        |    0.25 * (CAST(sxx AS DOUBLE) / 10000000000.0) AS h11
-        |  FROM a1),
-        |b1s AS (
-        |  SELECT n,
-        |    (g0 * h11 - g1 * h01) / (h00 * h11 - h01 * h01) AS b0,
-        |    (g1 * h00 - g0 * h01) / (h00 * h11 - h01 * h01) AS b1
-        |  FROM m1),
-        |p2 AS (
-        |  SELECT n, b0, b1, y, x,
-        |    1.0 / (1.0 + EXP(-(b0 + b1 * x))) AS p
-        |  FROM o CROSS JOIN b1s),
-        |a2 AS (
-        |  SELECT MAX(n) AS n, MAX(b0) AS b0, MAX(b1) AS b1,
-        |    SUM(CAST(ROUND(y - p, 12) AS DECIMAL(26,12))) AS g0d,
-        |    SUM(CAST(ROUND((y - p) * x, 12) AS DECIMAL(26,12))) AS g1d,
-        |    SUM(CAST(ROUND(p * (1.0 - p), 12) AS DECIMAL(26,12))) AS h00d,
-        |    SUM(CAST(ROUND(p * (1.0 - p) * x, 12) AS DECIMAL(26,12))) AS h01d,
-        |    SUM(CAST(ROUND(p * (1.0 - p) * x * x, 12) AS DECIMAL(26,12))) AS h11d
-        |  FROM p2),
-        |m2 AS (
-        |  SELECT n, b0, b1,
-        |    CAST(g0d AS DOUBLE) AS g0, CAST(g1d AS DOUBLE) AS g1,
-        |    CAST(h00d AS DOUBLE) AS h00, CAST(h01d AS DOUBLE) AS h01,
-        |    CAST(h11d AS DOUBLE) AS h11
-        |  FROM a2)
-        |SELECT n,
-        |  ROUND(b0 + (g0 * h11 - g1 * h01) / (h00 * h11 - h01 * h01), 5) AS b0,
-        |  ROUND(b1 + (g1 * h00 - g0 * h01) / (h00 * h11 - h01 * h01), 5) AS b1
-        |FROM m2""".stripMargin)
+      s"""$logregOracleCtes,
+        |pred AS (
+        |  SELECT y,
+        |    CAST(ROUND(1.0 / (1.0 + EXP(-(b0f + b1f * x))), 12) AS DECIMAL(26,12)) AS pq
+        |  FROM o CROSS JOIN betaf),
+        |mm AS (SELECT MIN(pq) AS lo, MAX(pq) AS hi FROM pred),
+        |binned AS (
+        |  SELECT LEAST(9, CAST(FLOOR(CAST(pq - lo AS DOUBLE) * 10.0
+        |    / (CAST(hi - lo AS DOUBLE) + 1e-9)) AS INT)) AS bin, y, pq
+        |  FROM pred CROSS JOIN mm)
+        |SELECT bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS k,
+        |  ROUND(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS obs_rate,
+        |  ROUND(CAST(SUM(pq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_p
+        |FROM binned GROUP BY bin ORDER BY bin""".stripMargin)
   )
 }
