@@ -68,6 +68,76 @@ object EventOps3 {
         |FROM pairs JOIN norm USING (p_id)
         |GROUP BY touch ORDER BY touch""".stripMargin),
 
+    // §2 25hq stationary distribution of the behavior Markov chain:
+    // three unrolled power-iteration steps of π·P from the uniform
+    // start, over the SAME per-user transition pairs as
+    // ev_transition_matrix. P is |types|²-bounded and each step is a
+    // broadcast join + a fold over the ≤|types| incoming terms in
+    // source order — identical double sequences on both engines. The
+    // chain's row-normalized probabilities are exact-integer ratios.
+    "ev_markov_stationary" -> QDef(
+      (s, dir) => {
+        val byUser = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        val pairs = ev(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+          .withColumn("nxt", lead("event_type", 1).over(byUser))
+          .filter(col("nxt").isNotNull)
+          .groupBy(col("event_type").as("cur"), col("nxt"))
+          .agg(count(lit(1)).as("n"))
+        val outd = pairs.groupBy("cur").agg(sum("n").as("tot"))
+        // |types|²-row transition matrix, referenced by all three steps.
+        val pmat = pairs.join(broadcast(outd), "cur")
+          .select(col("cur"), col("nxt"),
+            (col("n") / col("tot").cast("double")).as("p"))
+          .cache()
+        val k = broadcast(pmat.select(countDistinct("cur").as("k")))
+        val pi0 = pmat.select(col("cur").as("state")).distinct()
+          .crossJoin(k)
+          .select(col("state"), (lit(1.0) / col("k").cast("double")).as("pi"))
+        val pi3 = (1 to 3).foldLeft(pi0) { (pi, _) =>
+          pmat.join(broadcast(pi), col("cur") === col("state"))
+            .groupBy(col("nxt").as("state2"))
+            .agg(sort_array(collect_list(struct(col("cur"),
+              (col("pi") * col("p")).as("t")))).as("xs"))
+            .select(col("state2").as("state"),
+              aggregate(col("xs"), lit(0.0), (a, x) => a + x.getField("t")).as("pi"))
+        }
+        pi3.select(col("state").as("event_type"), round(col("pi"), 6).as("pi"))
+          .orderBy("event_type")
+      },
+      """WITH seq AS (
+        |  SELECT event_type AS cur,
+        |         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |pairs AS (
+        |  SELECT cur, nxt, COUNT(*) AS n FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |outd AS (SELECT cur, SUM(n) AS tot FROM pairs GROUP BY cur),
+        |pmat AS (
+        |  SELECT cur, nxt, n / CAST(tot AS DOUBLE) AS p
+        |  FROM pairs JOIN outd USING (cur)),
+        |kk AS (SELECT COUNT(DISTINCT cur) AS k FROM pmat),
+        |pi0 AS (
+        |  SELECT DISTINCT cur AS state, 1.0 / CAST(k AS DOUBLE) AS pi
+        |  FROM pmat CROSS JOIN kk),
+        |pi1 AS (
+        |  SELECT nxt AS state,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(pi * p ORDER BY cur)),
+        |      (a, b) -> a + b) AS pi
+        |  FROM pmat JOIN pi0 ON cur = state GROUP BY nxt),
+        |pi2 AS (
+        |  SELECT nxt AS state,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(pi * p ORDER BY cur)),
+        |      (a, b) -> a + b) AS pi
+        |  FROM pmat JOIN pi1 ON cur = state GROUP BY nxt),
+        |pi3 AS (
+        |  SELECT nxt AS state,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(pi * p ORDER BY cur)),
+        |      (a, b) -> a + b) AS pi
+        |  FROM pmat JOIN pi2 ON cur = state GROUP BY nxt)
+        |SELECT state AS event_type, ROUND(pi, 6) AS pi
+        |FROM pi3 ORDER BY event_type""".stripMargin),
+
     // §2 25ho burstiness profile: the Fano factor (variance-to-mean
     // ratio of daily counts) per event type — Poisson arrivals sit at
     // 1, bursty traffic above. Two integral moments over the

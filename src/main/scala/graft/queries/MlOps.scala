@@ -256,6 +256,46 @@ object MlOps {
         |    AS f1
         |FROM joined ORDER BY label""".stripMargin),
 
+    // §2 25hr hard-negative mining for contrastive training: for each
+    // holdout query, the 3 nearest corpus vectors whose label DIFFERS
+    // from the query's — the pairs a contrastive objective needs most.
+    // Same map-only broadcast scoring + bounded-top-k rank as the kNN
+    // path; the label-mismatch filter runs before ranking, so the heap
+    // never wastes slots on positives.
+    "ml_hard_negatives" -> QDef(
+      (s, dir) => {
+        val e = Eval.barrier(Eval.fanOut(
+          emb(s, dir).select(col("vec_id"), col("label").cast("long").as("label"),
+            VectorOps.asDouble(col("embedding")).as("v"))))
+        val q = e.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("q_id"), col("label").as("true_label"),
+            col("v").as("qv"))
+        val scored = e.filter(col("vec_id") >= 50)
+          .crossJoin(broadcast(q))
+          .filter(col("label") =!= col("true_label"))
+          .select(col("q_id"), col("vec_id").as("neighbor_id"),
+            round(VectorOps.cosine(col("qv"), col("v")), 6).as("cosine"))
+        VectorOps.topKPerQuery(scored, "cosine", 3)
+          .orderBy("q_id", "rank")
+      },
+      """WITH e AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, label AS true_label, v AS qv FROM e WHERE vec_id < 50),
+        |scored AS (
+        |  SELECT q_id, c.vec_id AS neighbor_id,
+        |    ROUND(list_cosine_similarity(qv, c.v), 6) AS cosine
+        |  FROM q CROSS JOIN e c
+        |  WHERE c.vec_id >= 50 AND c.label <> q.true_label),
+        |ranked AS (
+        |  SELECT q_id, neighbor_id, cosine,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id)
+        |      AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT q_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin),
+
     // §2 25hc logistic regression by TWO unrolled Newton steps
     // (urgent-priority ~ scaled order value). Step 1 is closed-form
     // (β=0 ⇒ p=½, W=¼I): every sum is exact DECIMAL. Step 2's per-row
