@@ -138,6 +138,42 @@ object EventOps3 {
         |SELECT state AS event_type, ROUND(pi, 6) AS pi
         |FROM pi3 ORDER BY event_type""".stripMargin),
 
+    // §2 25hs inter-event gap histogram on an exact log₂ scale:
+    // per-user consecutive gaps in whole seconds (integer microsecond
+    // difference ÷ 10⁶ by INTEGER division), bucketed by binary-string
+    // LENGTH — an engine-exact ⌊log₂⌋+1 that never touches floating
+    // log (log2(8) can evaluate 2.999… in one libm and 3.0 in the
+    // other, flipping the bucket at every power of two). Per-user
+    // windows only; the histogram partial-aggregates to ≤64 rows.
+    "ev_gap_histogram" -> QDef(
+      (s, dir) => {
+        val byUser = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        Tables(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"))
+          .withColumn("prev", lag("ts", 1).over(byUser))
+          .filter(col("prev").isNotNull)
+          .select(expr(
+            "div(unix_micros(ts) - unix_micros(prev), 1000000)").as("gap_s"))
+          .filter(col("gap_s") > 0)
+          .select(length(bin(col("gap_s"))).as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n"))
+          .select(col("bucket").cast("long").as("log2_bucket"), col("n"))
+          .orderBy("log2_bucket")
+      },
+      """WITH seq AS (
+        |  SELECT user_id, ts,
+        |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |gaps AS (
+        |  SELECT (epoch_us(ts) - epoch_us(prev)) // 1000000 AS gap_s
+        |  FROM seq WHERE prev IS NOT NULL),
+        |b AS (
+        |  SELECT CAST(LENGTH(printf('%b', gap_s)) AS BIGINT) AS log2_bucket
+        |  FROM gaps WHERE gap_s > 0)
+        |SELECT log2_bucket, COUNT(*) AS n
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // §2 25ho burstiness profile: the Fano factor (variance-to-mean
     // ratio of daily counts) per event type — Poisson arrivals sit at
     // 1, bursty traffic above. Two integral moments over the

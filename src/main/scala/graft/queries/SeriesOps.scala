@@ -150,6 +150,60 @@ object SeriesOps {
         |FROM runs GROUP BY user_id
         |ORDER BY longest DESC, user_id ASC LIMIT 20""".stripMargin),
 
+    // §2 25ht lagged cross-correlation between daily revenue and daily
+    // order count (does money follow volume, and by how many days?):
+    // the day table self-joins on date+k for k = 0..7 — an EQUI-join
+    // keyed by day, the q_autocorr shape, never an ordered global
+    // window. All five moment sums per lag are exact (DECIMAL revenue ×
+    // integer counts); r_k is one fixed-order double expression.
+    "ev_cross_corr" -> QDef(
+      (s, dir) => {
+        val daily = orders(s, dir)
+          .groupBy(to_date(col("o_orderdate")).as("d"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("x"),
+            count(lit(1)).as("y"))
+        val pairs = daily.select(col("d"), col("x"))
+          .withColumn("k", explode(sequence(lit(0), lit(7))))
+          .withColumn("d2", expr("date_add(d, k)"))
+          .join(daily.select(col("d").as("d2"), col("y").as("y2")), "d2")
+        pairs.groupBy("k")
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y2").as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y2") * col("y2")).as("syy"),
+            sum(col("x") * col("y2")).as("sxy"))
+          .select(col("k"), col("n"),
+            round((col("n").cast("double") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+              sqrt((col("n").cast("double") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")) *
+                (col("n").cast("double") * col("syy").cast("double") -
+                  col("sy").cast("double") * col("sy").cast("double"))), 4)
+              .as("r"))
+          .orderBy("k")
+      },
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x,
+        |         COUNT(*) AS y
+        |  FROM orders GROUP BY 1),
+        |pairs AS (
+        |  SELECT k, a.x, b.y AS y2
+        |  FROM daily a
+        |  CROSS JOIN UNNEST(range(0, 8)) AS t(k)
+        |  JOIN daily b ON b.d = a.d + CAST(k AS INT)),
+        |m AS (
+        |  SELECT k, COUNT(*) AS n, SUM(x) AS sx, SUM(y2) AS sy,
+        |         SUM(x * x) AS sxx, SUM(y2 * y2) AS syy, SUM(x * y2) AS sxy
+        |  FROM pairs GROUP BY k)
+        |SELECT CAST(k AS INT) AS k, CAST(n AS BIGINT) AS n,
+        |  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4) AS r
+        |FROM m ORDER BY k""".stripMargin),
+
     // §2 25gs day-of-week seasonal index of daily revenue: mean daily
     // revenue per weekday over the grand daily mean. Weekday comes from
     // pure integer day arithmetic (days since a known Monday, mod 7) so
