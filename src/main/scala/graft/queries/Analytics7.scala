@@ -69,6 +69,40 @@ object Analytics7 {
         |       ROUND(CAST(cum AS DOUBLE), 2) AS cum_ltv
         |FROM cum ORDER BY cohort, age LIMIT 60""".stripMargin),
 
+    // §2 25hv 2-D density histogram (quantity × price heat grid — the
+    // scatter-plot backend at corpus scale): two independent
+    // Buckets.assign fixed-width bucketizations, one partial agg to
+    // ≤100 cells carrying exact counts and DECIMAL revenue. The oracle
+    // mirrors the min/max + epsilon formula per dimension verbatim.
+    "q_histogram2d" -> QDef(
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem").select(
+          col("l_quantity").cast("double").as("q"),
+          col("l_extendedprice").cast("double").as("p"),
+          col("l_extendedprice").cast("decimal(18,2)").as("rev"))
+        val bx = Buckets.assign(li, col("q"), 10).withColumnRenamed("b", "qb")
+        val both = Buckets.assign(bx, col("p"), 10).withColumnRenamed("b", "pb")
+        both.groupBy("qb", "pb")
+          .agg(count(lit(1)).as("n"),
+            round(sum("rev").cast("double"), 2).as("revenue"))
+          .orderBy("qb", "pb")
+      },
+      """WITH li AS (
+        |  SELECT l_quantity AS q, l_extendedprice AS p,
+        |         CAST(l_extendedprice AS DECIMAL(18,2)) AS rev
+        |  FROM lineitem),
+        |mm AS (
+        |  SELECT MIN(q) AS qlo, MAX(q) AS qhi, MIN(p) AS plo, MAX(p) AS phi FROM li),
+        |binned AS (
+        |  SELECT
+        |    LEAST(9, CAST(FLOOR((q - qlo) / ((qhi - qlo + 0.001) / 10)) AS INT)) AS qb,
+        |    LEAST(9, CAST(FLOOR((p - plo) / ((phi - plo + 0.001) / 10)) AS INT)) AS pb,
+        |    rev
+        |  FROM li CROSS JOIN mm)
+        |SELECT qb, pb, COUNT(*) AS n,
+        |       ROUND(CAST(SUM(rev) AS DOUBLE), 2) AS revenue
+        |FROM binned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
     // §2 25hk hierarchical contribution shares (region → nation):
     // revenue rolled up the dimension hierarchy, each nation reported
     // with its share of the parent region and each region with its

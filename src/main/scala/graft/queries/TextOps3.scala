@@ -17,6 +17,65 @@ object TextOps3 {
 
   val defs: Map[String, QDef] = Map(
 
+    // §2 25hu Zipf-law fit of the word frequency distribution: OLS
+    // slope of log(freq) on log(rank) — the corpus-health statistic
+    // (natural text sits near −1; the synthetic corpus's near-uniform
+    // vocabulary sits near 0, which is itself the signal). Frequencies
+    // partial-aggregate to vocabulary scale; ranks come from a window
+    // over the BOUNDED vocabulary table (freq DESC, word ASC); the
+    // log-moment sums fold in rank order over one collected list, so
+    // the slope is one identical double expression on both engines.
+    "text_zipf_fit" -> QDef(
+      (s, dir) => {
+        val cw = docs(s, dir)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("f"))
+        val ranked = cw.withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("f").desc, col("w").asc)))
+        ranked
+          .groupBy()
+          .agg(count(lit(1)).as("n"),
+            sort_array(collect_list(struct(col("r"),
+              log(col("r").cast("double")).as("lx"),
+              log(col("f").cast("double")).as("ly")))).as("xs"))
+          .select(col("n"),
+            aggregate(col("xs"), lit(0.0), (a, x) => a + x.getField("lx")).as("sx"),
+            aggregate(col("xs"), lit(0.0), (a, x) => a + x.getField("ly")).as("sy"),
+            aggregate(col("xs"), lit(0.0),
+              (a, x) => a + x.getField("lx") * x.getField("lx")).as("sxx"),
+            aggregate(col("xs"), lit(0.0),
+              (a, x) => a + x.getField("lx") * x.getField("ly")).as("sxy"))
+          .select(col("n").as("vocab"),
+            round((col("n").cast("double") * col("sxy") - col("sx") * col("sy")) /
+              (col("n").cast("double") * col("sxx") - col("sx") * col("sx")), 4)
+              .as("zipf_slope"))
+      },
+      """WITH cw AS (
+        |  SELECT w, COUNT(*) AS f
+        |  FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        |ranked AS (
+        |  SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, w ASC) AS r FROM cw),
+        |xs AS (
+        |  SELECT COUNT(*) AS n,
+        |    list(ln(CAST(r AS DOUBLE)) ORDER BY r) AS lx,
+        |    list(ln(CAST(f AS DOUBLE)) ORDER BY r) AS ly,
+        |    list(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)) ORDER BY r) AS lxx,
+        |    list(ln(CAST(r AS DOUBLE)) * ln(CAST(f AS DOUBLE)) ORDER BY r) AS lxy
+        |  FROM ranked),
+        |m AS (
+        |  SELECT n,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), lx), (a, b) -> a + b) AS sx,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ly), (a, b) -> a + b) AS sy,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), lxx), (a, b) -> a + b) AS sxx,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), lxy), (a, b) -> a + b) AS sxy
+        |  FROM xs)
+        |SELECT CAST(n AS BIGINT) AS vocab,
+        |  ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |      / (CAST(n AS DOUBLE) * sxx - sx * sx), 4) AS zipf_slope
+        |FROM m""".stripMargin),
+
     // §2 25hi RAKE keyphrases. Scale shape: phrase runs come from
     // per-document windows (doc_id partitions, high cardinality); the
     // word-statistics table partial-aggregates to vocabulary scale and
