@@ -20,7 +20,9 @@ object Buckets {
     * a broadcast nb-row prefix-count table, and a per-bucket
     * row_number. Equals ROW_NUMBER() OVER (ORDER BY value, tie) because
     * bucket assignment is monotone in the value. The tie column must
-    * make the ordering total or the rank is nondeterministic.
+    * make the ordering total or the rank is nondeterministic. The
+    * caller's frame must not already carry columns named `b` or
+    * `off_n` — both are claimed (and consumed) by the composition.
     */
   def globalRowNumber(df: DataFrame, value: Column, tie: Column, nb: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
