@@ -111,22 +111,31 @@ object TpchOps2 {
         val supp = t(s, dir, "supplier")
           .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
           .select("s_suppkey", "n_name")
+        // Exact DECIMAL profit terms: the double formulation rounded a
+        // 1-cent tie differently per engine at sf0.001 (a .xx5-boundary
+        // sum). Tight casts keep the product precision at (28,5);
+        // sums stay exact at any corpus size, and ROUND of an exact
+        // decimal is half-away-from-zero on both engines.
         val profit =
-          col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
-            lit(0.6) * col("p_retailprice") * col("l_quantity")
+          col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(BigDecimal("1.00")) - col("l_discount").cast("decimal(12,2)")) -
+            lit(BigDecimal("0.6")) * col("p_retailprice").cast("decimal(12,2)") *
+              col("l_quantity").cast("decimal(12,2)")
         t(s, dir, "lineitem")
           .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
           .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
           // the one big-big shuffle: lineitem ⋈ orders on orderkey
           .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
-          .agg(round(sum(profit), 2).as("sum_profit"))
+          .agg(round(sum(profit), 2).cast("double").as("sum_profit"))
           .orderBy(col("nation"), col("o_year").desc)
       },
       """SELECT n_name AS nation,
         |  CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
-        |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)
-        |            - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |              * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))
+        |            - CAST('0.6' AS DECIMAL(2,1)) * CAST(p_retailprice AS DECIMAL(12,2))
+        |              * CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_profit
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
         |JOIN supplier ON l_suppkey = s_suppkey
