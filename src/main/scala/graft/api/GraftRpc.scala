@@ -29,7 +29,20 @@ final class GraftRpc(root: SparkSession, backend: graft.engine.ExecutorMode = gr
     */
   private val resolver: graft.engine.TableResolver = backend match {
     case graft.engine.ExecutorMode.Local => graft.engine.LocalResolver
-    case graft.engine.ExecutorMode.BigQuery => new graft.engine.BigQueryResolver()
+    case graft.engine.ExecutorMode.BigQuery =>
+      // Same env contract as the reference client init (bigquery.rs:40
+      // reads BQ_DATASET; project comes from credentials there — here it
+      // must be explicit since the connector wants parentProject).
+      new graft.engine.BigQueryResolver(
+        defaultProject = sys.env.get("BQ_PROJECT"),
+        defaultDataset = sys.env.get("BQ_DATASET"),
+        materializationDataset = sys.env.get("BQ_MATERIALIZATION_DATASET"),
+        temporaryGcsBucket = sys.env.get("BQ_TEMP_GCS_BUCKET"))
+    case graft.engine.ExecutorMode.Jdbc =>
+      new graft.engine.JdbcResolver(
+        sys.env.getOrElse("GRAFT_JDBC_URL",
+          throw graft.api.GraftError.InvalidParams(
+            "jdbc backend needs GRAFT_JDBC_URL")))
   }
   private val dags = new ConcurrentHashMap[String, Dag]()
   private val lastRun = new ConcurrentHashMap[String, graft.engine.DagResult]()

@@ -55,20 +55,38 @@ object LocalResolver extends TableResolver {
     else throw GraftError.UnknownTable(name)
 }
 
-/** Remote backend integration point (reference: src/executor/bigquery.rs).
+/** Remote backend integration point (reference: src/executor/bigquery.rs),
+  * covering the reference executor's whole surface against the PUBLIC
+  * spark-bigquery-connector API (`format("bigquery")` DataSource V2):
   *
-  * Builds the exact DataSource V2 read the spark-bigquery connector
-  * expects (`format("bigquery")` + table/project options, with
-  * `viewsEnabled` and predicate/column pushdown left to the connector's
-  * Spark integration). The connector jar is not shippable in this
-  * zero-egress environment, so [[resolve]] raises a typed QueryError
-  * explaining the missing backend; [[readerOptions]] is the seam a
-  * deployment wires up and what the spec verifies.
+  *  - [[resolve]]    — table read (bigquery.rs:27 client + table fetch);
+  *  - [[query]]      — SQL pushed to BigQuery's jobs.query through the
+  *                     connector's `query` option, which materializes
+  *                     into `materializationDataset` and paginates via
+  *                     the Storage Read API (bigquery.rs:150
+  *                     execute_query);
+  *  - [[statement]]  — DDL/DML through the same jobs.query submission
+  *                     (bigquery.rs:197 execute_statement, which is the
+  *                     identical QueryRequest with the affected-row
+  *                     count read back);
+  *  - [[persist]] / [[loadParquet]] — truncate-write a result or a
+  *                     parquet file into a BigQuery table
+  *                     (bigquery.rs:52 load_parquet, WriteTruncate);
+  *                     `writeMethod=direct` uses the Storage Write API,
+  *                     or `indirect` staging through `temporaryGcsBucket`
+  *                     when one is configured (the GCS path the
+  *                     reference's load job requires).
+  *
+  * The connector jar cannot exist in this zero-egress environment, so
+  * every runtime entry degrades to a typed QueryError naming the missing
+  * backend; the option-builder methods are the exact maps a deployment
+  * wires up and what the contract spec verifies.
   */
 final class BigQueryResolver(
     defaultProject: Option[String] = None,
     defaultDataset: Option[String] = None,
-    materializationDataset: Option[String] = None)
+    materializationDataset: Option[String] = None,
+    temporaryGcsBucket: Option[String] = None)
     extends TableResolver {
 
   val mode: ExecutorMode = ExecutorMode.BigQuery
@@ -88,18 +106,85 @@ final class BigQueryResolver(
       defaultProject.map("parentProject" -> _) ++
       materializationDataset.map("materializationDataset" -> _)
 
-  def resolve(spark: SparkSession, name: String): DataFrame =
-    try spark.read.format("bigquery").options(readerOptions(name)).load()
+  /** Options for a pushed-down SQL job: the connector's `query` read
+    * requires `viewsEnabled` and a materialization dataset (BigQuery
+    * writes the job result there; the connector then reads it back with
+    * Storage Read API pagination — the connector-side twin of the
+    * reference's jobs.query + page loop).
+    */
+  def queryOptions(sql: String): Map[String, String] =
+    Map("query" -> sql, "viewsEnabled" -> "true") ++
+      defaultProject.map("parentProject" -> _) ++
+      materializationDataset.map("materializationDataset" -> _)
+
+  /** Options for a truncate-write into `name`: Storage Write API when no
+    * staging bucket is configured, parquet staging through GCS when one
+    * is (the reference's load job always stages — bigquery.rs:59 rejects
+    * non-gs:// paths; `direct` is the connector improvement on that).
+    */
+  def writerOptions(name: String): Map[String, String] =
+    Map("table" -> qualifiedName(name),
+      "writeMethod" -> temporaryGcsBucket.fold("direct")(_ => "indirect")) ++
+      defaultProject.map("parentProject" -> _) ++
+      temporaryGcsBucket.map("temporaryGcsBucket" -> _)
+
+  /** Wrap the connector-absent failure modes into the typed taxonomy. */
+  private def connect[A](what: String)(body: => A): A =
+    try body
     catch {
+      case e: GraftError => throw e
       case e: ClassNotFoundException =>
         throw GraftError.QueryError(
           s"BigQuery backend selected but spark-bigquery connector is not on the classpath " +
-            s"(resolving ${qualifiedName(name)}): ${e.getMessage}")
+            s"($what): ${e.getMessage}")
       case e: org.apache.spark.sql.AnalysisException =>
         throw GraftError.QueryError(
           s"BigQuery backend selected but spark-bigquery connector is not on the classpath " +
-            s"(resolving ${qualifiedName(name)}): ${e.getMessage}")
+            s"($what): ${e.getMessage}")
     }
+
+  def resolve(spark: SparkSession, name: String): DataFrame =
+    connect(s"resolving ${qualifiedName(name)}") {
+      spark.read.format("bigquery").options(readerOptions(name)).load()
+    }
+
+  /** Push `sql` to BigQuery as a job and read the result back — the
+    * bq.query path in bigquery mode (reference execute_query).
+    */
+  def query(spark: SparkSession, sql: String): DataFrame =
+    connect("executing query job") {
+      spark.read.format("bigquery").options(queryOptions(sql)).load()
+    }
+
+  /** DDL/DML statement through the same job submission; the returned
+    * count mirrors num_dml_affected_rows (reference execute_statement —
+    * the identical QueryRequest, different result field).
+    */
+  def statement(spark: SparkSession, sql: String): Long =
+    connect("executing statement job") {
+      query(spark, sql).count()
+    }
+
+  /** Truncate-write a materialized result into a BigQuery table
+    * (the DAG materialization step against the real backend).
+    */
+  def persist(df: DataFrame, name: String): Unit =
+    connect(s"writing ${qualifiedName(name)}") {
+      df.write.format("bigquery").options(writerOptions(name))
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).save()
+    }
+
+  /** Reference load_parquet: a parquet file becomes a BigQuery table
+    * (WriteTruncate); returns the row count like the reference's load
+    * job statistics. The parquet read is Spark-local; only the write
+    * needs the connector.
+    */
+  def loadParquet(spark: SparkSession, name: String, path: String): Long = {
+    val df = spark.read.parquet(path)
+    val n = df.count()
+    persist(df, name)
+    n
+  }
 }
 
 /** Concrete remote backend with REAL I/O through the seam: tables

@@ -55,10 +55,17 @@ final class GraftSession private[engine] (
     rows.size.toLong
   }
 
-  /** Run SQL against this session's tables (BigQuery-dialect syntax that
-    * Spark's parser rejects is rewritten first — see [[GraftSession.rewriteBqSyntax]]).
+  /** Run SQL against this session's tables. In bigquery mode the text is
+    * pushed VERBATIM to BigQuery as a job through the resolver
+    * (reference executor dispatch: BigQuery sessions send SQL to
+    * jobs.query, not the local engine — executor/mod.rs); locally,
+    * BigQuery-dialect syntax Spark's parser rejects is rewritten first
+    * (see [[GraftSession.rewriteBqSyntax]]).
     */
-  def sql(q: String): DataFrame = spark.sql(rewriteBqSyntax(q))
+  def sql(q: String): DataFrame = resolver match {
+    case bq: BigQueryResolver => bq.query(spark, q)
+    case _ => spark.sql(rewriteBqSyntax(q))
+  }
 
   def listTables(): Seq[String] =
     spark.catalog.listTables().collect().map(_.name).toSeq.sorted

@@ -88,7 +88,8 @@ object Analytics7 {
           .orderBy("qb", "pb")
       },
       """WITH li AS (
-        |  SELECT l_quantity AS q, l_extendedprice AS p,
+        |  SELECT CAST(l_quantity AS DOUBLE) AS q,
+        |         CAST(l_extendedprice AS DOUBLE) AS p,
         |         CAST(l_extendedprice AS DECIMAL(18,2)) AS rev
         |  FROM lineitem),
         |mm AS (

@@ -124,18 +124,21 @@ object BasketOps {
         // a driver-side count() — one action, one fused execution.
         val nrow = broadcast(cc.agg(count(lit(1)).as("nc")))
         // All three metrics rank through ONE partitioned bucket-offset
-        // pipeline: unpivot to (metric, value) rows — doubles carry the
-        // exact total order here (rec/freq are integers, mon is a 2-dp
-        // DECIMAL, all < 2⁵³ when scaled) — then per-metric min/max,
-        // per-(metric, bucket) prefix offsets, and one windowed
-        // row_number partitioned by (metric, bucket). Three separate
-        // rank branches plan ~3× the stages for identical output; the
-        // fused pipeline is ~6 shuffles of 3·|customers| tiny rows.
+        // pipeline: unpivot to (metric, value) rows as EXACT BIGINTs
+        // (rec/freq are integers; mon is a 2-dp DECIMAL scaled ×100) so
+        // the rank order is exact at any scale — a double unpivot would
+        // collide distinct monetary sums above 2⁵³/100 and tie-break by
+        // custkey while the oracle tie-breaks by true value — then
+        // per-metric min/max, per-(metric, bucket) prefix offsets, and
+        // one windowed row_number partitioned by (metric, bucket).
+        // Three separate rank branches plan ~3× the stages for identical
+        // output; the fused pipeline is ~6 shuffles of 3·|customers|
+        // tiny rows.
         val nb = 32
         val metrics = cc.select(col("o_custkey"), expr(
-          """stack(3, 'r', cast(rec  as double),
-            |         'f', cast(freq as double),
-            |         'm', cast(mon  as double)) AS (met, v)""".stripMargin))
+          """stack(3, 'r', cast(rec       as bigint),
+            |         'f', cast(freq      as bigint),
+            |         'm', cast(mon * 100 as bigint)) AS (met, v)""".stripMargin))
         val mm = metrics.groupBy("met").agg(min("v").as("lo"), max("v").as("hi"))
         val bucketed = metrics.join(broadcast(mm), "met")
           .withColumn("b", least(lit(nb - 1),
@@ -208,7 +211,7 @@ object BasketOps {
           .orderBy("bin")
       },
       """WITH o AS (
-        |  SELECT o_totalprice AS x,
+        |  SELECT CAST(o_totalprice AS DOUBLE) AS x,
         |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g
         |  FROM orders),
         |mm AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM o),

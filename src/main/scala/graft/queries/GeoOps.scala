@@ -106,9 +106,13 @@ object GeoOps {
           .withColumn("cell", substring(GraftFunctions.geohash6(col("clat"), col("clon")), 1, 1))
         val supp = suppPoints(s, dir)
           .withColumn("cell", substring(GraftFunctions.geohash6(col("slat"), col("slon")), 1, 1))
+        // Rank on dist rounded to 6 dp (like every ANN path here):
+        // sin/cos/asin can differ from the oracle's libm by ulps, and an
+        // unrounded near-tie could flip the per-customer argmin or the
+        // global top-20 cut on one engine only.
         cust.join(supp, "cell")
           .withColumn("dist",
-            haversineKm(col("clat"), col("clon"), col("slat"), col("slon")))
+            round(haversineKm(col("clat"), col("clon"), col("slat"), col("slon")), 6))
           .groupBy("c_custkey")
           .agg(min(struct(col("dist"), col("s_suppkey"))).as("m"))
           .select(col("c_custkey"),
@@ -149,10 +153,10 @@ object GeoOps {
         |  FROM supp),
         |pairs AS (
         |  SELECT c_custkey, s_suppkey,
-        |    12742.0 * ASIN(SQRT(
+        |    ROUND(12742.0 * ASIN(SQRT(
         |      SIN(RADIANS(slat - clat) / 2.0) * SIN(RADIANS(slat - clat) / 2.0)
         |      + COS(RADIANS(clat)) * COS(RADIANS(slat))
-        |        * SIN(RADIANS(slon - clon) / 2.0) * SIN(RADIANS(slon - clon) / 2.0)))
+        |        * SIN(RADIANS(slon - clon) / 2.0) * SIN(RADIANS(slon - clon) / 2.0))), 6)
         |      AS dist
         |  FROM cc JOIN sc USING (cell)),
         |nearest AS (

@@ -41,6 +41,18 @@ object IvfOps {
       .withColumn("csim", best.getField("sim"))
   }
 
+  /** Deterministic ABSOLUTE-size training sample: hash-rank top-n by
+    * md5(vec_id) — a TakeOrdered that keeps ≤ n rows per map partition
+    * and never shuffles the corpus. An absolute cap (vs the previous
+    * 1-in-5 modulus) is what survives scale: at 10⁹ vectors a fractional
+    * sample still feeds 2×10⁸ rows into every Lloyd pass, while the
+    * quantizer only needs cluster SHAPE — n ≈ 256 × codes is the
+    * standard k-means sizing. Cached: each Lloyd iteration re-reads it.
+    */
+  private[graft] def trainSample(e: DataFrame, n: Int): DataFrame =
+    e.sort(md5(col("vec_id").cast("string")), col("vec_id")).limit(n)
+      .select("v").cache()
+
   /** Iterative Lloyd training of a coarse quantizer: assign (map-only
     * against the literal codebook) → re-center (one partial-aggregated
     * shuffle keyed by (cell, dim)) → repeat. Driver traffic per round is
@@ -82,12 +94,13 @@ object IvfOps {
         val e = Eval.barrier(Eval.fanOut(
           emb(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v")))).cache()
         // Deterministic seeds spread across the id range; the Lloyd step
-        // trains on a 1-in-5 sample (standard IVF practice — the quantizer
-        // needs cluster shape, not every vector).
+        // trains on an absolute-size hash-rank sample (256 rows per cell
+        // — constant as the corpus grows; the quantizer needs cluster
+        // shape, not every vector).
         val seeds: Seq[Seq[Double]] = e.filter(col("vec_id") % lit(29) === 0)
           .sort("vec_id").limit(k)
           .select("v").collect().map(_.getSeq[Double](0)).toSeq
-        val sample = e.filter(col("vec_id") % lit(5) === 0)
+        val sample = trainSample(e, 256 * k)
         val cents: Seq[Seq[Double]] = trainCodebook(sample, seeds, iters = 2)
         val cells = assignLiteral(e, cents)
 

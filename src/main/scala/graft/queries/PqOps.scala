@@ -54,7 +54,9 @@ object PqOps {
     * Empty cells keep their previous centroid.
     */
   def train(e: DataFrame, m: Int, sub: Int, codes: Int, iters: Int): PqModel = {
-    val sample = e.filter(col("vec_id") % lit(5) === 0).select("v")
+    // Absolute-size deterministic sample (256 rows per code): constant
+    // training cost as the corpus grows — see IvfOps.trainSample.
+    val sample = IvfOps.trainSample(e, 256 * codes)
     val seedVecs = e.filter(col("vec_id") % lit(31) === 0)
       .sort("vec_id").limit(codes)
       .select("v").collect().map(_.getSeq[Double](0)).toSeq

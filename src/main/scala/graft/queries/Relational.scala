@@ -363,24 +363,99 @@ object Relational {
     // continuous doubles; ranking the sorted group costs one shuffle-sort
     // and scales.
     "q_percentile" -> QDef(
-      (s, dir) =>
-        // Spark's exact `percentile` aggregate interpolates at rank
-        // p(n-1)+1 — the same PERCENTILE_CONT/quantile_cont semantics —
-        // but as a mergeable aggregate with map-side partials, instead of
-        // a full sort inside a window partitioned by a 3-value key (which
-        // caps parallelism at 3 reducers regardless of cluster size).
-        t(s, dir, "lineitem")
+      (s, dir) => {
+        // PERCENTILE_CONT(p) = lo + frac·(hi − lo) over the two EXACT
+        // order statistics at ranks ⌊p(n−1)⌋+1 and ⌊p(n−1)⌋+2 — the
+        // interpolation is ONE fixed-order double expression the oracle
+        // mirrors token-for-token, so the result is engine-exact at
+        // every SF (the builtin `percentile` aggregate's internal
+        // arithmetic differed from quantile_cont by ulps, which flipped
+        // a 2-dp rounding boundary at sf0.001). Rank extraction is the
+        // per-group bucket-offset composition: per-flag min/max, 32
+        // fixed-width buckets, broadcast prefix offsets, row_number per
+        // (flag, bucket) — no window ever sees more than a bucket, so
+        // parallelism is 3×32 reducers, not 3.
+        import org.apache.spark.sql.expressions.Window
+        val nb = 32
+        val li = t(s, dir, "lineitem").select(
+          col("l_returnflag").as("flag"),
+          col("l_extendedprice").as("v"),
+          col("l_orderkey"), col("l_linenumber"))
+        val mm = li.groupBy("flag").agg(
+          min("v").as("lo"), max("v").as("hi"), count(lit(1)).as("n"))
+        val bucketed = li.join(broadcast(mm.select("flag", "lo", "hi")), "flag")
+          .withColumn("b", least(lit(nb - 1),
+            floor((col("v") - col("lo")) / ((col("hi") - col("lo") + 0.001) / nb))
+              .cast("int")))
+        val offs = bucketed.groupBy("flag", "b").agg(count(lit(1)).as("bn"))
+          .withColumn("off_n", coalesce(sum("bn").over(
+            Window.partitionBy("flag").orderBy("b")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("flag", "b", "off_n")
+        val ranked = bucketed.join(broadcast(offs), Seq("flag", "b"))
+          .withColumn("i", col("off_n") + row_number().over(
+            Window.partitionBy("flag", "b")
+              .orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))))
+          .select("flag", "v", "i")
+        // 3 flags × 2 quantiles → 6 target rows: neighbor ranks + the
+        // fractional weight, every double op in the same order as the
+        // oracle's CTE (p·(n−1), FLOOR, subtract).
+        // `targets` shares lineage with `ranked` (both descend from li),
+        // so the join key must be RENAMED — an unaliased flag === flag
+        // resolves both sides to the same attribute and degenerates to a
+        // trivially-true cross join.
+        val targets = mm.select(col("flag").as("tflag"), col("n"),
+            explode(array(lit(0.5), lit(0.95))).as("p"))
+          .withColumn("h", col("p") * (col("n") - 1).cast("double"))
+          .withColumn("kf", (floor(col("h")) + 1).cast("long"))
+          .withColumn("kc", least(col("kf") + 1, col("n")))
+          .withColumn("frac", col("h") - floor(col("h")))
+          .select("tflag", "p", "kf", "kc", "frac")
+        ranked.join(broadcast(targets),
+            col("flag") === col("tflag") &&
+              (col("i") === col("kf") || col("i") === col("kc")))
+          .groupBy(col("flag").as("l_returnflag"), col("p"), col("frac"))
+          .agg(max(when(col("i") === col("kf"), col("v"))).as("lov"),
+            max(when(col("i") === col("kc"), col("v"))).as("hiv"))
           .groupBy("l_returnflag")
-          .agg(percentile(col("l_extendedprice"), array(lit(0.5), lit(0.95))).as("qs"))
-          .select(
-            col("l_returnflag"),
-            round(element_at(col("qs"), 1), 2).as("p50"),
-            round(element_at(col("qs"), 2), 2).as("p95"))
-          .orderBy("l_returnflag"),
-      """SELECT l_returnflag,
-        |  ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-        |  ROUND(quantile_cont(l_extendedprice, 0.95), 2) AS p95
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+          // The 2-dp rounding is ALSO written as explicit identical IEEE
+          // ops (⌊x·100 + 0.5⌋ / 100): an interpolated value can land
+          // within an ulp of a half-cent boundary, where Spark's
+          // BigDecimal-based round and DuckDB's multiply-first ROUND
+          // disagree by one cent.
+          .agg(
+            (floor(max(when(col("p") === 0.5,
+              col("lov") + col("frac") * (col("hiv") - col("lov")))) * 100 + 0.5)
+              / 100.0).as("p50"),
+            (floor(max(when(col("p") === 0.95,
+              col("lov") + col("frac") * (col("hiv") - col("lov")))) * 100 + 0.5)
+              / 100.0).as("p95"))
+          .orderBy("l_returnflag")
+      },
+      """WITH li AS (
+        |  SELECT l_returnflag AS flag, l_extendedprice AS v FROM lineitem),
+        |cnt AS (SELECT flag, COUNT(*) AS n FROM li GROUP BY flag),
+        |ranked AS (
+        |  SELECT flag, v, ROW_NUMBER() OVER (PARTITION BY flag ORDER BY v) AS i
+        |  FROM li),
+        |t AS (
+        |  SELECT flag, n, p,
+        |    CAST(FLOOR(p * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 AS kf,
+        |    LEAST(CAST(FLOOR(p * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 2, n) AS kc,
+        |    p * CAST(n - 1 AS DOUBLE) - FLOOR(p * CAST(n - 1 AS DOUBLE)) AS frac
+        |  FROM cnt CROSS JOIN (SELECT UNNEST([0.5, 0.95]) AS p)),
+        |pick AS (
+        |  SELECT t.flag, t.p, t.frac,
+        |    MAX(CASE WHEN i = kf THEN v END) AS lov,
+        |    MAX(CASE WHEN i = kc THEN v END) AS hiv
+        |  FROM t JOIN ranked ON ranked.flag = t.flag AND (i = kf OR i = kc)
+        |  GROUP BY 1, 2, 3)
+        |SELECT flag AS l_returnflag,
+        |  FLOOR(MAX(CASE WHEN p = 0.5  THEN lov + frac * (hiv - lov) END) * 100 + 0.5)
+        |    / 100.0 AS p50,
+        |  FLOOR(MAX(CASE WHEN p = 0.95 THEN lov + frac * (hiv - lov) END) * 100 + 0.5)
+        |    / 100.0 AS p95
+        |FROM pick GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // §2.1#20 cohort analysis + COUNT(DISTINCT) (olap_test.clj test-cohort-analysis)
     "q_cohort" -> QDef(

@@ -26,20 +26,36 @@ object AggViewStream {
   /** Maintain the view at `tableDir` from a stream of rows, grouped by
     * `keyCol` over `valCol`. Snapshot schema:
     * (keyCol, n BIGINT, s DOUBLE, mn DOUBLE, mx DOUBLE).
+    *
+    * RETRACTIONS: a row with `op = 'd'` (optional column — absent means
+    * all upserts) is a tombstone carrying the ORIGINAL value (the
+    * Flink-style retract-record contract: the revoker re-sends what it
+    * once inserted — e.g. a takedown pipeline replays the revoked doc's
+    * rows flagged 'd'). Counts and sums subtract exactly (the signed
+    * counter algebra stays mergeable and order-independent); a key whose
+    * count reaches 0 LEAVES the view entirely. `mn`/`mx` are lifetime
+    * RANGE BOUNDS — they cannot tighten on retraction without replaying
+    * history (the classic min/max non-retractability), so they stay
+    * conservative: still correct as bounds on every value ever admitted,
+    * documented as such for planner/contract readers.
     */
   def aggViewSink(
       rows: DataFrame, keyCol: String, valCol: String,
       tableDir: String, checkpointDir: String, retainSnapshots: Int = 3): StreamingQuery =
     SnapshotStore.snapshotSink(rows, tableDir, checkpointDir, retainSnapshots) {
       (prev, batch) =>
-        val fresh = batch
+        val b =
+          if (batch.columns.contains("op")) batch
+          else batch.withColumn("op", lit("u"))
+        val sgn = when(col("op") === "d", lit(-1L)).otherwise(lit(1L))
+        val fresh = b
           .groupBy(col(keyCol))
           .agg(
-            count(lit(1)).as("n"),
-            sum(col(valCol).cast("double")).as("s"),
-            min(col(valCol).cast("double")).as("mn"),
-            max(col(valCol).cast("double")).as("mx"))
-        prev match {
+            sum(sgn).as("n"),
+            sum(sgn.cast("double") * col(valCol).cast("double")).as("s"),
+            min(when(col("op") =!= "d", col(valCol).cast("double"))).as("mn"),
+            max(when(col("op") =!= "d", col(valCol).cast("double"))).as("mx"))
+        val merged = prev match {
           case Some(p) =>
             p.unionByName(fresh)
               .groupBy(col(keyCol))
@@ -47,6 +63,9 @@ object AggViewStream {
                 min("mn").as("mn"), max("mx").as("mx"))
           case None => fresh
         }
+        // Fully-revoked keys leave the view; over-retraction (more
+        // deletes than inserts ever seen) also resolves to absence.
+        merged.filter(col("n") > 0)
     }
 
   /** Read the current view, with derived columns (avg) computed from the

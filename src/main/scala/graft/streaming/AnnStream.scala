@@ -58,28 +58,52 @@ object AnnStream {
     * index size — and the result merges into the latest committed
     * snapshot by `vec_id` (latest ingest wins, so a re-sent vector is an
     * upsert; existing rows keep their stored encoding through the merge).
+    *
+    * TOMBSTONES: a batch row with `deleted = true` (optional column —
+    * absent means all upserts) REVOKES its vec_id: the merge resolves
+    * latest-batch-wins as usual, and when the winner is a tombstone the
+    * vec_id is dropped from the snapshot entirely — so no later search
+    * can return it, the tombstone itself occupies no permanent state
+    * (the snapshot stays exactly the live rows), and a subsequent
+    * re-insert of the id simply wins a later batch. Within one batch a
+    * delete beats an upsert of the same id (deterministic, and the
+    * conservative choice for takedowns). Replay-idempotent like every
+    * merge here: a replayed batch re-derives the same winners from the
+    * same strictly-below snapshot.
     */
   private def indexSink(
       vectors: DataFrame, encodeBatch: DataFrame => DataFrame,
       tableDir: String, checkpointDir: String, retainSnapshots: Int): StreamingQuery =
     SnapshotStore.snapshotSinkWithId(vectors, tableDir, checkpointDir, retainSnapshots) {
       (prev, batch, batchId) =>
+        val b =
+          if (batch.columns.contains("deleted")) batch
+          else batch.withColumn("deleted", lit(false))
         val fresh = encodeBatch(
-            batch.select(col("vec_id").cast("long").as("vec_id"), col("v")))
+            b.filter(!col("deleted"))
+              .select(col("vec_id").cast("long").as("vec_id"), col("v")))
           .withColumn("ingest_batch", lit(batchId))
-        val all = prev.map(_.unionByName(fresh)).getOrElse(fresh)
+          .withColumn("__del", lit(false))
+        val tombs = b.filter(col("deleted"))
+          .select(col("vec_id").cast("long").as("vec_id"),
+            lit(batchId).as("ingest_batch"), lit(true).as("__del"))
+        val all = prev.map(_.withColumn("__del", lit(false)))
+          .map(_.unionByName(fresh, allowMissingColumns = true))
+          .getOrElse(fresh)
+          .unionByName(tombs, allowMissingColumns = true)
         // Latest ingest wins per vec_id: a hash-shuffle on vec_id sized
-        // by index + batch — no window over anything unkeyed. The
-        // payload-hash tie-break makes a duplicate vec_id WITHIN one
-        // micro-batch resolve deterministically (same contract as
-        // mergeSink's payload-column tie-breaks): without it a replayed
-        // batch could pick the other duplicate and commit a different
-        // snapshot than the first attempt.
+        // by index + batch — no window over anything unkeyed. Tie-breaks
+        // WITHIN one micro-batch are deterministic (same contract as
+        // mergeSink's payload-column tie-breaks): delete first, then
+        // payload hash — without them a replayed batch could pick the
+        // other duplicate and commit a different snapshot than the first
+        // attempt.
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("vec_id")
-          .orderBy(col("ingest_batch").desc, hash(col("v")).desc)
+          .orderBy(col("ingest_batch").desc, col("__del").desc, hash(col("v")).desc)
         all.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
+          .filter(col("__rn") === 1 && !col("__del"))
+          .drop("__rn", "__del")
     }
 
   /** Query the live index: ADC + exact re-rank over the latest committed

@@ -60,10 +60,17 @@ object TopkStream {
         // recompute beats a cache entry that would outlive the batch.
         val kept = comb.orderBy(col("hi").desc, col("item").asc).limit(k)
           .select("item", "lo", "hi")
+        // Floor update must be monotone even when NOTHING is evicted
+        // (steady state: every batch key already tracked → the anti-join
+        // frame is empty and max(hi) is NULL). Aggregating the floor out
+        // of the evicted rows would reset it to 0 in that case, breaking
+        // both invariants — so the previous floor always rides in via the
+        // one-row broadcast `fl` and the evicted max only ever raises it.
         val evictedMax = comb
           .join(kept.select("item"), Seq("item"), "left_anti")
-          .agg(greatest(coalesce(max("hi"), lit(0L)),
-            coalesce(max("floor"), lit(0L))).as("hi"))
+          .agg(coalesce(max("hi"), lit(0L)).as("evhi"))
+          .crossJoin(broadcast(fl))
+          .select(greatest(col("evhi"), col("floor")).as("hi"))
         kept.unionByName(
           evictedMax.select(lit(-1L).as("item"), lit(0L).as("lo"), col("hi")))
     }

@@ -1,0 +1,147 @@
+package graft.plans
+
+import graft.SparkSpec
+
+/** CI deployment of the advisory plan linter across the ENTIRE query
+  * inventory: every `SparkEntry.queries` builder is compiled at sf0.001
+  * and its static physical plan swept for the four scale-killer rules
+  * (cartesian product, non-equi nested-loop fallback, missed-broadcast
+  * shuffle join, unpartitioned window). The gate is a GOLDEN BASELINE:
+  * the per-query finding counts below were adjudicated by the r7/r8
+  * anti-pattern audits (every flagged node is one of the repo's
+  * documented bounded patterns — see the adjudication notes), and the
+  * spec fails when any query exceeds its baseline: a new query (or an
+  * edit to an old one) cannot introduce a cartesian, a non-equi
+  * fallback, or an unpartitioned window without a reviewed baseline
+  * update (`Test/runMain graft.plans.PlanLintBaselineGen`).
+  *
+  * Why a baseline and not an empty-findings assertion: the linter is
+  * deliberately blunt (it reads plan SHAPE, not boundedness), and the
+  * inventory's flagged nodes are all intentional —
+  *
+  *  - CARTESIAN_PRODUCT here is `crossJoin(broadcast(x))` where x is a
+  *    ONE-ROW aggregate (corpus totals / min-max / thresholds riding
+  *    along to avoid a driver collect) or a ≤dim-scale frame; output is
+  *    |L|×1, not |L|×|R|.
+  *  - NON_EQUI_JOIN is the broadcast-bounded candidate pattern: a
+  *    bounded side (probe queries, rank thresholds, df bands) against
+  *    the corpus with a non-equi predicate — the nested loop runs
+  *    map-side over a side that is bounded by construction.
+  *  - SMALL_SIDE_NOT_BROADCAST fires on sf0.001 STATS (both sides are
+  *    fact-scale at real SF, so shuffling both is the correct plan; the
+  *    lint can only see the toy-scale estimate).
+  *  - GLOBAL_WINDOW runs over frames bounded BEFORE the window:
+  *    calendar-day series, ≤nb bucket offset tables, post-LIMIT/top-k
+  *    frames, or oracle-mandated whole-result ranks over dim-scale
+  *    rows (q_window_ntile / q_cte_chain replicate reference test
+  *    semantics over customer-dim frames).
+  */
+class PlanLintInventorySpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Golden per-query finding counts (rule → count). Regenerate with
+    * PlanLintBaselineGen ONLY for adjudicated plan changes.
+    */
+  private val baseline: Map[String, Map[String, Int]] = Map(
+    "ann_cosine_topk" -> Map("NON_EQUI_JOIN" -> 1),
+    "ann_ivf_topk" -> Map("CARTESIAN_PRODUCT" -> 4, "NON_EQUI_JOIN" -> 2),
+    "ann_lsh_topk" -> Map("CARTESIAN_PRODUCT" -> 1, "NON_EQUI_JOIN" -> 2),
+    "ann_pq_topk" -> Map("CARTESIAN_PRODUCT" -> 2, "NON_EQUI_JOIN" -> 4),
+    "curate_cms_counts" -> Map("CARTESIAN_PRODUCT" -> 1),
+    "curate_global_index" -> Map("CARTESIAN_PRODUCT" -> 2, "GLOBAL_WINDOW" -> 1),
+    "curate_weighted_sample" -> Map("GLOBAL_WINDOW" -> 1),
+    "curate_winsorize" -> Map("CARTESIAN_PRODUCT" -> 4, "GLOBAL_WINDOW" -> 1, "NON_EQUI_JOIN" -> 1),
+    "dedup_clusters" -> Map("SMALL_SIDE_NOT_BROADCAST" -> 1),
+    "dedup_embedding" -> Map("NON_EQUI_JOIN" -> 1),
+    "emb_scalar_quant" -> Map("CARTESIAN_PRODUCT" -> 1),
+    "ev_anomaly_mad" -> Map("CARTESIAN_PRODUCT" -> 3),
+    "ev_cusum_changepoint" -> Map("CARTESIAN_PRODUCT" -> 1, "GLOBAL_WINDOW" -> 1),
+    "ev_daily_anomaly" -> Map("GLOBAL_WINDOW" -> 1),
+    "ev_ewma" -> Map("CARTESIAN_PRODUCT" -> 1, "GLOBAL_WINDOW" -> 1, "NON_EQUI_JOIN" -> 2),
+    "ev_funnel_negation" -> Map("CARTESIAN_PRODUCT" -> 2),
+    "ev_funnel_windowed" -> Map("CARTESIAN_PRODUCT" -> 2),
+    "ev_markov_stationary" -> Map("CARTESIAN_PRODUCT" -> 1),
+    "ev_max_drawdown" -> Map("GLOBAL_WINDOW" -> 2),
+    "ev_rolling_distinct" -> Map("GLOBAL_WINDOW" -> 1, "NON_EQUI_JOIN" -> 1),
+    "ev_seasonality" -> Map("CARTESIAN_PRODUCT" -> 1),
+    "ml_calibration" -> Map("CARTESIAN_PRODUCT" -> 5),
+    "ml_hard_negatives" -> Map("NON_EQUI_JOIN" -> 1),
+    "ml_knn_label" -> Map("CARTESIAN_PRODUCT" -> 1),
+    "ml_logreg_newton" -> Map("CARTESIAN_PRODUCT" -> 1),
+    "mm_dhash_neardup" -> Map("SMALL_SIDE_NOT_BROADCAST" -> 1),
+    "q_ab_test" -> Map("CARTESIAN_PRODUCT" -> 1),
+    "q_approx_topk" -> Map("CARTESIAN_PRODUCT" -> 1),
+    "q_assoc_rules" -> Map("CARTESIAN_PRODUCT" -> 1),
+    "q_benford" -> Map("CARTESIAN_PRODUCT" -> 1),
+    "q_bfs_hops" -> Map("SMALL_SIDE_NOT_BROADCAST" -> 1),
+    "q_block_sample_est" -> Map("CARTESIAN_PRODUCT" -> 1),
+    "q_chi_square" -> Map("CARTESIAN_PRODUCT" -> 1),
+    "q_concentration" -> Map("CARTESIAN_PRODUCT" -> 5, "GLOBAL_WINDOW" -> 2),
+    "q_cross_join" -> Map("CARTESIAN_PRODUCT" -> 1),
+    "q_cte_chain" -> Map("GLOBAL_WINDOW" -> 1),
+    "q_decile_lift" -> Map("CARTESIAN_PRODUCT" -> 1, "GLOBAL_WINDOW" -> 1),
+    "q_entity_resolution" -> Map("SMALL_SIDE_NOT_BROADCAST" -> 2),
+    "q_expectations" -> Map("CARTESIAN_PRODUCT" -> 1),
+    "q_full_outer_join" -> Map("SMALL_SIDE_NOT_BROADCAST" -> 2),
+    "q_hier_share" -> Map("GLOBAL_WINDOW" -> 1),
+    "q_histogram2d" -> Map("CARTESIAN_PRODUCT" -> 3),
+    "q_hll_merge" -> Map("CARTESIAN_PRODUCT" -> 2),
+    "q_hll_overlap" -> Map("CARTESIAN_PRODUCT" -> 1),
+    "q_interpolate" -> Map("GLOBAL_WINDOW" -> 3),
+    "q_js_divergence" -> Map("CARTESIAN_PRODUCT" -> 1),
+    "q_kll_merge" -> Map("CARTESIAN_PRODUCT" -> 1),
+    "q_ks_test" -> Map("CARTESIAN_PRODUCT" -> 3, "GLOBAL_WINDOW" -> 1),
+    "q_merge_upsert" -> Map("SMALL_SIDE_NOT_BROADCAST" -> 2),
+    "q_mom_growth" -> Map("GLOBAL_WINDOW" -> 1),
+    "q_pagerank" -> Map("CARTESIAN_PRODUCT" -> 4),
+    "q_rfm_segments" -> Map("CARTESIAN_PRODUCT" -> 1),
+    "q_rolling_slope" -> Map("GLOBAL_WINDOW" -> 3),
+    "q_skew_diagnose" -> Map("CARTESIAN_PRODUCT" -> 1),
+    "q_skyline" -> Map("CARTESIAN_PRODUCT" -> 2, "GLOBAL_WINDOW" -> 1),
+    "q_subquery_scalar" -> Map("CARTESIAN_PRODUCT" -> 1),
+    "q_table_diff" -> Map("SMALL_SIDE_NOT_BROADCAST" -> 2),
+    "q_tpch_q20" -> Map("SMALL_SIDE_NOT_BROADCAST" -> 1),
+    "q_tpch_q22" -> Map("NON_EQUI_JOIN" -> 1),
+    "q_triangle_count" -> Map("CARTESIAN_PRODUCT" -> 1),
+    "q_window_ntile" -> Map("GLOBAL_WINDOW" -> 1),
+    "q_woe_binning" -> Map("CARTESIAN_PRODUCT" -> 3),
+    "text_bigram_lm" -> Map("CARTESIAN_PRODUCT" -> 1),
+    "text_bm25" -> Map("CARTESIAN_PRODUCT" -> 1),
+    "text_inverted_index" -> Map("NON_EQUI_JOIN" -> 1),
+    "text_nb_lang" -> Map("CARTESIAN_PRODUCT" -> 2),
+    "text_pmi_topk" -> Map("CARTESIAN_PRODUCT" -> 2),
+    "text_tfidf_topk" -> Map("CARTESIAN_PRODUCT" -> 1),
+    "text_unigram_logprob" -> Map("CARTESIAN_PRODUCT" -> 1),
+    "text_zipf_fit" -> Map("GLOBAL_WINDOW" -> 1)
+  )
+
+  test("no query exceeds its golden plan-lint baseline (new cartesian / " +
+    "non-equi fallback / missed broadcast / global window fails CI)") {
+    val regressions = Seq.newBuilder[String]
+    val improvements = Seq.newBuilder[String]
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val counts: Map[String, Int] =
+        try PlanLints.findings(fn(spark, sfDir))
+          .groupBy(_.rule).view.mapValues(_.size).toMap
+        catch {
+          case e: Throwable =>
+            regressions += s"$name: builder threw ${e.getClass.getSimpleName}: ${e.getMessage}"
+            Map.empty
+        }
+      val base = baseline.getOrElse(name, Map.empty)
+      (counts.keySet ++ base.keySet).foreach { rule =>
+        val now = counts.getOrElse(rule, 0); val was = base.getOrElse(rule, 0)
+        if (now > was) regressions += s"$name: $rule $was -> $now"
+        else if (now < was) improvements += s"$name: $rule $was -> $now"
+      }
+      spark.catalog.clearCache()
+    }
+    val better = improvements.result()
+    if (better.nonEmpty)
+      info(s"plans improved vs baseline (update it): ${better.mkString("; ")}")
+    val worse = regressions.result()
+    assert(worse.isEmpty,
+      s"plan-lint regressions vs the golden baseline:\n  ${worse.mkString("\n  ")}")
+  }
+}

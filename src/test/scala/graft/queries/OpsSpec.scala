@@ -244,6 +244,27 @@ class OpsSpec extends SparkSpec {
     assert(r.getBoolean(2), "PQ ADC recall below floor")
   }
 
+  test("ANN training sample size is absolute: constant as the corpus grows") {
+    import graft.queries.VectorOps.asDouble
+    val e = graft.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val n = 128
+    val s1 = IvfOps.trainSample(e, n)
+    // "Grow" the corpus 4× by unioning id-shifted copies: the sample must
+    // stay pinned at n rows (the previous 1-in-5 modulus grew linearly).
+    val bigger = (0 to 3).map(i =>
+      e.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"), col("v")))
+      .reduce(_ unionByName _)
+    val s4 = IvfOps.trainSample(bigger, n)
+    assert(s1.count() == n, s"sample from base corpus: ${s1.count()} != $n")
+    assert(s4.count() == n, s"sample from 4x corpus: ${s4.count()} != $n")
+    // Deterministic: same corpus, same hash-rank order, same rows.
+    val a = s1.collect().map(_.getSeq[Double](0)).toSeq
+    val b = IvfOps.trainSample(e, n).collect().map(_.getSeq[Double](0)).toSeq
+    assert(a == b, "trainSample is not deterministic")
+    s1.unpersist(); s4.unpersist()
+  }
+
   test("every declared query runs at sf0.001 and returns rows") {
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sfDir).count()

@@ -6,6 +6,7 @@ import graft.SparkSpec
 
 object AggViewStreamSpec {
   final case class Sale(store: String, amount: Double)
+  final case class SaleOp(store: String, amount: Double, op: String)
 }
 
 class AggViewStreamSpec extends SparkSpec {
@@ -43,6 +44,41 @@ class AggViewStreamSpec extends SparkSpec {
       "b" -> ((1L, 5.0, 5.0, 5.0, 5.0)),
       "c" -> ((1L, 7.0, 7.0, 7.0, 7.0))))
 
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
+
+  test("retractions subtract from the view and a fully-revoked key leaves it") {
+    import AggViewStreamSpec.SaleOp
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("aggretract").toString
+    val table = s"$base/view"; val ckpt = s"$base/ckpt"
+    val input = MemoryStream[SaleOp]
+    def drain(): Unit =
+      AggViewStream.aggViewSink(input.toDF(), "store", "amount", table, ckpt)
+        .awaitTermination()
+    def view(): Map[String, (Long, Double)] =
+      AggViewStream.readView(spark, table).collect()
+        .map(r => r.getAs[String]("store") ->
+          ((r.getAs[Long]("n"), r.getAs[Double]("s")))).toMap
+
+    input.addData(
+      SaleOp("a", 10.0, "u"), SaleOp("a", 30.0, "u"), SaleOp("b", 5.0, "u"))
+    drain()
+    assert(view() == Map("a" -> ((2L, 40.0)), "b" -> ((1L, 5.0))))
+
+    // Retraction records re-send the original values flagged 'd' (the
+    // takedown pipeline's replay): a's revoked row subtracts exactly; b,
+    // fully revoked, LEAVES the view — its count reaches zero, and a
+    // reader never sees a zero-count residue row.
+    input.addData(SaleOp("a", 30.0, "d"), SaleOp("b", 5.0, "d"))
+    drain()
+    assert(view() == Map("a" -> ((1L, 10.0))))
+
+    // The revoked key can return later as a fresh insert.
+    input.addData(SaleOp("b", 8.0, "u"))
+    drain()
+    assert(view() == Map("a" -> ((1L, 10.0)), "b" -> ((1L, 8.0))))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
   }
 

@@ -9,10 +9,11 @@ import graft.queries.PqOps.PqModel
 
 object AnnStreamSpec {
   final case class AnnVec(vec_id: Long, v: Seq[Double])
+  final case class AnnVecOp(vec_id: Long, v: Seq[Double], deleted: Boolean)
 }
 
 class AnnStreamSpec extends SparkSpec {
-  import AnnStreamSpec.AnnVec
+  import AnnStreamSpec.{AnnVec, AnnVecOp}
 
   // Frozen 4-dim model: 2 subspaces × 2 codes, codebooks the unit axes —
   // encoding is transparent (sub-vector closer to (1,0) → code 0, to
@@ -135,6 +136,52 @@ class AnnStreamSpec extends SparkSpec {
     drain()
     assert(cids() == Map(1L -> 1, 2L -> 1, 3L -> 0))
     assert(top1(Seq(1.0, 0.0)) == 3L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
+
+  test("tombstones revoke vectors: a deleted vec_id is gone from every later snapshot and search; re-insert revives it") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("anntomb").toString
+    val table = s"$base/index"; val ckpt = s"$base/ckpt"
+    val input = MemoryStream[AnnVecOp]
+    def drain(): Unit =
+      AnnStream.pqIndexSink(input.toDF(), model, table, ckpt, retainSnapshots = 1)
+        .awaitTermination()
+    def ids(): Set[Long] =
+      StreamOps.latestSnapshot(spark, table).get.collect()
+        .map(_.getAs[Long]("vec_id")).toSet
+    def search(qv: Seq[Double], k: Int): Seq[Long] =
+      AnnStream.searchIndex(spark, table, model, Seq((100L, qv)), k = k)
+        .collect().map(_.getAs[Long]("neighbor_id")).toSeq
+
+    // batch 0: A, B, C live.
+    input.addData(
+      AnnVecOp(1L, vecA.v, deleted = false),
+      AnnVecOp(2L, vecB.v, deleted = false),
+      AnnVecOp(3L, vecC.v, deleted = false))
+    drain()
+    assert(ids() == Set(1L, 2L, 3L))
+
+    // batch 1: takedown of A (tombstone carries no payload requirement —
+    // the id suffices). A leaves the snapshot ENTIRELY (no tombstone row
+    // persists) and no search over any later snapshot can return it.
+    input.addData(AnnVecOp(1L, Seq(0.0, 0.0, 0.0, 0.0), deleted = true))
+    drain()
+    assert(ids() == Set(2L, 3L))
+    // Even a search FOR A's exact vector, asking for every remaining row:
+    assert(!search(vecA.v, k = 3).contains(1L))
+
+    // batch 2: same-batch delete+upsert of id 2 — delete wins
+    // (deterministic conservative takedown), while a fresh insert of the
+    // previously-deleted id 1 revives it.
+    input.addData(
+      AnnVecOp(2L, vecB.v, deleted = false),
+      AnnVecOp(2L, vecB.v, deleted = true),
+      AnnVecOp(1L, vecA.v, deleted = false))
+    drain()
+    assert(ids() == Set(1L, 3L))
+    assert(search(vecA.v, k = 1) == Seq(1L))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
   }
 }

@@ -61,4 +61,42 @@ class TopkStreamSpec extends SparkSpec {
 
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
   }
+
+  test("streaming heavy hitters: floor is monotone through a no-eviction batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("topkne").toString
+    val table = s"$base/hh"; val ckpt = s"$base/ckpt"
+    val k = 4
+    val input = MemoryStream[Ev]
+    def drain(): Unit =
+      TopkStream.topkSink(input.toDF(), table, ckpt, k = k).awaitTermination()
+
+    // Batch 0 overflows K so the floor rises above 0; batch 1 touches
+    // ONLY already-tracked keys (the steady state): nothing is evicted
+    // and the anti-join frame is empty. The floor must carry over, not
+    // reset — a reset would un-track-ably hide key 500 (count 3 from
+    // batch 0) behind floor 0 while its true count exceeds it.
+    val b0 = Seq.fill(10)(Ev(0L)) ++ Seq.fill(9)(Ev(1L)) ++
+      Seq.fill(8)(Ev(2L)) ++ Seq.fill(7)(Ev(3L)) ++ Seq.fill(3)(Ev(500L))
+    input.addData(b0: _*); drain()
+    val floorAfterB0 = TopkStream.floor(spark, table)
+    assert(floorAfterB0 >= 3L, s"eviction of key 500 must raise floor to >= 3, got $floorAfterB0")
+
+    val b1 = Seq.fill(5)(Ev(0L)) ++ Seq.fill(4)(Ev(1L))
+    input.addData(b1: _*); drain()
+    val floorAfterB1 = TopkStream.floor(spark, table)
+    assert(floorAfterB1 >= floorAfterB0,
+      s"no-eviction batch reset the floor: $floorAfterB0 -> $floorAfterB1")
+
+    // Completeness still holds against the exact recompute.
+    val exact = (b0 ++ b1).groupBy(_.user_id).view.mapValues(_.size.toLong).toMap
+    val tracked = SnapshotStore.latest(spark, table).get.collect()
+      .filter(_.getLong(0) != -1L).map(_.getLong(0)).toSet
+    exact.foreach { case (item, t) =>
+      if (t > floorAfterB1)
+        assert(tracked.contains(item), s"item $item (count $t > floor $floorAfterB1) untracked")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
 }
