@@ -59,7 +59,9 @@ object SparkEntry {
       graft.queries.TextOps3.defs ++
       graft.queries.Analytics7.defs ++
       graft.sources.SourceOps2.defs ++
-      graft.queries.EventOps3.defs
+      graft.queries.EventOps3.defs ++
+      graft.queries.SemDedupOps.defs ++
+      graft.queries.SurvivalOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -358,6 +358,68 @@ object MlOps {
         |SELECT bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS k,
         |  ROUND(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS obs_rate,
         |  ROUND(CAST(SUM(pq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_p
-        |FROM binned GROUP BY bin ORDER BY bin""".stripMargin)
+        |FROM binned GROUP BY bin ORDER BY bin""".stripMargin),
+
+    // §2 25ic exact ROC-AUC of the shared logreg classifier via the
+    // Mann-Whitney rank statistic: AUC = (#concordant pos-neg pairs +
+    // ½·#ties) / (n_pos·n_neg), computed WITHOUT enumerating pairs —
+    // per distinct predicted score (the 12-dp-quantized pq, so scores
+    // are bit-identical across engines), 2U = Σ_s np(s)·(2·nn_below(s)
+    // + nn(s)) over exact integers; the ONLY float op is the final
+    // division. nn_below comes from the bucket-offset prefix
+    // composition (per-bucket sums, a ≤nb-row offset window, a
+    // per-bucket cumulative window) — never an unpartitioned window
+    // over the corpus-scale distinct-score table.
+    "ml_auc" -> QDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val beta = broadcast(logregFit(s, dir))
+        val pred = logregInput(s, dir).crossJoin(beta)
+          .withColumn("pq", q12(
+            lit(1.0) / (lit(1.0) + exp(-(col("b0f") + col("b1f") * col("x"))))))
+        val scored = pred.groupBy("pq").agg(
+          sum("y").cast("long").as("np"),
+          (count(lit(1)) - sum("y")).cast("long").as("nn"))
+        val nb = 32
+        val mm = scored.agg(min(col("pq").cast("double")).as("lo"),
+          max(col("pq").cast("double")).as("hi"))
+        // Double-cast bucketing is monotone in the exact decimal (cast
+        // collisions just co-bucket; within-bucket order is exact pq).
+        val bucketed = scored.crossJoin(broadcast(mm))
+          .withColumn("b", least(lit(nb - 1),
+            floor((col("pq").cast("double") - col("lo")) /
+              ((col("hi") - col("lo") + 0.001) / nb)).cast("int")))
+        val offs = bucketed.groupBy("b").agg(sum("nn").as("bnn"))
+          .withColumn("off_nn", coalesce(sum("bnn").over(
+            Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("b", "off_nn")
+        val wb = Window.partitionBy("b").orderBy("pq")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        bucketed.join(broadcast(offs), "b")
+          .withColumn("cum_lt", col("off_nn") + coalesce(sum("nn").over(wb), lit(0L)))
+          .agg(sum("np").as("n_pos"), sum("nn").as("n_neg"),
+            sum(col("np") * (lit(2L) * col("cum_lt") + col("nn"))).as("u2"))
+          .select(col("n_pos"), col("n_neg"),
+            round(col("u2").cast("double") /
+              (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")), 6)
+              .as("auc"))
+      },
+      s"""$logregOracleCtes,
+        |pred AS (
+        |  SELECT y,
+        |    CAST(ROUND(1.0 / (1.0 + EXP(-(b0f + b1f * x))), 12) AS DECIMAL(26,12)) AS pq
+        |  FROM o CROSS JOIN betaf),
+        |scored AS (
+        |  SELECT pq, CAST(SUM(y) AS BIGINT) AS np,
+        |         CAST(COUNT(*) - SUM(y) AS BIGINT) AS nn
+        |  FROM pred GROUP BY pq),
+        |cum AS (
+        |  SELECT np, nn, COALESCE(SUM(nn) OVER (ORDER BY pq
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_lt
+        |  FROM scored)
+        |SELECT CAST(SUM(np) AS BIGINT) AS n_pos, CAST(SUM(nn) AS BIGINT) AS n_neg,
+        |  ROUND(CAST(SUM(np * (2 * cum_lt + nn)) AS DOUBLE)
+        |    / (2.0 * CAST(SUM(np) AS DOUBLE) * CAST(SUM(nn) AS DOUBLE)), 6) AS auc
+        |FROM cum""".stripMargin)
   )
 }

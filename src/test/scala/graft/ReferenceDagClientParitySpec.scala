@@ -339,4 +339,49 @@ class ReferenceDagClientParitySpec extends SparkSpec {
     val s2 = newSession()
     intercept[Exception] { q(s2, "SELECT * FROM cleanup_test") }
   }
+
+  // ---- client_test.clj connection-lifecycle tests: these exercise the
+  // CLIENT library (reference client.clj/core.clj), so they run through
+  // graft.api.GraftClient against a real spawned server process — the
+  // same process boundary the Clojure tests cross. ----
+
+  test("client_test.clj test-connection") {
+    val conn = api.GraftClient.connect(TestServer.serverCommand("stdio"))
+    try {
+      assert(conn.connected)
+      assert(conn.ping())
+      conn.close()
+      assert(!conn.connected)
+    } finally conn.close()
+  }
+
+  test("client_test.clj test-with-session-macro + test-close-with-session-cleans-up") {
+    val conn = api.GraftClient.connect(TestServer.serverCommand("stdio"))
+    try {
+      // with-session macro: session id non-empty, handle carries its
+      // connection, session destroyed on exit (its tables are gone from
+      // a later session) while the CONNECTION stays open.
+      val sid = conn.withSession { s =>
+        assert(s.sessionId.nonEmpty)
+        assert(s.conn eq conn)
+        s.createTable("macro_t", Seq("x" -> "INT64"))
+        s.sessionId
+      }
+      assert(conn.connected, "with-session must not close the connection")
+      conn.withSession { s2 =>
+        assert(s2.sessionId != sid)
+        intercept[api.GraftError.QueryError](s2.queryRaw("SELECT * FROM macro_t"))
+      }
+
+      // close-with-session: create/insert/query, then session.close()
+      // destroys the session AND closes the whole connection.
+      val session = conn.createSession()
+      session.createTable("close_test", Seq("x" -> "INT64"))
+      assert(session.insert("close_test", Seq(Seq(42))) == 1L)
+      val rows = session.query("SELECT x FROM close_test")
+      assert(rows.map(_("x").toString.toDouble.toLong) == Seq(42L))
+      session.close()
+      assert(!conn.connected)
+    } finally conn.close()
+  }
 }

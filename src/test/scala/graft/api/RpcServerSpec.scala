@@ -139,100 +139,35 @@ class RpcServerSpec extends SparkSpec {
 
   // ----------------------------------------------------- process boundary
 
-  /** Scala port of the reference stdio client framing (client.clj):
-    * requests are single JSON lines with UUID ids; a daemon reader
-    * thread routes response lines to per-id queues.
-    */
-  private final class StdioRpcClient(cmd: Seq[String]) {
-    private val process = new ProcessBuilder(cmd: _*).start()
-    private val writer = new PrintWriter(process.getOutputStream, true)
-    private val reader = new BufferedReader(new InputStreamReader(process.getInputStream, UTF_8))
-    private val pending = new ConcurrentHashMap[String, LinkedBlockingQueue[Map[String, Any]]]()
-    @volatile private var closed = false
-
-    // Drain stderr (Spark logs) so the child never blocks on a full pipe.
-    private val errDrain = new Thread(() => {
-      val r = new BufferedReader(new InputStreamReader(process.getErrorStream, UTF_8))
-      try { while (r.readLine() != null) () } catch { case _: Exception => () }
-    })
-    errDrain.setDaemon(true); errDrain.start()
-
-    private val readerThread = new Thread(() => {
-      try {
-        var line = reader.readLine()
-        while (!closed && line != null) {
-          val resp = Json.parse(line).asInstanceOf[Map[String, Any]]
-          Option(resp.getOrElse("id", null)).map(_.toString).foreach { id =>
-            Option(pending.remove(id)).foreach(_.put(resp))
-          }
-          line = reader.readLine()
-        }
-      } catch { case _: Exception => closed = true }
-    })
-    readerThread.setDaemon(true); readerThread.start()
-
-    def sendRequest(method: String, params: Map[String, Any], timeoutMs: Long = 120000): Map[String, Any] = {
-      val id = java.util.UUID.randomUUID().toString
-      val queue = new LinkedBlockingQueue[Map[String, Any]](1)
-      pending.put(id, queue)
-      writer.println(Json.write(Map("jsonrpc" -> "2.0", "method" -> method, "params" -> params, "id" -> id)))
-      val resp = queue.poll(timeoutMs, TimeUnit.MILLISECONDS)
-      assert(resp != null, s"timed out waiting for $method response")
-      resp
-    }
-
-    def result(method: String, params: Map[String, Any] = Map.empty): Map[String, Any] = {
-      val resp = sendRequest(method, params)
-      assert(!resp.contains("error"), s"$method failed: ${resp.get("error")}")
-      resp("result") match {
-        case m: Map[String, Any] @unchecked => m
-        case other => Map("value" -> other)
-      }
-    }
-
-    def close(): Unit = { closed = true; process.destroy() }
-    def alive: Boolean = process.isAlive
-  }
-
-  private def serverCommand(transport: String): Seq[String] = {
-    val java = sys.props("java.home") + "/bin/java"
-    val cp = sys.props("java.class.path")
-    val addOpens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke", "java.base/java.lang.reflect",
-      "java.base/java.io", "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent", "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs", "java.base/sun.security.action",
-      "java.base/sun.util.calendar").flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    Seq(java) ++ addOpens ++ Seq(
-      "-Xmx2g", "-Dspark.ui.enabled=false", "-Dgraft.rpc.master=local[2]",
-      "-cp", cp, "graft.api.RpcServer", "--transport", transport)
-  }
+  // The stdio client itself is now LIBRARY code (graft.api.GraftClient —
+  // the Scala analog of the reference Clojure client); these tests drive
+  // it across a real process boundary. Server command: graft.TestServer.
 
   test("stdio transport: full reference client lifecycle across a real process boundary") {
-    val client = new StdioRpcClient(serverCommand("stdio"))
+    val client = GraftClient.connect(graft.TestServer.serverCommand("stdio"))
     try {
-      assert(client.result("bq.ping") == Map("message" -> "pong"))
-      val s = client.result("bq.createSession")("sessionId").toString
+      assert(client.call("bq.ping") == Map("message" -> "pong"))
+      val s = client.call("bq.createSession")("sessionId").toString
 
-      assert(client.result("bq.createTable", Map("sessionId" -> s, "tableName" -> "users",
+      assert(client.call("bq.createTable", Map("sessionId" -> s, "tableName" -> "users",
         "schema" -> Seq(Map("name" -> "id", "type" -> "INT64"), Map("name" -> "name", "type" -> "STRING"))))("success") == true)
 
-      assert(client.result("bq.insert", Map("sessionId" -> s, "tableName" -> "users",
+      assert(client.call("bq.insert", Map("sessionId" -> s, "tableName" -> "users",
         "rows" -> Seq(Seq(1, "Alice"), Seq(2, "Bob"))))("insertedRows") == 2L)
 
-      val q = client.result("bq.query", Map("sessionId" -> s, "sql" -> "SELECT name FROM users ORDER BY id"))
+      val q = client.call("bq.query", Map("sessionId" -> s, "sql" -> "SELECT name FROM users ORDER BY id"))
       assert(q("totalRows") == "2")
       val names = q("rows").asInstanceOf[Seq[Map[String, Any]]]
         .map(_("f").asInstanceOf[Seq[Map[String, Any]]].head("v"))
       assert(names == Seq("Alice", "Bob"))
 
-      val reg = client.result("bq.registerDag", Map("sessionId" -> s, "tables" -> Seq(
+      val reg = client.call("bq.registerDag", Map("sessionId" -> s, "tables" -> Seq(
         Map("name" -> "doubled", "sql" -> "SELECT id * 2 AS id2 FROM users"))))
       assert(reg("success") == true)
-      val run = client.result("bq.runDag", Map("sessionId" -> s))
+      val run = client.call("bq.runDag", Map("sessionId" -> s))
       assert(run("success") == true && run("succeededTables") == Seq("doubled"))
 
-      val q2 = client.result("bq.query", Map("sessionId" -> s, "sql" -> "SELECT SUM(id2) AS t FROM doubled"))
+      val q2 = client.call("bq.query", Map("sessionId" -> s, "sql" -> "SELECT SUM(id2) AS t FROM doubled"))
       assert(q2("rows").asInstanceOf[Seq[Map[String, Any]]].head("f")
         .asInstanceOf[Seq[Map[String, Any]]].head("v") == 6L)
 
@@ -240,7 +175,7 @@ class RpcServerSpec extends SparkSpec {
       val bad = client.sendRequest("bq.query", Map("sessionId" -> "nope", "sql" -> "SELECT 1"))
       assert(asMap(bad("error"))("code") == -32002L)
 
-      assert(client.result("bq.destroySession", Map("sessionId" -> s))("success") == true)
+      assert(client.call("bq.destroySession", Map("sessionId" -> s))("success") == true)
     } finally client.close()
   }
 

@@ -65,6 +65,12 @@ class PlanLintInventorySpec extends SparkSpec {
     "ev_max_drawdown" -> Map("GLOBAL_WINDOW" -> 2),
     "ev_rolling_distinct" -> Map("GLOBAL_WINDOW" -> 1, "NON_EQUI_JOIN" -> 1),
     "ev_seasonality" -> Map("CARTESIAN_PRODUCT" -> 1),
+    // KM walk: one-row max-date/total-count broadcasts; windows over
+    // DISTINCT durations (calendar-span-bounded, the ev_daily class).
+    "ev_survival_km" -> Map("CARTESIAN_PRODUCT" -> 3, "GLOBAL_WINDOW" -> 3),
+    // One-row beta/min-max/offset broadcasts (the logreg family re-plans
+    // the fit subtree per reference); offset window over ≤nb buckets.
+    "ml_auc" -> Map("CARTESIAN_PRODUCT" -> 10, "GLOBAL_WINDOW" -> 1),
     "ml_calibration" -> Map("CARTESIAN_PRODUCT" -> 5),
     "ml_hard_negatives" -> Map("NON_EQUI_JOIN" -> 1),
     "ml_knn_label" -> Map("CARTESIAN_PRODUCT" -> 1),
