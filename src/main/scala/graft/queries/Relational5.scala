@@ -39,6 +39,70 @@ object Relational5 {
         |  COUNT(*) AS n
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
 
+    // §2 25if OUTER UNNEST semantics: explode_outer preserves the
+    // parent row with a NULL element when the array is EMPTY — the
+    // LEFT-JOIN-UNNEST shape BigQuery/DuckDB users rely on for "orders
+    // with their big lineitems, keeping orders that have none". Arrays
+    // are per-order collections of high-quantity line numbers (bounded
+    // by the order's line count); ~2/3 of orders produce an empty array
+    // and MUST survive with a NULL. The oracle mirrors with a LEFT JOIN
+    // onto the unnested rows.
+    "q_explode_outer" -> QDef(
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_orderkey") <= 2000)
+          .groupBy("l_orderkey")
+          .agg(sort_array(collect_list(
+            when(col("l_quantity") >= 45, col("l_linenumber").cast("long")))).as("big"))
+          .select(col("l_orderkey"),
+            explode_outer(col("big")).as("big_line"))
+          .orderBy(col("l_orderkey"), col("big_line")),
+      """WITH agg AS (
+        |  SELECT l_orderkey,
+        |    list_sort(list_filter(list(CASE WHEN l_quantity >= 45
+        |        THEN CAST(l_linenumber AS BIGINT) END), x -> x IS NOT NULL)) AS big
+        |  FROM lineitem WHERE l_orderkey <= 2000 GROUP BY l_orderkey),
+        |ex AS (SELECT l_orderkey, UNNEST(big) AS big_line FROM agg)
+        |SELECT agg.l_orderkey, ex.big_line
+        |FROM agg LEFT JOIN ex ON agg.l_orderkey = ex.l_orderkey
+        |ORDER BY agg.l_orderkey, ex.big_line""".stripMargin),
+
+    // §2 25ig MapType surface: construction from parallel arrays,
+    // keyed lookup, cardinality and membership — the complex-type tier
+    // beyond arrays (q_array_funcs) and structs/VARIANT (q_variant_json).
+    // The map itself never reaches the output (map column ordering is
+    // engine-dependent); every emitted column is a scalar extraction,
+    // which is also the 100 TB-safe shape (maps stay inside the row,
+    // lookups are codegen'd, nothing explodes).
+    "q_map_funcs" -> QDef(
+      (s, dir) =>
+        t(s, dir, "orders")
+          .filter(col("o_orderkey") <= 1000)
+          .select(col("o_orderkey"),
+            map_from_arrays(
+              array(lit("status"), lit("prio")),
+              array(col("o_orderstatus"), col("o_orderpriority"))).as("m"))
+          .select(col("o_orderkey"),
+            element_at(col("m"), "status").as("status"),
+            element_at(col("m"), "prio").as("prio"),
+            size(col("m")).cast("long").as("n_keys"),
+            map_contains_key(col("m"), "status").as("has_status"),
+            element_at(col("m"), "missing").isNull.as("miss_is_null"))
+          .orderBy("o_orderkey"),
+      // DuckDB map extraction yields a LIST (empty when absent), so the
+      // oracle scalarizes with [1] and length checks.
+      """WITH m AS (
+        |  SELECT o_orderkey,
+        |    MAP(['status', 'prio'], [o_orderstatus, o_orderpriority]) AS m
+        |  FROM orders WHERE o_orderkey <= 1000)
+        |SELECT o_orderkey,
+        |  m['status'][1] AS status,
+        |  m['prio'][1] AS prio,
+        |  CAST(cardinality(m) AS BIGINT) AS n_keys,
+        |  len(m['status']) > 0 AS has_status,
+        |  len(m['missing']) = 0 AS miss_is_null
+        |FROM m ORDER BY o_orderkey""".stripMargin),
+
     // §2 25fg equi-DEPTH histogram via NTILE: decile boundaries of
     // o_totalprice (each bin holds the same row count — the histogram a
     // planner wants for selectivity, vs q_histogram's equi-width bins).

@@ -37,28 +37,50 @@ object MinhashStream {
   private val Tau = 0.5
 
   /** Maintain the near-dup state at `tableDir` under a stream with
-    * (`doc_id` Long, `text` String) rows.
+    * (`doc_id` Long, `text` String) rows, plus an optional `deleted`
+    * boolean column (absent = all upserts): a tombstone REVOKES the doc
+    * — its index row leaves the snapshot AND every ledger pair naming
+    * it is purged (the takedown path: a removed document must stop
+    * influencing dedup decisions entirely). Within one batch a delete
+    * beats an upsert of the same id (same conservative rule as the ANN
+    * tombstones); a later re-insert re-enters as a new doc and its
+    * pairs re-derive against the then-current index.
     */
   def minhashSink(
       docs: DataFrame, tableDir: String, checkpointDir: String,
       retainSnapshots: Int = 3): StreamingQuery =
     SnapshotStore.snapshotSink(docs, tableDir, checkpointDir, retainSnapshots) {
       (prev, batch) =>
+        val b =
+          if (batch.columns.contains("deleted")) batch
+          else batch.withColumn("deleted", lit(false))
+        val dels = b.filter(col("deleted"))
+          .select(col("doc_id").cast("long").as("doc_id")).distinct()
         // Map-only per-batch feature pass: sorted shingle hashes (reused
         // by banding AND verification) + band hashes. Duplicate doc_ids
         // within a batch collapse deterministically (docs are immutable;
-        // first by content hash ordering is irrelevant — any one row).
-        val fresh = batch
-          .select(col("doc_id").cast("long").as("doc_id"),
+        // first by content hash ordering is irrelevant — any one row);
+        // delete beats same-batch upsert via the anti-join on dels.
+        val fresh = b.filter(!col("deleted"))
+          .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+          .join(dels, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"),
             array_sort(TextOps.shingleHashes(
               TextOps.shinglesFromToks(split(col("text"), " ")))).as("hs"))
           .groupBy("doc_id").agg(first("hs").as("hs"))
           .withColumn("bands",
             TextOps.bandHashes(TextOps.minhashSignature(col("hs"), K), Bands, Rows))
 
+        // Revocation applies to the PREVIOUS state before anything else:
+        // the doc leaves the index (broadcast anti-joins — dels is
+        // batch-bounded) and every pair naming it leaves the ledger.
         val prevDocs = prev.map(_.filter(col("kind") === "doc")
-          .select("doc_id", "hs", "bands"))
+          .select("doc_id", "hs", "bands")
+          .join(broadcast(dels), Seq("doc_id"), "left_anti"))
         val prevPairs = prev.map(_.filter(col("kind") === "pair")
+          .select("doc_a", "doc_b", "jaccard")
+          .join(broadcast(dels.select(col("doc_id").as("doc_a"))), Seq("doc_a"), "left_anti")
+          .join(broadcast(dels.select(col("doc_id").as("doc_b"))), Seq("doc_b"), "left_anti")
           .select("doc_a", "doc_b", "jaccard"))
 
         // Only docs NOT already indexed are new (re-sent docs are no-ops:

@@ -6,6 +6,7 @@ import graft.SparkSpec
 
 object MinhashStreamSpec {
   final case class Doc(doc_id: Long, text: String)
+  final case class DocOp(doc_id: Long, text: String, deleted: Boolean)
 }
 
 class MinhashStreamSpec extends SparkSpec {
@@ -63,6 +64,50 @@ class MinhashStreamSpec extends SparkSpec {
     assert(pairSet() == Set((1L, 3L), (4L, 5L)))
     assert(stateCounts() == ((5L, 2L)))
 
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(baseDir))
+  }
+
+  test("doc tombstones purge the index row AND its ledger pairs; re-insert re-derives them") {
+    import MinhashStreamSpec.DocOp
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val baseDir = java.nio.file.Files.createTempDirectory("mhtomb").toString
+    val table = s"$baseDir/nd"; val ckpt = s"$baseDir/ckpt"
+    val input = MemoryStream[DocOp]
+    def drain(): Unit =
+      MinhashStream.minhashSink(input.toDF(), table, ckpt).awaitTermination()
+    def pairSet(): Set[(Long, Long)] =
+      MinhashStream.pairs(spark, table).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def docSet(): Set[Long] =
+      MinhashStream.indexedDocs(spark, table).collect().map(_.getLong(0)).toSet
+
+    // Near-dup trio: 1 ~ 3 and 4 ~ 5 established across two batches.
+    input.addData(DocOp(1L, base1, false), DocOp(3L, dup1, false))
+    drain()
+    input.addData(DocOp(4L, base4, false), DocOp(5L, dup4, false))
+    drain()
+    assert(pairSet() == Set((1L, 3L), (4L, 5L)))
+
+    // Takedown of doc 1: its index row AND the (1,3) ledger pair leave;
+    // the unrelated (4,5) pair survives.
+    input.addData(DocOp(1L, base1, true))
+    drain()
+    assert(docSet() == Set(3L, 4L, 5L))
+    assert(pairSet() == Set((4L, 5L)))
+
+    // Re-insert doc 1: it re-pairs with the still-indexed doc 3.
+    input.addData(DocOp(1L, base1, false))
+    drain()
+    assert(docSet() == Set(1L, 3L, 4L, 5L))
+    assert(pairSet() == Set((1L, 3L), (4L, 5L)))
+
+    // Same-batch delete + upsert of doc 4: delete wins — the doc AND
+    // its pair are gone even though an upsert rode the same batch.
+    input.addData(DocOp(4L, base4, true), DocOp(4L, base4, false))
+    drain()
+    assert(docSet() == Set(1L, 3L, 5L))
+    assert(pairSet() == Set((1L, 3L)))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(baseDir))
   }
 
