@@ -179,6 +179,30 @@ object StreamOps {
       below: Option[Long] = None): Option[DataFrame] =
     SnapshotStore.latest(spark, tableDir, below)
 
+  /** NATIVE declarative sessionization: Spark's `session_window`
+    * aggregation — the engine-managed sibling of the hand-rolled
+    * [[sessionize]] below. Sessions merge as events arrive (dynamic
+    * gap-close handled by the streaming session-window state store),
+    * results emit once the watermark passes a session's end. Prefer
+    * this when per-session logic is pure aggregation (counts/sums):
+    * it stays in whole-stage-codegen'd aggregates with partial merge,
+    * while flatMapGroupsWithState is the escape hatch for custom
+    * state transitions. Session end = last event + gap (the
+    * session_window contract; [[sessionize]] reports last-event time —
+    * the spec reconciles the two shapes on the same stream).
+    */
+  def sessionWindowAgg(
+      events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
   /** Gap-based sessionization: a session closes when its user is silent
     * for `gapSecs` (closed either by a later event or by event-time
     * timeout once the watermark passes). State per user is O(1).

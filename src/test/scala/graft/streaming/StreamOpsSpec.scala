@@ -86,6 +86,39 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("native session_window agg matches the stateful sessionize on the same stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val query = StreamOps.sessionWindowAgg(input.toDF(), gap = "30 minutes")
+      .writeStream.format("memory").queryName("native_sessions_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // Same shape as the sessionize spec: session 1 at minutes 0-10,
+      // then a 50-minute gap; user 8 contributes one singleton session.
+      input.addData(
+        Ev(7, ts(0), "click", 1.0), Ev(7, ts(5), "click", 2.0),
+        Ev(7, ts(10), "click", 3.0), Ev(8, ts(2), "view", 9.0))
+      query.processAllAvailable()
+      // Watermark (2h behind max ts) must pass the session ends before
+      // append emits them: push it forward with a far-future event.
+      input.addData(Ev(99, ts(300), "click", 0.0))
+      query.processAllAvailable()
+      val rows = spark.table("native_sessions_out").collect()
+        .map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Timestamp]("session_start").getTime / 1000,
+          r.getAs[Timestamp]("session_end").getTime / 1000,
+          r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
+      // session_window end = last event + gap (vs sessionize's
+      // last-event time): user 7's 3 events merge into ONE session
+      // [t0, t10+30min); user 8 gets a singleton [t2, t2+30min).
+      assert(rows == Set(
+        (7L, ts(0).getTime / 1000, ts(10).getTime / 1000 + 1800, 3L, 6.0),
+        (8L, ts(2).getTime / 1000, ts(2).getTime / 1000 + 1800, 1L, 9.0)),
+        rows.toString)
+    } finally query.stop()
+  }
+
   test("streaming dedup drops repeats within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
