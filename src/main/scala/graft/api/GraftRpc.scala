@@ -159,14 +159,23 @@ final class GraftRpc(root: SparkSession, backend: graft.engine.ExecutorMode = gr
     case "bq.loadParquet" =>
       val s = session(params)
       val path = req(params, "path").toString
-      val df =
-        try s.spark.read.parquet(path)
-        catch {
-          case e: org.apache.spark.sql.AnalysisException =>
-            throw GraftError.LoaderError(s"Failed to load parquet at $path: ${e.getMessage}")
-        }
-      df.createOrReplaceTempView(req(params, "tableName").toString)
-      Map("loadedRows" -> df.count())
+      val name = req(params, "tableName").toString
+      s.resolver match {
+        // bigquery mode: the file becomes a REAL BigQuery table through
+        // the connector write path (reference bigquery.rs:52
+        // load_parquet — truncate-load, row count from the job).
+        case bq: graft.engine.BigQueryResolver =>
+          Map("loadedRows" -> bq.loadParquet(s.spark, name, path))
+        case _ =>
+          val df =
+            try s.spark.read.parquet(path)
+            catch {
+              case e: org.apache.spark.sql.AnalysisException =>
+                throw GraftError.LoaderError(s"Failed to load parquet at $path: ${e.getMessage}")
+            }
+          df.createOrReplaceTempView(name)
+          Map("loadedRows" -> df.count())
+      }
 
     case "bq.listTables" =>
       session(params).listTables().map { t =>

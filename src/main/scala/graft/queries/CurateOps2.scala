@@ -81,6 +81,48 @@ object CurateOps2 {
         |    LIMIT 1) nxt
         |  WHERE step < 8)
         |SELECT step, vec_id, ROUND(dist, 4) AS dist
-        |FROM sel ORDER BY step""".stripMargin)
+        |FROM sel ORDER BY step""".stripMargin),
+
+    // §2 25ii differentially-private count release (ε = 1 Laplace
+    // mechanism) over the per-language corpus composition — the privacy
+    // layer a pipeline applies before PUBLISHING dataset statistics.
+    // The noise is REAL inverse-CDF Laplace but seeded
+    // DETERMINISTICALLY from md5(lang): u = first 48 md5 bits / 2⁴⁸ is
+    // an exact dyadic rational (the division is by a power of two, so
+    // u, p = u − ½ and 1 − 2|p| are bit-identical on both engines);
+    // the single libm call ln(1 − 2|p|) is quantized to 12 dp (the
+    // logreg recipe) before scaling, making the released value
+    // engine-exact. Per-group work is one exact count + a map-only
+    // noise expression — nothing about the mechanism changes at 100 TB.
+    "curate_dp_counts" -> QDef(
+      (s, dir) => {
+        val b = 1.0 // Laplace scale = sensitivity/ε = 1/1
+        Tables(s, dir, "documents")
+          .groupBy("lang").agg(count(lit(1)).as("n_true"))
+          .withColumn("u",
+            conv(substring(md5(col("lang")), 1, 12), 16, 10)
+              .cast("long").cast("double") / lit(281474976710656.0))
+          .withColumn("p", col("u") - 0.5)
+          .withColumn("noise",
+            round(lit(-b) * signum(col("p")) *
+              round(log(lit(1.0) - lit(2.0) * abs(col("p"))), 12), 6))
+          .select(col("lang"), col("n_true"),
+            col("noise"),
+            round(col("n_true") + col("noise"), 4).as("n_released"))
+          .orderBy("lang")
+      },
+      """WITH base AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |x AS (
+        |  SELECT lang, n,
+        |    CAST(CAST(('0x' || substr(md5(lang), 1, 12)) AS BIGINT) AS DOUBLE)
+        |      / 281474976710656.0 - 0.5 AS p
+        |  FROM base),
+        |y AS (
+        |  SELECT lang, n,
+        |    ROUND(-1.0 * SIGN(p) * ROUND(LN(1.0 - 2.0 * ABS(p)), 12), 6) AS noise
+        |  FROM x)
+        |SELECT lang, CAST(n AS BIGINT) AS n_true, noise,
+        |  ROUND(n + noise, 4) AS n_released
+        |FROM y ORDER BY lang""".stripMargin)
   )
 }

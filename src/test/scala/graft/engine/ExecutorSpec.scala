@@ -93,6 +93,23 @@ class ExecutorSpec extends SparkSpec {
     assert(el.getMessage.contains("writing proj.ds.t"))
   }
 
+  test("bq.loadParquet routes through the BigQuery resolver in bigquery mode") {
+    // Local mode registers a temp view and succeeds; bigquery mode must
+    // instead push the file through the connector write path (reference
+    // load_parquet). With no BQ_DATASET configured the resolver's
+    // qualification rule rejects the bare name — a failure only the
+    // REMOTE path produces, proving the dispatch route.
+    val rpc = new graft.api.GraftRpc(spark, ExecutorMode.BigQuery)
+    val sid = rpc.dispatch("bq.createSession")
+      .asInstanceOf[Map[String, Any]]("sessionId").toString
+    val e = intercept[GraftError.InvalidParams] {
+      rpc.dispatch("bq.loadParquet", Map(
+        "sessionId" -> sid, "tableName" -> "region",
+        "path" -> "/root/testdata/sf0.001/region.parquet"))
+    }
+    assert(e.getMessage.contains("default dataset"))
+  }
+
   test("bq.query routes through the BigQuery resolver in bigquery mode") {
     // In bigquery mode session SQL must be pushed to the remote backend
     // verbatim — NOT parsed or executed by the local engine. With no
