@@ -20,6 +20,7 @@ object SparkEntry {
       graft.queries.VectorOps.defs ++
       graft.queries.IvfOps.defs ++
       graft.queries.PqOps.defs ++
+      graft.queries.IvfPqOps.defs ++
       graft.queries.EventOps.defs ++
       graft.queries.Multimodal.defs ++
       graft.queries.EngineQueries.defs ++
@@ -61,7 +62,8 @@ object SparkEntry {
       graft.sources.SourceOps2.defs ++
       graft.queries.EventOps3.defs ++
       graft.queries.SemDedupOps.defs ++
-      graft.queries.SurvivalOps.defs
+      graft.queries.SurvivalOps.defs ++
+      graft.queries.BpeOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

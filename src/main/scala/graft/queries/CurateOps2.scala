@@ -83,7 +83,7 @@ object CurateOps2 {
         |SELECT step, vec_id, ROUND(dist, 4) AS dist
         |FROM sel ORDER BY step""".stripMargin),
 
-    // §2 25ii differentially-private count release (ε = 1 Laplace
+    // §2 25ij differentially-private count release (ε = 1 Laplace
     // mechanism) over the per-language corpus composition — the privacy
     // layer a pipeline applies before PUBLISHING dataset statistics.
     // The noise is REAL inverse-CDF Laplace but seeded

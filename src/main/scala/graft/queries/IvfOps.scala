@@ -125,19 +125,29 @@ object IvfOps {
     * per partition, so the candidate set itself never crosses an
     * exchange.
     */
-  def searchCells(
-      s: SparkSession, cells: DataFrame, cents: Seq[Seq[Double]],
-      qs: DataFrame, k: Int, nprobe: Int): DataFrame = {
+  /** Probe selection alone: per query, the `nprobe` nearest cells of the
+    * frozen quantizer — (q_id, qv, cid) rows, cells×queries scored (tiny),
+    * ranked through the same bounded top-k as everything else in the ANN
+    * tier. Shared by plain IVF ([[searchCells]]) and the composed IVF-PQ
+    * pipeline ([[IvfPqOps.searchEncodedCells]]).
+    */
+  private[graft] def probeCells(
+      s: SparkSession, cents: Seq[Seq[Double]], qs: DataFrame, nprobe: Int): DataFrame = {
     val centDf = s.createDataFrame(
       s.sparkContext.parallelize(cents.zipWithIndex.map { case (cv, cid) => (cid, cv) }, 1))
       .toDF("cid", "cv")
     val probeScored = qs.crossJoin(broadcast(centDf))
       .select(col("q_id"), col("cid").cast("long").as("neighbor_id"),
         cosineSim(col("qv"), col("cv")).as("sim"))
-    val probed = VectorOps.topKPerQuery(probeScored, "sim", nprobe)
+    VectorOps.topKPerQuery(probeScored, "sim", nprobe)
       .join(broadcast(qs), Seq("q_id"))
       .select(col("q_id"), col("qv"), col("neighbor_id").cast("int").as("cid"))
+  }
 
+  def searchCells(
+      s: SparkSession, cells: DataFrame, cents: Seq[Seq[Double]],
+      qs: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val probed = probeCells(s, cents, qs, nprobe)
     val scored = cells.join(broadcast(probed), Seq("cid"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),

@@ -36,7 +36,7 @@ object PqOps {
     * dot against the literal sub-codebook (ties to the lowest code) —
     * map-only, same literal-codebook pattern as IVF cell assignment.
     */
-  private def withCodes(df: DataFrame, model: PqModel): DataFrame = {
+  private[graft] def withCodes(df: DataFrame, model: PqModel): DataFrame = {
     val codeCols: Seq[Column] = (0 until model.m).map { mi =>
       val sv = slice(col("v"), mi * model.sub + 1, model.sub)
       val scored = model.books(mi).zipWithIndex.map { case (cv, c) =>
@@ -127,18 +127,34 @@ object PqOps {
     * to be — the property that makes incremental index maintenance
     * possible at all.
     */
-  def searchEncoded(
-      s: SparkSession, corpus: DataFrame, model: PqModel,
-      probes: Seq[(Long, Seq[Double])], k: Int = 10, shortlist: Int = 50): DataFrame = {
-    import s.implicits._
-    val tables = probes.map { case (qid, qv) =>
+  /** Per-query ADC lookup tables: for each probe, the m×codes sub-dot
+    * table dot(q_m, book_m[c]) — computed on the driver (m×codes doubles
+    * per query), the payload every ADC scorer broadcasts.
+    */
+  private[graft] def queryTables(
+      model: PqModel, probes: Seq[(Long, Seq[Double])]): Seq[(Long, Seq[Seq[Double]], Seq[Double])] =
+    probes.map { case (qid, qv) =>
       val t: Seq[Seq[Double]] = (0 until model.m).map { mi =>
         val qsub = qv.slice(mi * model.sub, (mi + 1) * model.sub)
         model.books(mi).map(cv => cv.iterator.zip(qsub.iterator).map { case (a, b) => a * b }.sum)
       }
       (qid, t, qv)
     }
-    val qdf = tables.toDF("q_id", "qt", "qv")
+
+  /** The ADC score expression over a `code` column, given the broadcast
+    * per-query table column `qt`: m array lookups summed — the map-only
+    * kernel of every PQ scan.
+    */
+  private[graft] def adcScore: Column =
+    aggregate(
+      zip_with(col("code"), col("qt"), (c, t) => element_at(t, c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+
+  def searchEncoded(
+      s: SparkSession, corpus: DataFrame, model: PqModel,
+      probes: Seq[(Long, Seq[Double])], k: Int = 10, shortlist: Int = 50): DataFrame = {
+    import s.implicits._
+    val qdf = queryTables(model, probes).toDF("q_id", "qt", "qv")
 
     // ADC scoring is map-only (query tables broadcast); the shortlist is
     // the two-phase bounded top-k (VectorOps.topKPerQuery), whose partial
@@ -147,12 +163,9 @@ object PqOps {
     // the scored corpus. (The previous per-query row_number window moved
     // every scored row through one reducer per query — the 10⁹-row
     // scale-killer this two-phase rank exists to avoid.)
-    val score = aggregate(
-      zip_with(col("code"), col("qt"), (c, t) => element_at(t, c + 1)),
-      lit(0.0), (acc, x) => acc + x)
     val adcScored = corpus.crossJoin(broadcast(qdf.select("q_id", "qt")))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("neighbor_id"), score.as("adc"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), adcScore.as("adc"))
     val candidates = VectorOps.topKPerQuery(adcScored, "adc", shortlist).drop("rank")
 
     // Exact re-rank of the shortlist only: shortlist×queries rows join

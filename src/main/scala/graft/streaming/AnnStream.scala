@@ -53,6 +53,18 @@ object AnnStream {
     indexSink(vectors, b => IvfOps.assignLiteral(b, cents).select("vec_id", "v", "cid"),
       tableDir, checkpointDir, retainSnapshots)
 
+  /** The COMPOSED twin: arriving vectors get the map-only IVF-PQ
+    * encoding — coarse cell assignment AND PQ codes against the frozen
+    * [[graft.queries.IvfPqOps.IvfPqModel]] — and merge into the same
+    * snapshot chain. O(batch) per micro-batch regardless of index size;
+    * stored (cid, code) pairs pass through every merge untouched.
+    */
+  def ivfpqIndexSink(
+      vectors: DataFrame, model: graft.queries.IvfPqOps.IvfPqModel, tableDir: String,
+      checkpointDir: String, retainSnapshots: Int = 3): StreamingQuery =
+    indexSink(vectors, b => graft.queries.IvfPqOps.encode(b, model), tableDir,
+      checkpointDir, retainSnapshots)
+
   /** Shared incremental-index sink: `encodeBatch` runs over THIS batch
     * only — map-only against frozen model state, O(batch) regardless of
     * index size — and the result merges into the latest committed
@@ -117,6 +129,21 @@ object AnnStream {
     val snap = StreamOps.latestSnapshot(spark, tableDir).getOrElse(
       throw new IllegalStateException(s"no committed ANN snapshot under $tableDir"))
     PqOps.searchEncoded(spark, snap.select("vec_id", "v", "code"), model, probes, k, shortlist)
+  }
+
+  /** Query the live IVF-PQ index: probe nprobe cells of the latest
+    * committed snapshot, ADC-score their codes, exact-re-rank the
+    * shortlist — with the SAME frozen composed model that encoded it
+    * ([[graft.queries.IvfPqOps.searchEncodedCells]]).
+    */
+  def searchIvfPqIndex(
+      spark: SparkSession, tableDir: String, model: graft.queries.IvfPqOps.IvfPqModel,
+      probes: Seq[(Long, Seq[Double])], k: Int = 10, nprobe: Int = 4,
+      shortlist: Int = 50): DataFrame = {
+    val snap = StreamOps.latestSnapshot(spark, tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed ANN snapshot under $tableDir"))
+    graft.queries.IvfPqOps.searchEncodedCells(
+      spark, snap.select("vec_id", "v", "cid", "code"), model, probes, k, nprobe, shortlist)
   }
 
   /** Query the live IVF index: probe the `nprobe` nearest cells of the

@@ -46,6 +46,10 @@ class PlanLintInventorySpec extends SparkSpec {
   private val baseline: Map[String, Map[String, Int]] = Map(
     "ann_cosine_topk" -> Map("NON_EQUI_JOIN" -> 1),
     "ann_ivf_topk" -> Map("CARTESIAN_PRODUCT" -> 4, "NON_EQUI_JOIN" -> 2),
+    // composed IVF-PQ: one-row seed/training/recall-gate aggregate
+    // broadcasts + the vec_id =!= q_id guards inside broadcast-bounded
+    // candidate joins — the same adjudicated classes as ann_ivf/ann_pq
+    "ann_ivfpq_topk" -> Map("CARTESIAN_PRODUCT" -> 4, "NON_EQUI_JOIN" -> 2),
     "ann_lsh_topk" -> Map("CARTESIAN_PRODUCT" -> 1, "NON_EQUI_JOIN" -> 2),
     "ann_pq_topk" -> Map("CARTESIAN_PRODUCT" -> 2, "NON_EQUI_JOIN" -> 4),
     "curate_cms_counts" -> Map("CARTESIAN_PRODUCT" -> 1),

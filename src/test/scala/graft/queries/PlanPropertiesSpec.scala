@@ -228,7 +228,8 @@ class PlanPropertiesSpec extends SparkSpec {
     // ann_ivf_topk joined this set in round 7 when its probe-selection
     // stage (the last window in the ANN tier) moved onto the same
     // bounded top-k as the final ranks.
-    for (q <- Seq("ann_cosine_topk", "ann_lsh_topk", "ann_pq_topk", "ann_ivf_topk")) {
+    for (q <- Seq("ann_cosine_topk", "ann_lsh_topk", "ann_pq_topk", "ann_ivf_topk",
+        "ann_ivfpq_topk")) {
       val plan = SparkEntry.queries(q)(spark, sfDir)
         .queryExecution.optimizedPlan.toString
       assert(plan.contains("bounded_topk"), s"$q lost the two-phase top-k: ${plan.take(1000)}")

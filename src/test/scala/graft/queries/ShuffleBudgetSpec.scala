@@ -25,10 +25,17 @@ class ShuffleBudgetSpec extends SparkSpec {
     "dedup_minhash_lsh" -> 1024 * 1024L,
     "dedup_clusters" -> 1024 * 1024L,
     "ann_pq_topk" -> 2 * 1024 * 1024L,
+    // composed IVF-PQ: training shuffles the capped sample's partial
+    // aggregates; query-side exchanges carry only bounded top-k buffers
+    // (measured r9: 622 KiB)
+    "ann_ivfpq_topk" -> 2 * 1024 * 1024L,
     // vocabulary-sized shuffles by construction — a corpus-sized number
     // here means the partial aggregation stopped reducing map-side
     // (measured r5: 1.6 / 36 / 9.2 KiB)
     "text_bpe_pairs" -> 32 * 1024L,
+    // 6 training rounds × pair-vocab partial aggregates + the tiny
+    // final per-doc stats sort — never the corpus (measured r9: 24 KiB)
+    "text_bpe_encode" -> 96 * 1024L,
     "text_pmi_topk" -> 128 * 1024L,
     "curate_global_index" -> 64 * 1024L,
     // round-7 subquadratic claims, CI-pinned: containment shuffles

@@ -139,6 +139,56 @@ class AnnStreamSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
   }
 
+  test("streaming IVF-PQ composed index: per-batch map-only (cid, code) encode, stored pairs never recomputed, probed-cell ADC search over the latest snapshot") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("ivfpqidx").toString
+    val table = s"$base/index"; val ckpt = s"$base/ckpt"
+    // Frozen composed model: 2 coarse cells on the 4-dim axes pairs +
+    // the transparent 2×2 PQ model above — both halves checkable by eye.
+    val composed = graft.queries.IvfPqOps.IvfPqModel(
+      cents = Seq(Seq(1.0, 0.0, 1.0, 0.0), Seq(0.0, 1.0, 0.0, 1.0)),
+      pq = model)
+    val input = MemoryStream[AnnVec]
+    def drain(): Unit =
+      AnnStream.ivfpqIndexSink(input.toDF(), composed, table, ckpt, retainSnapshots = 1)
+        .awaitTermination()
+    def rows(): Map[Long, (Int, Seq[Int])] =
+      StreamOps.latestSnapshot(spark, table).get.collect()
+        .map(r => r.getLong(r.fieldIndex("vec_id")) ->
+          (r.getInt(r.fieldIndex("cid")), r.getSeq[Int](r.fieldIndex("code")))).toMap
+    // nprobe=1: only the query's nearest cell is ADC-scanned — a vector
+    // stored under the wrong cid is invisible, making the poison check
+    // conclusive for the composed index too.
+    def top1(qv: Seq[Double]): Long =
+      AnnStream.searchIvfPqIndex(spark, table, composed, Seq((100L, qv)), k = 1, nprobe = 1)
+        .collect().head.getAs[Long]("neighbor_id")
+
+    // batch 0: A lands in cell 0 with codes (0,0), B in cell 1 with (1,1)
+    // — one map-only pass produced BOTH index columns.
+    input.addData(vecA, vecB)
+    drain()
+    assert(rows() == Map(1L -> ((0, Seq(0, 0))), 2L -> ((1, Seq(1, 1)))))
+    assert(top1(Seq(1.0, 0.0, 1.0, 0.0)) == 1L)
+    assert(top1(Seq(0.0, 1.0, 0.0, 1.0)) == 2L)
+
+    // Poison A's stored cell. If any later batch re-encoded the corpus,
+    // A would return to cell 0 and win the cell-0 query over the weaker
+    // newcomer; pass-through merges keep it hidden in cell 1.
+    val snap0 = spark.read.parquet(s"$table/snap_0")
+    val poisoned = snap0.withColumn("cid",
+        when(col("vec_id") === 1L, lit(1)).otherwise(col("cid"))).collect()
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(poisoned.toIndexedSeq), snap0.schema)
+      .write.mode("overwrite").parquet(s"$table/snap_0")
+
+    input.addData(AnnVec(3L, Seq(0.9, 0.1, 0.9, 0.1)))
+    drain()
+    assert(rows().view.mapValues(_._1).toMap == Map(1L -> 1, 2L -> 1, 3L -> 0))
+    assert(top1(Seq(1.0, 0.0, 1.0, 0.0)) == 3L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
+
   test("tombstones revoke vectors: a deleted vec_id is gone from every later snapshot and search; re-insert revives it") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
