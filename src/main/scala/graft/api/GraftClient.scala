@@ -113,8 +113,18 @@ final class GraftClient private (process: Process) {
 object GraftClient {
 
   /** Spawn the server command and connect over its stdio. */
-  def connect(cmd: Seq[String]): GraftClient =
-    new GraftClient(new ProcessBuilder(cmd: _*).start())
+  def connect(cmd: Seq[String]): GraftClient = connect(cmd, Map.empty)
+
+  /** Spawn with extra environment — how a deployment hands the server
+    * its backend configuration (GRAFT_JDBC_URL, BQ_PROJECT/BQ_DATASET —
+    * the same env contract the reference reads at startup,
+    * bigquery.rs:40).
+    */
+  def connect(cmd: Seq[String], env: Map[String, String]): GraftClient = {
+    val pb = new ProcessBuilder(cmd: _*)
+    env.foreach { case (k, v) => pb.environment().put(k, v) }
+    new GraftClient(pb.start())
+  }
 
   /** A session on a connection (reference core.clj session map: the
     * handle carries its connection and id).

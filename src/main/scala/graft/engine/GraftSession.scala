@@ -64,7 +64,30 @@ final class GraftSession private[engine] (
     */
   def sql(q: String): DataFrame = resolver match {
     case bq: BigQueryResolver => bq.query(spark, q)
-    case _ => spark.sql(rewriteBqSyntax(q))
+    case LocalResolver => spark.sql(rewriteBqSyntax(q))
+    case remote =>
+      // Remote CATALOG with local SQL (the jdbc shape): relations the
+      // session hasn't seen yet resolve lazily — on TABLE_OR_VIEW_NOT_
+      // FOUND the missing name is registered through the backend (a view
+      // over the remote scan, so pushdown still reaches the endpoint)
+      // and analysis retries. Each round either registers a NEW table
+      // (bounded by the query's relation count) or throws the backend's
+      // typed UnknownTable; the seen-set makes non-progress impossible.
+      val seen = scala.collection.mutable.Set.empty[String]
+      def run(): DataFrame =
+        try spark.sql(rewriteBqSyntax(q))
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getCondition != null &&
+                e.getCondition.startsWith("TABLE_OR_VIEW_NOT_FOUND") =>
+            val name = Option(e.getMessageParameters.get("relationName"))
+              .getOrElse(throw e)
+              .stripPrefix("`").stripSuffix("`")
+            if (!seen.add(name)) throw e
+            remote.register(spark, name)
+            run()
+        }
+      run()
   }
 
   def listTables(): Seq[String] =

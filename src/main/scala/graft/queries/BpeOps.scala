@@ -40,9 +40,13 @@ object BpeOps {
   /** Sentinel: ASCII unit separator, absent from the corpus text. */
   private val S = "\u001f"
 
-  /** Wrap every character: "ab" becomes S+a+S + S+b+S — one regexp pass. */
+  /** Wrap every character: "ab" becomes S+a+S + S+b+S. Built from an
+    * empty-pattern split + array_join (codegen string ops), not a
+    * per-character regexp replace — the regex engine's match loop costs
+    * more than the whole rest of a training pass.
+    */
   private def charString(text: Column): Column =
-    regexp_replace(text, "(?s)(.)", s"$S$$1$S")
+    concat(lit(S), array_join(split(text, ""), S + S), lit(S))
 
   /** Tokens of a sentinel string: strip the outer sentinels, split on
     * the doubled one.
@@ -56,14 +60,22 @@ object BpeOps {
     * shuffle + a ONE-ROW collect.
     */
   private def topPair(cur: DataFrame): (String, String) = {
+    // Pairs travel as ONE sentinel-joined string through the hot path
+    // (half the allocation of a two-string struct per exploded row); the
+    // (cnt DESC, a, b) rank splits the pair back out AFTER the
+    // aggregation, where only the vocabulary-sized count table remains.
     val row = cur
       .select(toks(col("s")).as("t"))
       .filter(size(col("t")) >= 2)
       .select(explode(expr(
-        "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))"))
+        s"transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), '$S', element_at(t, i + 1)))"))
         .as("p"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("p"))
       .agg(count(lit(1)).as("cnt"))
+      .select(
+        split(col("p"), java.util.regex.Pattern.quote(S), 2).as("ab"),
+        col("cnt"))
+      .select(element_at(col("ab"), 1).as("a"), element_at(col("ab"), 2).as("b"), col("cnt"))
       .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
       .limit(1)
       .collect()(0)
@@ -76,13 +88,20 @@ object BpeOps {
     */
   def train(corpus: DataFrame, nMerges: Int): (Seq[(String, String)], DataFrame) = {
     var cur = corpus
+    var prev: Option[DataFrame] = None
     var rules = Vector.empty[(String, String)]
     for (_ <- 0 until nMerges) {
       // Cache the CURRENT tokenization: round k's pair count and round
       // k+1's input both read it, and without the cache every round
-      // replays the whole replace chain from the raw scan.
+      // replays the whole replace chain from the raw scan. The PREVIOUS
+      // round's cache has served both its readers once this round's
+      // materializes (inside topPair), so it unpersists here — without
+      // this the loop pins nMerges copies of the corpus in the storage
+      // pool and late rounds pay the eviction churn.
       cur = cur.cache()
       val (a, b) = topPair(cur)
+      prev.foreach(_.unpersist(false))
+      prev = Some(cur)
       rules = rules :+ (a -> b)
       cur = cur.withColumn("s",
         replace(col("s"), lit(S + a + S + S + b + S), lit(S + a + b + S)))
@@ -102,7 +121,12 @@ object BpeOps {
       // non-overlapping literal replace.
       "text_bpe_encode" -> QDef(
         (s, dir) => {
-          val corpus = docs(s, dir).select(
+          // fanOut: the small-SF documents file is a single input split,
+          // which would serialize all six training passes onto one core;
+          // one tiny corpus shuffle up front parallelizes every pass (at
+          // real scale the scan is already multi-partition and this is a
+          // cheap no-op-shaped rebalance).
+          val corpus = Eval.fanOut(docs(s, dir)).select(
             col("doc_id"),
             length(col("text")).cast("long").as("n_chars"),
             charString(col("text")).as("s"))

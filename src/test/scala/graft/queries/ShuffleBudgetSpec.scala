@@ -33,9 +33,13 @@ class ShuffleBudgetSpec extends SparkSpec {
     // here means the partial aggregation stopped reducing map-side
     // (measured r5: 1.6 / 36 / 9.2 KiB)
     "text_bpe_pairs" -> 32 * 1024L,
-    // 6 training rounds × pair-vocab partial aggregates + the tiny
-    // final per-doc stats sort — never the corpus (measured r9: 24 KiB)
-    "text_bpe_encode" -> 96 * 1024L,
+    // ONE up-front corpus fanOut rebalance (the small-SF scan is a
+    // single split; without it all six training passes serialize onto
+    // one core) + 6 rounds × pair-vocab partial aggregates + the tiny
+    // final stats sort. The corpus-sized term is the one rebalance,
+    // by design — never per-round.
+    // (measured r9: 146 KiB at sf0.001)
+    "text_bpe_encode" -> 512 * 1024L,
     "text_pmi_topk" -> 128 * 1024L,
     "curate_global_index" -> 64 * 1024L,
     // round-7 subquadratic claims, CI-pinned: containment shuffles

@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Mechanical 2x bench gate against the pinned BASELINE (r8 verdict
+task 8): earlier rounds compared "against the repo's own recorded band"
+by hand; BASELINE.json now carries a pinned per-query seconds table
+(`queries`, recorded from the round-8 driver bench at sf0.1/local[32])
+and this script grades any later BENCH_rN.json against it.
+
+Usage: python3 tools/bench_gate.py BENCH_r09.json [BASELINE.json]
+
+Rules:
+  - per query: FAIL if t > 2x pinned (with a 0.3 s grace floor — the
+    suite-position noise class documented in SURVEY §6: sub-second
+    entries jitter by hundreds of ms between runs without any plan
+    change, so the gate only bites when 2x pinned AND pinned+0.3 are
+    both exceeded);
+  - total: FAIL if the sum over SHARED keys exceeds 1.5x the pinned
+    sum over those keys (new queries are reported but ungated — they
+    have no pin yet);
+  - `_other_total` (the driver tail's fold-up bucket) is compared as
+    its own entry when present on both sides.
+Exit code 0 = pass, 1 = any failure.
+"""
+import json
+import sys
+
+
+def load_queries(path):
+    d = json.load(open(path))
+    if "queries" in d and isinstance(d["queries"], dict):
+        return d["queries"]
+    if "parsed" in d and isinstance(d["parsed"], dict):
+        return d["parsed"].get("queries", {})
+    raise SystemExit(f"{path}: no per-query seconds found")
+
+
+def main():
+    bench_path = sys.argv[1]
+    base_path = sys.argv[2] if len(sys.argv) > 2 else "BASELINE.json"
+    bench = load_queries(bench_path)
+    base = load_queries(base_path)
+
+    shared = sorted(set(bench) & set(base))
+    new = sorted(set(bench) - set(base))
+    fails = []
+    for k in shared:
+        t, p = bench[k], base[k]
+        if t > 2.0 * p and t > p + 0.3:
+            fails.append((k, t, p))
+            print(f"FAIL {k}: {t:.3f}s vs pinned {p:.3f}s ({t / p:.2f}x)")
+    tot_b = sum(bench[k] for k in shared)
+    tot_p = sum(base[k] for k in shared)
+    total_ok = tot_b <= 1.5 * tot_p
+    print(f"total over {len(shared)} shared: {tot_b:.1f}s vs pinned {tot_p:.1f}s "
+          f"({tot_b / tot_p:.2f}x) -> {'ok' if total_ok else 'FAIL'}")
+    if new:
+        print(f"ungated (no pin): {', '.join(new)}")
+    if fails or not total_ok:
+        sys.exit(1)
+    print(f"PASS: {len(shared)} shared queries within gate")
+
+
+if __name__ == "__main__":
+    main()
