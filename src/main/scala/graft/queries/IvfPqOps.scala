@@ -48,9 +48,9 @@ object IvfPqOps {
     val seeds: Seq[Seq[Double]] = e.filter(col("vec_id") % lit(29) === 0)
       .sort("vec_id").limit(cells)
       .select("v").collect().map(_.getSeq[Double](0)).toSeq
-    val sample = IvfOps.trainSample(e, 256 * cells)
+    val sample = IvfOps.trainSample(e, 256 * math.max(cells, codes))
     val cents = IvfOps.trainCodebook(sample, seeds, iters)
-    IvfPqModel(cents, PqOps.train(e, m, sub, codes, iters))
+    IvfPqModel(cents, PqOps.train(e, m, sub, codes, iters, sharedSample = Some(sample)))
   }
 
   /** Map-only composed encoding: each vector gets its coarse cell `cid`

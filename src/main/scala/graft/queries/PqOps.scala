@@ -53,10 +53,15 @@ object PqOps {
     * iteration is the m×codes×sub codebook (a few KB at any scale).
     * Empty cells keep their previous centroid.
     */
-  def train(e: DataFrame, m: Int, sub: Int, codes: Int, iters: Int): PqModel = {
+  def train(
+      e: DataFrame, m: Int, sub: Int, codes: Int, iters: Int,
+      sharedSample: Option[DataFrame] = None): PqModel = {
     // Absolute-size deterministic sample (256 rows per code): constant
-    // training cost as the corpus grows — see IvfOps.trainSample.
-    val sample = IvfOps.trainSample(e, 256 * codes)
+    // training cost as the corpus grows — see IvfOps.trainSample. A
+    // caller training BOTH a coarse quantizer and PQ codebooks (the
+    // composed IVF-PQ index) passes its sample in so the corpus-ranked
+    // take runs once, not twice.
+    val sample = sharedSample.getOrElse(IvfOps.trainSample(e, 256 * codes))
     val seedVecs = e.filter(col("vec_id") % lit(31) === 0)
       .sort("vec_id").limit(codes)
       .select("v").collect().map(_.getSeq[Double](0)).toSeq
