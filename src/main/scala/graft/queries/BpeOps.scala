@@ -121,11 +121,14 @@ object BpeOps {
       // non-overlapping literal replace.
       "text_bpe_encode" -> QDef(
         (s, dir) => {
-          // fanOut: the small-SF documents file is a single input split,
-          // which would serialize all six training passes onto one core;
-          // one tiny corpus shuffle up front parallelizes every pass (at
-          // real scale the scan is already multi-partition and this is a
-          // cheap no-op-shaped rebalance).
+          // fanOut: this frame is CACHED and read by all seven passes
+          // (6 training rounds + final stats), so one up-front rebalance
+          // amortizes — the repo rule that reserves fanOut for cached
+          // multi-pass frames (ANN training, power iteration, shingle
+          // pipelines). Without it the single-row-group small-SF scan
+          // serializes every pass onto one core (7.7 s → 3.7 s at
+          // sf0.1); at 100 TB the materialization you'd do anyway for a
+          // 7-pass loop absorbs the rebalance.
           val corpus = Eval.fanOut(docs(s, dir)).select(
             col("doc_id"),
             length(col("text")).cast("long").as("n_chars"),

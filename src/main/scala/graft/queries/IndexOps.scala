@@ -44,7 +44,7 @@ object IndexOps {
     // keys, no skew, scale-safe.
     "text_tfidf_topk" -> QDef(
       (s, dir) => {
-        val all = Eval.fanOut(docs(s, dir))
+        val all = docs(s, dir)
         val df = presence(all).groupBy("term").agg(count(lit(1)).as("df"))
         val n = all.agg(count(lit(1)).as("n"))
         val tf = all.filter(col("doc_id") < 40)
@@ -93,7 +93,7 @@ object IndexOps {
     // engine-portable. First 100 phrases alphabetically.
     "text_inverted_index" -> QDef(
       (s, dir) => {
-        val pres = Eval.fanOut(docs(s, dir))
+        val pres = docs(s, dir)
           .select(col("doc_id"), split(col("text"), " ").as("ts"))
           .filter(size(col("ts")) >= 2)
           .select(col("doc_id"), explode(expr(
@@ -137,7 +137,7 @@ object IndexOps {
     // support 5 occurrences; top-20 by (pmi DESC, pair ASC).
     "text_pmi_topk" -> QDef(
       (s, dir) => {
-        val toks = Eval.fanOut(docs(s, dir))
+        val toks = docs(s, dir)
           .select(col("doc_id"), split(col("text"), " ").as("ts"))
         val uni = toks.select(explode(col("ts")).as("w"))
           .groupBy("w").agg(count(lit(1)).as("cw"))
@@ -190,7 +190,7 @@ object IndexOps {
     // frequencies still come from the FULL corpus.
     "text_unigram_logprob" -> QDef(
       (s, dir) => {
-        val all = Eval.fanOut(docs(s, dir))
+        val all = docs(s, dir)
         val tok = all.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         val cw = tok.groupBy("w").agg(count(lit(1)).as("cw"))
         val tot = cw.agg(sum("cw").as("t"))

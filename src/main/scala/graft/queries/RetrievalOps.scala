@@ -98,11 +98,7 @@ object RetrievalOps {
     // (cnt DESC, pair ASC).
     "text_bpe_pairs" -> QDef(
       (s, dir) =>
-        // fanOut: the small-SF documents file is one row group — a
-        // single split — so the per-char explode would run one-core;
-        // one tiny rebalance parallelizes it (no-op-shaped at real
-        // scale, where the scan is already multi-partition).
-        Eval.fanOut(docs(s, dir))
+        docs(s, dir)
           .filter(length(col("text")) >= 2)
           .select(explode(
             expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))

@@ -27,7 +27,7 @@ object TextOps3 {
     // the slope is one identical double expression on both engines.
     "text_zipf_fit" -> QDef(
       (s, dir) => {
-        val cw = Eval.fanOut(docs(s, dir))
+        val cw = docs(s, dir)
           .select(explode(split(col("text"), " ")).as("w"))
           .groupBy("w").agg(count(lit(1)).as("f"))
         val ranked = cw.withColumn("r", row_number().over(
@@ -87,7 +87,7 @@ object TextOps3 {
     "text_rake_keyphrases" -> QDef(
       (s, dir) => {
         val stop = Seq("the", "a", "of", "to", "and")
-        val tok = Eval.fanOut(docs(s, dir))
+        val tok = docs(s, dir)
           .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
         val nonstop = tok.filter(!col("w").isInCollection(stop))
           .withColumn("isl",

@@ -29,13 +29,14 @@ class ShuffleBudgetSpec extends SparkSpec {
     // aggregates; query-side exchanges carry only bounded top-k buffers
     // (measured r9: 622 KiB)
     "ann_ivfpq_topk" -> 2 * 1024 * 1024L,
-    // vocabulary-sized AGGREGATION shuffles by construction, plus (since
-    // r9) the one up-front corpus fanOut rebalance — the small-SF scan
-    // is a single row group, so without it the per-char/token explode
-    // serializes onto one core. The corpus-sized term is that single
-    // rebalance; the aggregation exchanges stay vocabulary-sized
-    // (r9 measured: 90 / 315 / 9.2 KiB)
-    "text_bpe_pairs" -> 256 * 1024L,
+    // vocabulary-sized shuffles by construction — a corpus-sized number
+    // here means the partial aggregation stopped reducing map-side.
+    // NO fanOut here, by rule: a one-pass query must not buy local scan
+    // parallelism with a corpus rebalance that a 100 TB plan would pay
+    // for real (fanOut is reserved for cached multi-pass frames — ANN
+    // training, power iteration, shingle pipelines, BPE's 7 passes).
+    // (measured r5: 1.6 / 36 / 9.2 KiB)
+    "text_bpe_pairs" -> 32 * 1024L,
     // ONE up-front corpus fanOut rebalance (the small-SF scan is a
     // single split; without it all six training passes serialize onto
     // one core) + 6 rounds × pair-vocab partial aggregates + the tiny
@@ -43,7 +44,7 @@ class ShuffleBudgetSpec extends SparkSpec {
     // by design — never per-round.
     // (measured r9: 146 KiB at sf0.001)
     "text_bpe_encode" -> 512 * 1024L,
-    "text_pmi_topk" -> 1024 * 1024L,
+    "text_pmi_topk" -> 128 * 1024L,
     "curate_global_index" -> 64 * 1024L,
     // round-7 subquadratic claims, CI-pinned: containment shuffles
     // candidates (prefix-filtered + size-bounded), never all-pairs;
