@@ -118,16 +118,19 @@ object Analytics3 {
           .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
           .join(broadcast(natS), supp("s_nationkey") === col("ns_key"))
           .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+          // Exact DECIMAL sums ([[Money]], r9) + ONE fixed-operand-order
+          // double division: both operands are identical exact decimals
+          // on both engines, so the ratio is the identical double.
           .agg(round(
-            sum(when(col("supp_nation") === "NATION_3",
-              col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(0.0)) /
-              sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("mkt_share"))
+            sum(when(col("supp_nation") === "NATION_3", Money.revenue)
+              .otherwise(lit(BigDecimal("0.00")))).cast("double") /
+              sum(Money.revenue).cast("double"), 4).as("mkt_share"))
           .orderBy("o_year")
       },
-      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
-        |  ROUND(SUM(CASE WHEN ns.n_name = 'NATION_3'
-        |                 THEN l_extendedprice * (1.0 - l_discount) ELSE 0 END)
-        |    / SUM(l_extendedprice * (1.0 - l_discount)), 4) AS mkt_share
+      s"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+        |  ROUND(CAST(SUM(CASE WHEN ns.n_name = 'NATION_3'
+        |                 THEN ${Money.revenueSql} ELSE CAST('0.00' AS DECIMAL(3,2)) END) AS DOUBLE)
+        |    / CAST(SUM(${Money.revenueSql}) AS DOUBLE), 4) AS mkt_share
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey

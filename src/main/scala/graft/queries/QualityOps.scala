@@ -174,8 +174,10 @@ object QualityOps {
       (s, dir) => {
         val calc = li(s, dir)
           .groupBy(col("l_orderkey"))
-          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-            * (lit(1.0) + col("l_tax"))), 2).as("calc"))
+          // Exact DECIMAL charge ([[Money]], r9): order-independent
+          // per-order sums at any scale.
+          .agg(round(sum(Money.revenue *
+            (Money.one + Money.dec("l_tax"))), 2).cast("double").as("calc"))
         Tables(s, dir, "orders")
           .select(col("o_orderkey"), col("o_totalprice"))
           .join(calc, col("o_orderkey") === col("l_orderkey"))
@@ -184,9 +186,10 @@ object QualityOps {
           .orderBy(col("diff").desc, col("o_orderkey").asc)
           .limit(10)
       },
-      """WITH c AS (
+      s"""WITH c AS (
         |  SELECT l_orderkey,
-        |         ROUND(SUM(l_extendedprice * (1.0e0 - l_discount) * (1.0e0 + l_tax)), 2) AS calc
+        |         CAST(ROUND(SUM(${Money.revenueSql}
+        |           * (CAST('1.00' AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(12,2)))), 2) AS DOUBLE) AS calc
         |  FROM lineitem GROUP BY 1)
         |SELECT o_orderkey, o_totalprice, calc,
         |       ROUND(ABS(o_totalprice - calc), 2) AS diff

@@ -42,28 +42,39 @@ object Relational {
 
     // §2.1#2 TPC-H Q1 pricing summary (headline bench query)
     "q1_pricing_summary" -> QDef(
-      (s, dir) =>
+      (s, dir) => {
+        // Exact DECIMAL money arithmetic (the q_tpch_q9 recipe, applied
+        // suite-wide in r9 after the sf1 sweep flipped 1-cent rounding
+        // ties in double sums): TPC-H money IS decimal by spec, decimal
+        // sums are order-independent at any corpus size, and the avgs
+        // become ONE fixed-operand-order double division each.
+        val qty = col("l_quantity").cast("decimal(12,2)")
+        val price = col("l_extendedprice").cast("decimal(12,2)")
+        val disc = col("l_discount").cast("decimal(12,2)")
+        val tax = col("l_tax").cast("decimal(12,2)")
+        val one = lit(BigDecimal("1.00"))
         t(s, dir, "lineitem")
           .filter(to_date(col("l_shipdate")) <= lit("1998-09-02"))
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
-            round(sum("l_quantity"), 2).as("sum_qty"),
-            round(sum("l_extendedprice"), 2).as("sum_base_price"),
-            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
-            round(avg("l_quantity"), 2).as("avg_qty"),
-            round(avg("l_extendedprice"), 2).as("avg_price"),
-            round(avg("l_discount"), 4).as("avg_disc"),
+            round(sum(qty), 2).cast("double").as("sum_qty"),
+            round(sum(price), 2).cast("double").as("sum_base_price"),
+            round(sum(price * (one - disc)), 2).cast("double").as("sum_disc_price"),
+            round(sum(price * (one - disc) * (one + tax)), 2).cast("double").as("sum_charge"),
+            round(sum(qty).cast("double") / count(lit(1)), 2).as("avg_qty"),
+            round(sum(price).cast("double") / count(lit(1)), 2).as("avg_price"),
+            round(sum(disc).cast("double") / count(lit(1)), 4).as("avg_disc"),
             count(lit(1)).as("count_order"))
-          .orderBy("l_returnflag", "l_linestatus"),
+          .orderBy("l_returnflag", "l_linestatus")
+      },
       """SELECT l_returnflag, l_linestatus,
-        |  ROUND(SUM(l_quantity), 2) AS sum_qty,
-        |  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-        |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-        |  ROUND(SUM(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
-        |  ROUND(AVG(l_quantity), 2) AS avg_qty,
-        |  ROUND(AVG(l_extendedprice), 2) AS avg_price,
-        |  ROUND(AVG(l_discount), 4) AS avg_disc,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS sum_disc_price,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST('1.00' AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(12,2)))), 2) AS DOUBLE) AS sum_charge,
+        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 2) AS avg_qty,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 2) AS avg_price,
+        |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
@@ -516,7 +527,9 @@ object Relational {
         li.join(ord, li("l_orderkey") === ord("o_orderkey"))
           .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
           .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+          // Exact DECIMAL revenue ([[Money]]): order-independent sums,
+          // tie-free cent rounding at any scale.
+          .agg(Money.revenueSum2.as("revenue"))
           .select(
             col("l_orderkey"), col("revenue"),
             date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
@@ -524,8 +537,8 @@ object Relational {
           .orderBy(col("revenue").desc, col("l_orderkey"))
           .limit(10)
       },
-      """SELECT l_orderkey,
-        |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      s"""SELECT l_orderkey,
+        |  ${Money.revenueSumSql2} AS revenue,
         |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
         |  o_orderpriority
         |FROM lineitem
@@ -550,13 +563,18 @@ object Relational {
           .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
           .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
           .groupBy("r_name", "n_name")
+          // Exact DECIMAL revenue (q_tpch_q9 recipe): the double sum
+          // flipped a 1-cent rounding tie at sf1 (r9 scale sweep).
           .agg(
-            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+            round(sum(col("l_extendedprice").cast("decimal(12,2)") *
+              (lit(BigDecimal("1.00")) - col("l_discount").cast("decimal(12,2)"))), 2)
+              .cast("double").as("revenue"),
             count(lit(1)).as("line_cnt"))
           .orderBy("r_name", "n_name")
       },
       """SELECT r_name, n_name,
-        |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue,
         |  COUNT(*) AS line_cnt
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey

@@ -293,9 +293,9 @@ object Relational3 {
               col("l_quantity").between(10, 40)) ||
             (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
               col("l_quantity").between(20, 60)))
-          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+          .agg(Money.revenueSum2.as("revenue"))
       },
-      """SELECT ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      s"""SELECT ${Money.revenueSumSql2} AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40)

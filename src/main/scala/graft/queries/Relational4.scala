@@ -205,10 +205,17 @@ object Relational4 {
           .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))
           .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
           .groupBy("n_name")
-          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+          // Exact DECIMAL revenue (the q_tpch_q9 recipe): the double
+          // formulation's sum order flipped a 1-cent rounding tie at
+          // sf1 (first seen in the r9 scale sweep) — decimal terms sum
+          // exactly at any corpus size and partitioning.
+          .agg(round(sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(BigDecimal("1.00")) - col("l_discount").cast("decimal(12,2)"))), 2)
+            .cast("double").as("revenue"))
           .orderBy(col("revenue").desc, col("n_name"))
       },
-      """SELECT n_name, ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      """SELECT n_name, CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -240,12 +247,12 @@ object Relational4 {
               (col("supp_nation") === "NATION_11" && col("cust_nation") === "NATION_20"))
           .groupBy(col("supp_nation"), col("cust_nation"),
             year(col("l_shipdate")).cast("long").as("l_year"))
-          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+          .agg(Money.revenueSum2.as("revenue"))
           .orderBy("supp_nation", "cust_nation", "l_year")
       },
-      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
-        |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |  ${Money.revenueSumSql2} AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey

@@ -64,15 +64,17 @@ object TpchOps {
         val l = t(s, dir, "lineitem")
           .filter(col("l_shipdate") >= "1996-03-01" && col("l_shipdate") < "1996-04-01")
         val p = t(s, dir, "part")
-        val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
         l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          // Exact DECIMAL sums ([[Money]], r9) + one fixed-order double
+          // expression mirrored in the oracle.
           .agg(round(
-            lit(100.0) * sum(when(col("p_type").startsWith("PROMO"), rev).otherwise(lit(0.0))) /
-              sum(rev), 4).as("promo_revenue"))
+            lit(100.0) * sum(when(col("p_type").startsWith("PROMO"), Money.revenue)
+              .otherwise(lit(BigDecimal("0.00")))).cast("double") /
+              sum(Money.revenue).cast("double"), 4).as("promo_revenue"))
       },
-      """SELECT ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
-        |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END) /
-        |  SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+      s"""SELECT ROUND(100.0e0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+        |    THEN ${Money.revenueSql} ELSE CAST('0.00' AS DECIMAL(3,2)) END) AS DOUBLE) /
+        |  CAST(SUM(${Money.revenueSql}) AS DOUBLE), 4) AS promo_revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-04-01'""".stripMargin),
 
@@ -85,24 +87,25 @@ object TpchOps {
         val rev = t(s, dir, "lineitem")
           .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-04-01")
           .groupBy(col("l_suppkey"))
-          .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("tr"))
-          // cache: tr and max(tr) MUST come from one evaluation — float
-          // SUM is order-sensitive under shuffle-merge, so two
-          // independent executions can differ in ULPs and the equality
-          // join below would drop the true max row.
+          // Exact DECIMAL totals ([[Money]], r9): the max-filter
+          // equality join compares EXACT values, so it cannot tie-flip
+          // under any partitioning — the cache below is now belt-and-
+          // suspenders (one evaluation is still cheaper than two).
+          .agg(sum(Money.revenue).as("tr"))
           .cache()
         val mx = rev.agg(max("tr").as("mx"))
         rev.join(broadcast(mx), rev("tr") === mx("mx"))
           .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
-          .select(col("s_suppkey"), col("s_name"), round(col("tr"), 2).as("total_revenue"))
+          .select(col("s_suppkey"), col("s_name"),
+            round(col("tr"), 2).cast("double").as("total_revenue"))
           .orderBy("s_suppkey")
       },
-      """WITH revenue AS (
-        |  SELECT l_suppkey, SUM(l_extendedprice * (1.0 - l_discount)) AS tr
+      s"""WITH revenue AS (
+        |  SELECT l_suppkey, SUM(${Money.revenueSql}) AS tr
         |  FROM lineitem
         |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
         |  GROUP BY 1)
-        |SELECT s_suppkey, s_name, ROUND(tr, 2) AS total_revenue
+        |SELECT s_suppkey, s_name, CAST(ROUND(tr, 2) AS DOUBLE) AS total_revenue
         |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
         |WHERE tr = (SELECT MAX(tr) FROM revenue)
         |ORDER BY s_suppkey""".stripMargin),

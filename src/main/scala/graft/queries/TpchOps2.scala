@@ -157,12 +157,17 @@ object TpchOps2 {
         val perPart = t(s, dir, "lineitem")
           .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"))
           .groupBy(col("l_partkey"))
-          .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("value"))
+          // Exact DECIMAL values ([[Money]], r9): the threshold compare
+          // below is decimal-vs-decimal — no ULP flip possible at any
+          // scale (0.001 as an exact decimal literal, like DuckDB's own
+          // parse of the 0.001 token).
+          .agg(sum(Money.revenue).as("value"))
           .cache()
         val total = perPart.agg(sum("value").as("tot"))
         val out = perPart.join(broadcast(total))
-          .filter(col("value") > col("tot") * 0.001)
-          .select(col("l_partkey").as("p_partkey"), round(col("value"), 2).as("part_value"))
+          .filter(col("value") > col("tot") * lit(BigDecimal("0.001")))
+          .select(col("l_partkey").as("p_partkey"),
+            round(col("value"), 2).cast("double").as("part_value"))
           .orderBy("p_partkey")
           // Pin the single evaluation, then release the cache: the suite
           // runs 130 queries in one JVM, and a left-behind cache leaks
@@ -171,15 +176,15 @@ object TpchOps2 {
         perPart.unpersist()
         out
       },
-      """WITH perpart AS (
-        |  SELECT l_partkey, SUM(l_extendedprice * (1.0 - l_discount)) AS value
+      s"""WITH perpart AS (
+        |  SELECT l_partkey, SUM(${Money.revenueSql}) AS value
         |  FROM lineitem
         |  JOIN supplier ON l_suppkey = s_suppkey
         |  JOIN nation ON s_nationkey = n_nationkey
         |  JOIN region ON n_regionkey = r_regionkey
         |  WHERE r_name = 'ASIA'
         |  GROUP BY 1)
-        |SELECT l_partkey AS p_partkey, ROUND(value, 2) AS part_value
+        |SELECT l_partkey AS p_partkey, CAST(ROUND(value, 2) AS DOUBLE) AS part_value
         |FROM perpart
         |WHERE value > (SELECT SUM(value) * 0.001 FROM perpart)
         |ORDER BY p_partkey""".stripMargin),
