@@ -145,7 +145,10 @@ class AnnStreamSpec extends SparkSpec {
     val base = java.nio.file.Files.createTempDirectory("ivfpqidx").toString
     val table = s"$base/index"; val ckpt = s"$base/ckpt"
     // Frozen composed model: 2 coarse cells on the 4-dim axes pairs +
-    // the transparent 2×2 PQ model above — both halves checkable by eye.
+    // the transparent 2×2 PQ model above, which now quantizes RESIDUALS
+    // (v − centroid): a vector sitting exactly on its centroid has the
+    // zero residual, whose sub-codes tie to code 0 — still checkable by
+    // eye.
     val composed = graft.queries.IvfPqOps.IvfPqModel(
       cents = Seq(Seq(1.0, 0.0, 1.0, 0.0), Seq(0.0, 1.0, 0.0, 1.0)),
       pq = model)
@@ -164,11 +167,12 @@ class AnnStreamSpec extends SparkSpec {
       AnnStream.searchIvfPqIndex(spark, table, composed, Seq((100L, qv)), k = 1, nprobe = 1)
         .collect().head.getAs[Long]("neighbor_id")
 
-    // batch 0: A lands in cell 0 with codes (0,0), B in cell 1 with (1,1)
-    // — one map-only pass produced BOTH index columns.
+    // batch 0: A and B each sit exactly on their centroid — cells 0 and
+    // 1, zero residuals, sub-codes tie to (0,0) — one map-only pass
+    // produced BOTH index columns.
     input.addData(vecA, vecB)
     drain()
-    assert(rows() == Map(1L -> ((0, Seq(0, 0))), 2L -> ((1, Seq(1, 1)))))
+    assert(rows() == Map(1L -> ((0, Seq(0, 0))), 2L -> ((1, Seq(0, 0)))))
     assert(top1(Seq(1.0, 0.0, 1.0, 0.0)) == 1L)
     assert(top1(Seq(0.0, 1.0, 0.0, 1.0)) == 2L)
 
