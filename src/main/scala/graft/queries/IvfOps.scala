@@ -30,14 +30,19 @@ object IvfOps {
   /** Map-only nearest-centroid assignment against a literal codebook:
     * adds `cid` (argmax cosine, ties to the lowest id) and `csim` (the
     * winning similarity — the quantizer objective's raw material).
+    *
+    * ONE array-loop expression over the codebook literal (r9): the
+    * previous form unrolled k separate per-centroid struct expressions,
+    * and Janino-compiling k × dim-literal trees dominated a training
+    * pass at small data; the loop form is O(1) codegen size in k with
+    * the identical argmax semantics (struct max ties to the larger
+    * negcid = the lower cid).
     */
   private[graft] def assignLiteral(vectors: DataFrame, cents: Seq[Seq[Double]]): DataFrame = {
-    val scored: Seq[Column] = cents.zipWithIndex.map { case (cv, cid) =>
-      struct(cosineSim(col("v"), typedlit(cv)).as("sim"), lit(-cid).as("negcid"))
-    }
-    val best = greatest(scored: _*)
+    val best = array_max(transform(typedlit(cents),
+      (c, i) => struct(cosineSim(col("v"), c).as("sim"), (-i).as("negcid"))))
     vectors
-      .withColumn("cid", -best.getField("negcid"))
+      .withColumn("cid", (-best.getField("negcid")).cast("int"))
       .withColumn("csim", best.getField("sim"))
   }
 

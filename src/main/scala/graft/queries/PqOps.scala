@@ -37,12 +37,14 @@ object PqOps {
     * map-only, same literal-codebook pattern as IVF cell assignment.
     */
   private[graft] def withCodes(df: DataFrame, model: PqModel): DataFrame = {
+    // Per subspace, ONE array-loop argmax over the sub-book literal
+    // (see IvfOps.assignLiteral — same r9 codegen-size fix, same
+    // ties-to-lowest-code semantics via the (d, -c) struct max).
     val codeCols: Seq[Column] = (0 until model.m).map { mi =>
       val sv = slice(col("v"), mi * model.sub + 1, model.sub)
-      val scored = model.books(mi).zipWithIndex.map { case (cv, c) =>
-        struct(dot(sv, typedlit(cv)).as("d"), lit(-c).as("negc"))
-      }
-      -greatest(scored: _*).getField("negc")
+      val best = array_max(transform(typedlit(model.books(mi)),
+        (cv, c) => struct(dot(sv, cv).as("d"), (-c).as("negc"))))
+      (-best.getField("negc")).cast("int")
     }
     df.withColumn("code", array(codeCols: _*))
   }
