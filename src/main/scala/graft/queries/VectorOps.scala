@@ -38,23 +38,43 @@ object VectorOps {
     * multiply-adds, no hashing). `table` seeds independent hyperplane
     * sets; `dim` is the embedding dimensionality.
     */
-  def hyperplaneBucket(v: Column, planes: Int, table: Int, dim: Int): Column = {
-    val rnd = new java.util.SplittableRandom(42L * (table + 1))
-    val bits = (0 until planes).map { p =>
-      val plane = array(Seq.fill(dim)(lit(rnd.nextDouble() - 0.5)): _*)
-      val proj = aggregate(zip_with(v, plane, (x, w) => x * w), lit(0.0), (acc, x) => acc + x)
-      when(proj > 0.0, lit(1L << p)).otherwise(lit(0L))
+  /** Deterministic hyperplane sets: per table, `planes` × `dim` draws in
+    * a fixed order from a table-seeded SplittableRandom — the SAME
+    * values whether baked in unrolled or as one nested literal.
+    */
+  private def hyperplaneSets(planes: Int, tables: Int, dim: Int): Seq[Seq[Seq[Double]]] =
+    (0 until tables).map { t =>
+      val rnd = new java.util.SplittableRandom(42L * (t + 1))
+      (0 until planes).map(_ => Seq.fill(dim)(rnd.nextDouble() - 0.5))
     }
-    bits.reduce(_.bitwiseOR(_))
-  }
+
+  def hyperplaneBucket(v: Column, planes: Int, table: Int, dim: Int): Column =
+    bucketOf(v, typedlit(hyperplaneSets(planes, tables = table + 1, dim).last))
+
+  /** Sign-bit bucket of `v` against one table's plane array (array of
+    * plane vectors): Σ_p [proj_p > 0]·2^p, computed as a Horner fold
+    * over the REVERSED plane list (acc·2 + bit — no per-row pow) — a
+    * single loop expression over the literal, O(1) codegen size in
+    * planes×dim (the unrolled form Janino-compiled planes×dim literal
+    * trees per table — the r9 ANN codegen fix, same class as
+    * IvfOps.assignLiteral).
+    */
+  private def bucketOf(v: Column, tblPlanes: Column): Column =
+    aggregate(
+      reverse(tblPlanes),
+      lit(0L),
+      (acc, plane) => acc * 2 +
+        when(aggregate(zip_with(v, plane, (x, w) => x * w), lit(0.0), (a, x) => a + x) > 0.0,
+          lit(1L)).otherwise(lit(0L)))
 
   /** Multi-table LSH keys: array of (table, bucket) composite longs. Each
     * vector lands in `tables` buckets; a candidate pair only needs to
-    * collide in ONE table, which is what buys recall.
+    * collide in ONE table, which is what buys recall. One nested-loop
+    * expression over the tables×planes×dim literal.
     */
   def lshKeys(v: Column, planes: Int, tables: Int, dim: Int = 64): Column =
-    array((0 until tables).map(t =>
-      hyperplaneBucket(v, planes, t, dim) * lit(tables.toLong) + lit(t.toLong)): _*)
+    transform(typedlit(hyperplaneSets(planes, tables, dim)), (tbl, t) =>
+      bucketOf(v, tbl) * lit(tables.toLong) + t.cast("long"))
 
   /** Two-phase top-k per query over a scored candidate frame
     * `(q_id, neighbor_id, <scoreName>)`: the bounded-heap aggregate
