@@ -157,15 +157,19 @@ object TpchOps2 {
         val perPart = t(s, dir, "lineitem")
           .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"))
           .groupBy(col("l_partkey"))
-          // Exact DECIMAL values ([[Money]], r9): the threshold compare
-          // below is decimal-vs-decimal — no ULP flip possible at any
-          // scale (0.001 as an exact decimal literal, like DuckDB's own
-          // parse of the 0.001 token).
+          // Exact DECIMAL values ([[Money]], r9/r10): the threshold
+          // compare is value×1000 > tot, IDENTICALLY on both engines and
+          // entirely in bounded decimals — value recast to decimal(32,4)
+          // so the ×1000 product (decimal(37,4) here, decimal(36,4) in
+          // DuckDB) never exceeds precision 38 on either engine. The r9
+          // tot×0.001 form overflowed: Spark rounded the product's scale
+          // under allowPrecisionLoss while DuckDB fell back to DOUBLE, so
+          // the two thresholds could disagree within ~1e-6 of the cutoff.
           .agg(sum(Money.revenue).as("value"))
           .cache()
         val total = perPart.agg(sum("value").as("tot"))
         val out = perPart.join(broadcast(total))
-          .filter(col("value") > col("tot") * lit(BigDecimal("0.001")))
+          .filter(col("value").cast("decimal(32,4)") * lit(1000).cast("decimal(4,0)") > col("tot"))
           .select(col("l_partkey").as("p_partkey"),
             round(col("value"), 2).cast("double").as("part_value"))
           .orderBy("p_partkey")
@@ -186,7 +190,8 @@ object TpchOps2 {
         |  GROUP BY 1)
         |SELECT l_partkey AS p_partkey, CAST(ROUND(value, 2) AS DOUBLE) AS part_value
         |FROM perpart
-        |WHERE value > (SELECT SUM(value) * 0.001 FROM perpart)
+        |WHERE CAST(value AS DECIMAL(32,4)) * CAST(1000 AS DECIMAL(4,0))
+        |  > (SELECT SUM(value) FROM perpart)
         |ORDER BY p_partkey""".stripMargin),
 
     // TPC-H Q16 parts/supplier relationship: distinct supplier count per

@@ -51,6 +51,10 @@ def main():
 
     shared = sorted(set(bench) & set(base))
     new = sorted(set(bench) - set(base))
+    if not shared:
+        raise SystemExit(
+            f"FAIL: no shared query keys between {bench_path} and {base_path} "
+            f"({len(bench)} bench keys, {len(base)} pinned) — wrong baseline file?")
     fails = []
     for k in shared:
         t, p = bench[k], base[k]
@@ -59,6 +63,8 @@ def main():
             print(f"FAIL {k}: {t:.3f}s vs pinned {p:.3f}s ({t / p:.2f}x)")
     tot_b = sum(bench[k] for k in shared)
     tot_p = sum(base[k] for k in shared)
+    if tot_p <= 0:
+        raise SystemExit(f"FAIL: pinned total over shared keys is {tot_p} — corrupt baseline?")
     total_ok = tot_b <= 1.5 * tot_p
     print(f"total over {len(shared)} shared: {tot_b:.1f}s vs pinned {tot_p:.1f}s "
           f"({tot_b / tot_p:.2f}x) -> {'ok' if total_ok else 'FAIL'}")

@@ -4,7 +4,13 @@
 timeout, so a single oracle whose SQL doesn't scale (e.g. a recursive
 CTE at sf1) reports TIMEOUT instead of eating the whole sweep.
 
-Usage: python3 tools/compare_scale.py <sfDir> <verifyOutDir> [timeoutSec] [parallel]
+Usage: python3 tools/compare_scale.py <sfDir> <verifyOutDir> [timeoutSec] [parallel] [--strict]
+
+Exit code: 1 on any FAIL; with --strict, TIMEOUT also exits 1 (a gating
+caller must not read a sweep with unverified oracles as green — without
+the flag, timeouts are reported but tolerated, the exploratory mode for
+sweeps where some oracles are KNOWN not to scale, e.g. recursive CTEs
+at sf10).
 """
 import json
 import subprocess
@@ -30,9 +36,11 @@ def run_one(args):
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    timeout = int(sys.argv[3]) if len(sys.argv) > 3 else 300
-    parallel = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+    argv = [a for a in sys.argv[1:] if a != "--strict"]
+    strict = "--strict" in sys.argv
+    sf_dir, out_dir = argv[0], argv[1]
+    timeout = int(argv[2]) if len(argv) > 2 else 300
+    parallel = int(argv[3]) if len(argv) > 3 else 4
     names = sorted(json.load(open(f"{out_dir}/oracle_sql.json")))
     results = []
     with ThreadPoolExecutor(max_workers=parallel) as ex:
@@ -44,7 +52,7 @@ def main():
     total_wall = sum(r[2] for r in results)
     print(f"\n{n['PASS']} passed, {n['FAIL']} failed, {n['TIMEOUT']} timed out; "
           f"oracle wall {total_wall:.0f}s across {len(results)} queries")
-    sys.exit(1 if n["FAIL"] else 0)
+    sys.exit(1 if (n["FAIL"] or (strict and n["TIMEOUT"])) else 0)
 
 
 if __name__ == "__main__":
