@@ -63,7 +63,8 @@ object SparkEntry {
       graft.queries.EventOps3.defs ++
       graft.queries.SemDedupOps.defs ++
       graft.queries.SurvivalOps.defs ++
-      graft.queries.BpeOps.defs
+      graft.queries.BpeOps.defs ++
+      graft.queries.SubstringDedupOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -77,7 +77,16 @@ class ShuffleBudgetSpec extends SparkSpec {
     "emb_label_drift" -> 128 * 1024L,
     "text_rake_keyphrases" -> 2 * 1024 * 1024L,
     "curate_winsorize" -> 320 * 1024L,
-    "ev_cohort_ltv" -> 128 * 1024L)
+    "ev_cohort_ltv" -> 128 * 1024L,
+    // round-10 tranche: exact-substring dedup shuffles the K-gram
+    // anchor vocabulary + doc-partitioned island windows (a corpus-sized
+    // number means the anchor partial-agg stopped reducing, or an island
+    // window went global); BPE packing adds one doc_id-keyed join and a
+    // language-partitioned pack window on top of text_bpe_encode's
+    // vocabulary-sized training rounds
+    // (measured r10: 577 / 217 KiB at sf0.001)
+    "dedup_substring" -> 2 * 1024 * 1024L,
+    "curate_pack_bpe" -> 1024 * 1024L)
 
   test("headline queries stay inside their shuffle-byte budgets") {
     val acc = new ShuffleAccounting
