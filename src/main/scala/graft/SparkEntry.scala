@@ -64,7 +64,8 @@ object SparkEntry {
       graft.queries.SemDedupOps.defs ++
       graft.queries.SurvivalOps.defs ++
       graft.queries.BpeOps.defs ++
-      graft.queries.SubstringDedupOps.defs
+      graft.queries.SubstringDedupOps.defs ++
+      graft.queries.ImportanceOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

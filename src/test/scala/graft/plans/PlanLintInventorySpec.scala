@@ -53,6 +53,9 @@ class PlanLintInventorySpec extends SparkSpec {
     "ann_lsh_topk" -> Map("CARTESIAN_PRODUCT" -> 1, "NON_EQUI_JOIN" -> 2),
     "ann_pq_topk" -> Map("CARTESIAN_PRODUCT" -> 2, "NON_EQUI_JOIN" -> 4),
     "curate_cms_counts" -> Map("CARTESIAN_PRODUCT" -> 1),
+    // the one-row (ns, nt) corpus-total aggregate broadcast into the
+    // 256-row bucket ratio table — the same adjudicated one-row class
+    "curate_dsir_weights" -> Map("CARTESIAN_PRODUCT" -> 1),
     "curate_global_index" -> Map("CARTESIAN_PRODUCT" -> 2, "GLOBAL_WINDOW" -> 1),
     "curate_weighted_sample" -> Map("GLOBAL_WINDOW" -> 1),
     "curate_winsorize" -> Map("CARTESIAN_PRODUCT" -> 4, "GLOBAL_WINDOW" -> 1, "NON_EQUI_JOIN" -> 1),

@@ -86,7 +86,13 @@ class ShuffleBudgetSpec extends SparkSpec {
     // vocabulary-sized training rounds
     // (measured r10: 577 / 217 KiB at sf0.001)
     "dedup_substring" -> 2 * 1024 * 1024L,
-    "curate_pack_bpe" -> 1024 * 1024L)
+    "curate_pack_bpe" -> 1024 * 1024L,
+    // apply adds only the span-array fold + one doc-keyed join on top
+    // of the plan query (a corpus-token anti-join here would be the
+    // scale-killer this pin exists to catch); DSIR is two bucket-scale
+    // aggregates + a broadcast ratio join + per-doc sums
+    "dedup_substring_apply" -> 3 * 1024 * 1024L,
+    "curate_dsir_weights" -> 512 * 1024L)
 
   test("headline queries stay inside their shuffle-byte budgets") {
     val acc = new ShuffleAccounting
