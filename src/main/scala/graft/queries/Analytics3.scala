@@ -324,7 +324,10 @@ object Analytics3 {
         val w = Window.orderBy("day").rowsBetween(-7, -1)
         t(s, dir, "events")
           .groupBy(to_date(col("ts")).as("day"))
-          .agg(round(sum("value"), 2).as("total"))
+          // Money discipline: per-day groups grow with event density
+          // (2-dp-exact value → lossless DECIMAL, order-independent sum)
+          .agg(round(sum(col("value").cast("decimal(12,2)")), 2)
+            .cast("double").as("total"))
           .withColumn("mu", avg("total").over(w))
           .withColumn("sd", stddev_samp(col("total")).over(w))
           .select(
@@ -334,7 +337,8 @@ object Analytics3 {
           .orderBy("day")
       },
       """WITH daily AS (
-        |  SELECT CAST(ts AS DATE) AS day, ROUND(SUM(value), 2) AS total
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
         |  FROM events GROUP BY 1)
         |SELECT strftime(day, '%Y-%m-%d') AS day, total,
         |  ROUND((total - AVG(total) OVER w) / STDDEV_SAMP(total) OVER w, 4) AS zscore

@@ -22,13 +22,17 @@ object EngineQueries {
         dag.register(Seq(
           DagTable.view("orders_src", Tables(session.spark, dir, "orders")),
           DagTable.view("customer_src", Tables(session.spark, dir, "customer")),
+          // Money discipline (see Money.scala): o_totalprice is a double
+          // column, and a double SUM's value depends on partitioning
+          // order — at sf10 the two engines rounded a .xx5 boundary
+          // apart. Summing exact DECIMAL(12,2) is order-independent.
           DagTable.derived("cust_totals",
-            "SELECT o_custkey, SUM(o_totalprice) AS total, COUNT(*) AS cnt FROM orders_src GROUP BY o_custkey"),
+            "SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS total, COUNT(*) AS cnt FROM orders_src GROUP BY o_custkey"),
           DagTable.derived("cust_enriched",
             """SELECT c.c_custkey, c.c_mktsegment, t.total, t.cnt
               |FROM customer_src c JOIN cust_totals t ON c.c_custkey = t.o_custkey""".stripMargin),
           DagTable.derived("segment_stats",
-            """SELECT c_mktsegment, ROUND(SUM(total), 2) AS seg_total,
+            """SELECT c_mktsegment, CAST(ROUND(SUM(total), 2) AS DOUBLE) AS seg_total,
               |  CAST(SUM(cnt) AS BIGINT) AS seg_orders, COUNT(*) AS n_customers
               |FROM cust_enriched GROUP BY c_mktsegment""".stripMargin)))
         val res = dag.run()
@@ -37,12 +41,12 @@ object EngineQueries {
         session.sql("SELECT * FROM segment_stats ORDER BY c_mktsegment")
       },
       """WITH cust_totals AS (
-        |  SELECT o_custkey, SUM(o_totalprice) AS total, COUNT(*) AS cnt
+        |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS total, COUNT(*) AS cnt
         |  FROM orders GROUP BY o_custkey),
         |cust_enriched AS (
         |  SELECT c.c_custkey, c.c_mktsegment, t.total, t.cnt
         |  FROM customer c JOIN cust_totals t ON c.c_custkey = t.o_custkey)
-        |SELECT c_mktsegment, ROUND(SUM(total), 2) AS seg_total,
+        |SELECT c_mktsegment, CAST(ROUND(SUM(total), 2) AS DOUBLE) AS seg_total,
         |  CAST(SUM(cnt) AS BIGINT) AS seg_orders, COUNT(*) AS n_customers
         |FROM cust_enriched GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
   )

@@ -30,13 +30,17 @@ object EventOps {
             col("event_type"))
           .agg(
             count(lit(1)).as("n_events"),
-            round(sum("value"), 2).as("sum_value"),
+            // Money discipline: per-(hour,type) groups grow with event
+            // density; value is 2-dp exact → lossless DECIMAL sum is
+            // partial-agg-order independent at any scale.
+            round(sum(col("value").cast("decimal(12,2)")), 2)
+              .cast("double").as("sum_value"),
             count_distinct(col("user_id")).as("n_users"))
           .orderBy("hour_start", "event_type"),
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
         |  event_type,
         |  COUNT(*) AS n_events,
-        |  ROUND(SUM(value), 2) AS sum_value,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value,
         |  COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
@@ -88,7 +92,9 @@ object EventOps {
             col("event_type"))
           .agg(
             count(lit(1)).as("n_events"),
-            round(sum("value"), 2).as("sum_value"))
+            // Money discipline: window×type groups grow with density
+            round(sum(col("value").cast("decimal(12,2)")), 2)
+              .cast("double").as("sum_value"))
           .select(
             date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
             col("event_type"), col("n_events"), col("sum_value"))
@@ -102,7 +108,7 @@ object EventOps {
         |SELECT strftime(make_timestamp(win_s * 1000000), '%Y-%m-%d %H:%M:%S') AS win_start,
         |       event_type,
         |       COUNT(*) AS n_events,
-        |       ROUND(SUM(value), 2) AS sum_value
+        |       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
         |FROM hops GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     // Rolling 7-day distinct users from MERGEABLE per-day HLL sketches:

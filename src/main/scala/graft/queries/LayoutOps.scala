@@ -127,8 +127,13 @@ object LayoutOps {
     // diagonal jumps, so clustered range scans touch fewer runs): the
     // native order-256 xy2d kernel (Hilbert.scala, one static call in
     // generated code); all-integer level fold with quadrant rotation,
-    // replicated EXACTLY by the oracle as a struct-accumulator
-    // list_reduce — bit-for-bit, no tolerance.
+    // replicated EXACTLY by the oracle as eight UNROLLED chained CTEs —
+    // one plain projection per level, bit-for-bit, no tolerance. (The
+    // fold was originally a struct-accumulator list_reduce; DuckDB
+    // 1.0.0's vectorized list_reduce silently miscomputes ~6% of rows
+    // once the table passes ~10M rows — caught by the r10 sf10 sweep
+    // against the ground-truth xy2d lookup, where THIS plan was exact
+    // on all 10M rows and the lambda form was not.)
     "q_hilbert_value" -> QDef(
       (s, dir) => {
         val x = pmod(col("user_id"), lit(256L))
@@ -139,25 +144,30 @@ object LayoutOps {
             x.as("hx"), y.as("hy"),
             graft.functions.GraftFunctions.hilbert(x, y).as("hval"))
           .orderBy("event_id")
-      },
-      """SELECT event_id, user_id % 256 AS hx, event_id % 256 AS hy,
-        |  (list_reduce(
-        |    list_prepend({'x': CAST(user_id % 256 AS BIGINT),
-        |                  'y': CAST(event_id % 256 AS BIGINT),
-        |                  'd': CAST(0 AS BIGINT)},
-        |      list_transform([128,64,32,16,8,4,2,1],
-        |        s -> {'x': CAST(s AS BIGINT), 'y': CAST(0 AS BIGINT),
-        |              'd': CAST(0 AS BIGINT)})),
-        |    (acc, lvl) -> CASE
-        |      WHEN (acc.y & lvl.x) != 0 THEN
-        |        {'x': acc.x, 'y': acc.y,
-        |         'd': acc.d + lvl.x * lvl.x *
-        |           (CASE WHEN (acc.x & lvl.x) != 0 THEN 2 ELSE 1 END)}
-        |      WHEN (acc.x & lvl.x) != 0 THEN
-        |        {'x': lvl.x - 1 - acc.y, 'y': lvl.x - 1 - acc.x,
-        |         'd': acc.d + lvl.x * lvl.x * 3}
-        |      ELSE {'x': acc.y, 'y': acc.x, 'd': acc.d}
-        |    END)).d AS hval
-        |FROM events ORDER BY event_id""".stripMargin)
+      }, {
+        def step(i: Int, s: Int): String = {
+          val p = if (i > 1) s"h${i - 1}" else "h0src"
+          s"""h$i AS (
+             |  SELECT event_id, hx, hy,
+             |    CASE WHEN (y & $s) != 0 THEN x
+             |         WHEN (x & $s) != 0 THEN $s - 1 - y ELSE y END AS x,
+             |    CASE WHEN (y & $s) != 0 THEN y
+             |         WHEN (x & $s) != 0 THEN $s - 1 - x ELSE x END AS y,
+             |    d + CASE WHEN (y & $s) != 0 THEN
+             |               $s * $s * (CASE WHEN (x & $s) != 0 THEN 2 ELSE 1 END)
+             |             WHEN (x & $s) != 0 THEN $s * $s * 3 ELSE 0 END AS d
+             |  FROM $p)""".stripMargin
+        }
+        val ctes = Seq(128, 64, 32, 16, 8, 4, 2, 1).zipWithIndex
+          .map { case (s, i) => step(i + 1, s) }.mkString(",\n")
+        s"""WITH h0src AS (
+           |  SELECT event_id, user_id % 256 AS hx, event_id % 256 AS hy,
+           |    CAST(user_id % 256 AS BIGINT) AS x,
+           |    CAST(event_id % 256 AS BIGINT) AS y,
+           |    CAST(0 AS BIGINT) AS d
+           |  FROM events),
+           |$ctes
+           |SELECT event_id, hx, hy, d AS hval FROM h8 ORDER BY event_id""".stripMargin
+      })
   )
 }

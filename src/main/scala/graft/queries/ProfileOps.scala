@@ -79,7 +79,20 @@ object ProfileOps {
     // reproduces the same sample over a re-materialized 100 TB corpus.
     "curate_weighted_sample" -> QDef(
       (s, dir) => {
-        val u = (pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)).cast("double")
+        // (doc_id * 2654435761) mod 2^32, computed as a split 16-bit
+        // multiply so no intermediate exceeds 2^63: a plain product
+        // overflows INT64 once doc_id passes ~3.4e9 (hit at sf10, where
+        // DuckDB raises while non-ANSI Spark silently wraps — the wrap
+        // happens to equal the true mod-2^32 value, so this form changes
+        // nothing at any scale and is exact on both engines).
+        //   a = doc_id mod 2^32 = a1*2^16 + a0
+        //   a*b mod 2^32 = ((a1*b mod 2^16)*2^16 + a0*b) mod 2^32
+        val b = 2654435761L
+        val a = pmod(col("doc_id"), lit(4294967296L))
+        val a1 = floor(a / 65536L).cast("long")
+        val a0 = pmod(a, lit(65536L))
+        val u = (pmod(pmod(a1 * b, lit(65536L)) * 65536L + a0 * b,
+          lit(4294967296L)).cast("double")
           + lit(0.5)) / lit(4294967296.0)
         val key = log(u) / col("n_chars").cast("double")
         val keyed = docs(s, dir)
@@ -95,7 +108,8 @@ object ProfileOps {
       },
       """WITH keyed AS (
         |  SELECT doc_id, lang, n_chars,
-        |    ln(((doc_id * 2654435761) % 4294967296 + 0.5) / 4294967296)
+        |    ln((((((doc_id // 65536) % 65536) * 2654435761) % 65536 * 65536
+        |         + (doc_id % 65536) * 2654435761) % 4294967296 + 0.5) / 4294967296)
         |      / CAST(n_chars AS DOUBLE) AS key
         |  FROM documents),
         |top AS (SELECT * FROM keyed ORDER BY key DESC, doc_id LIMIT 50)

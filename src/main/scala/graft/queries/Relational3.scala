@@ -115,17 +115,25 @@ object Relational3 {
         val w = Window
           .partitionBy("o_orderpriority")
           .orderBy(col("o_totalprice"), col("o_orderkey"))
+        // 6-dp quantization via floor(v·1e6 + 0.5), not ROUND(v, 6):
+        // both engines compute the identical IEEE double v (one
+        // division), but their ROUNDs differ in method (exact BigDecimal
+        // HALF_UP vs multiply-and-round) and at sf10 ~1e-4 of rows sat
+        // exactly on a 6-dp tie and rounded apart. floor/multiply/add
+        // are single IEEE ops with bit-identical results on any engine.
         t(s, dir, "orders")
           .select(
             col("o_orderpriority"),
             col("o_orderkey"),
-            round(percent_rank().over(w), 6).as("pct_rank"),
-            round(cume_dist().over(w), 6).as("cume"))
+            (floor(percent_rank().over(w) * lit(1000000.0) + lit(0.5))
+              .cast("double") / lit(1000000.0)).as("pct_rank"),
+            (floor(cume_dist().over(w) * lit(1000000.0) + lit(0.5))
+              .cast("double") / lit(1000000.0)).as("cume"))
           .orderBy("o_orderpriority", "o_orderkey")
       },
       """SELECT o_orderpriority, o_orderkey,
-        |  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-        |  ROUND(CUME_DIST()    OVER w, 6) AS cume
+        |  FLOOR(PERCENT_RANK() OVER w * 1000000.0 + 0.5) / 1000000.0 AS pct_rank,
+        |  FLOOR(CUME_DIST()    OVER w * 1000000.0 + 0.5) / 1000000.0 AS cume
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderpriority, o_orderkey""".stripMargin),

@@ -80,10 +80,15 @@ object SourceOps {
           .schema("event_id BIGINT, event_type STRING, value DOUBLE")
           .json(path)
           .groupBy("event_type")
-          .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+          // Money discipline (see src_orc_roundtrip): per-type groups
+          // are corpus-scale; value is 2-dp exact → lossless decimal.
+          .agg(count(lit(1)).as("cnt"),
+            round(sum(col("value").cast("decimal(12,2)")), 2)
+              .cast("double").as("sum_value"))
           .orderBy("event_type")
       },
-      """SELECT event_type, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
+      """SELECT event_type, COUNT(*) AS cnt,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // ORC round-trip: Spark's second columnar format (predicate pushdown
@@ -96,10 +101,18 @@ object SourceOps {
           .write.mode("overwrite").orc(path)
         s.read.orc(path)
           .groupBy("o_orderstatus")
-          .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("sum_price"))
+          // Money discipline: per-status groups are corpus-scale (5M rows
+          // at sf10), where a double SUM's partial-agg order costs ~0.3
+          // of absolute error — the r10 sf10 sweep caught the two
+          // engines rounding cents apart. o_totalprice is 2-dp exact, so
+          // the DECIMAL(12,2) cast is lossless and the sum exact.
+          .agg(count(lit(1)).as("cnt"),
+            round(sum(col("o_totalprice").cast("decimal(12,2)")), 2)
+              .cast("double").as("sum_price"))
           .orderBy("o_orderstatus")
       },
-      """SELECT o_orderstatus, COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS sum_price
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // Hive-style partitioned write + partition-pruned read: the IN filter
