@@ -8,8 +8,23 @@ object Bench {
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     def selected = SparkEntry.queries.filter { case (k, _) => only.forall(_.contains(k)) }
+    // Fresh per-run scratch dir, deleted on exit: repeated full runs in a
+    // shared /tmp otherwise accumulate leaked blockmgr-*/spark-* trees
+    // from killed sessions (observed: dozens of dirs), and the r9
+    // baseline-pinning runs drifted monotonically 179.9→194.9→208.5 s
+    // across back-to-back invocations with byte-identical plans. The
+    // canary instrumentation below separates within-run JVM accumulation
+    // from this cross-run machine-state component.
+    val localDir = java.nio.file.Files.createTempDirectory("graft-bench-").toFile
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(localDir)
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.local.dir", localDir.getAbsolutePath)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // Match GraftConf: query builders are written for classic
@@ -67,7 +82,29 @@ object Bench {
       System.gc()
       name -> dt
     }
+    // Drift canary: one fixed sub-second query (TPC-H Q6 — one scan, one
+    // partial agg, stable plan) re-timed at the start of the timed pass
+    // and every 30 queries after. If the canary's wall time climbs as the
+    // run ages, the drift lives INSIDE this JVM (codegen cache, listener
+    // bus, storage-pool residue); if it stays flat while totals climb
+    // across back-to-back invocations, the drift is machine state outside
+    // the JVM (page cache, tmp churn, sibling load). Samples go to stderr
+    // as they happen and as one summary line at the end.
+    val canaryFn = SparkEntry.queries.get("q_tpch_q6")
+    val canarySamples = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
+    var timedIdx = 0
+    def canary(): Unit = canaryFn.foreach { fn =>
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      val dt = (System.nanoTime() - t0) / 1e9
+      canarySamples += ((timedIdx, dt))
+      System.err.println(f"[bench] canary at=$timedIdx $dt%.2fs")
+    }
+    canary()
     val results = selected.map { case (name, fn) =>
+      timedIdx += 1
+      if (timedIdx % 30 == 0) canary()
       // noop sink forces every output column to be computed (count()
       // would let Catalyst prune the projections entirely). Min of two
       // timed runs for the slower queries: a single multi-second GC pause
@@ -104,6 +141,9 @@ object Bench {
       }
       name -> best
     }
+    canary()
+    System.err.println("[bench] canary summary: " +
+      canarySamples.map { case (i, d) => f"$i:$d%.2f" }.mkString(" "))
     // Full per-query record first (may be long; also mirrored on stderr):
     // carries shuffle_bytes for EVERY query.
     println(renderLine(results.toSeq.sortBy(_._1), results.toMap, sfDir,
