@@ -52,47 +52,86 @@ object SubstringDedupOps {
   /** Minimum duplicated run, in tokens (Lee et al. use 50 BPE tokens at
     * web scale; 8 matches this corpus's passage operators).
     */
-  private val K = 8
+  private[graft] val K = 8
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
 
-  /** Tokenized corpus, per-doc sizes, and the maximal duplicated spans
-    * (doc_id, s0, e0) — the shared front half of plan and apply.
+  /** (doc_id, toks) token arrays of a (doc_id, text) frame. */
+  private[graft] def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+
+  /** Anchor rows: (doc_id, pos, hash of toks[pos..pos+K-1]) — one row
+    * per K-token window position, built map-side.
     */
-  private def spanFrames(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame) = {
-    val t = docs(s, dir).select(col("doc_id"), split(col("text"), " ").as("toks"))
-    val base = t.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
-    // Anchor rows: (doc_id, pos, hash of toks[pos..pos+K-1]).
-    // Cached — the mark stage reads it twice (count table + join
-    // back), and without the cache the whole explode re-runs.
-    val anchors = t.filter(size(col("toks")) >= K)
+  private[graft] def anchorsOf(t: DataFrame): DataFrame =
+    t.filter(size(col("toks")) >= K)
       .select(col("doc_id"), explode(transform(
         sequence(lit(1), size(col("toks")) - (K - 1)),
         i => struct(i.as("pos"), xxhash64(concat_ws(" ",
           (0 until K).map(o => element_at(col("toks"), i + o)): _*)).as("ph"))))
         .as("g"))
       .select(col("doc_id"), col("g.pos").as("pos"), col("g.ph").as("ph"))
-      .cache()
-    val dupKeys = anchors.groupBy("ph")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2).select("ph")
-    val dup = anchors.join(dupKeys, "ph").select("doc_id", "pos")
-    // Integer-offset extension: anchor pos covers [pos, pos+K-1];
-    // a new span starts where the gap to the furthest cover so far
-    // exceeds adjacency. Both windows partition by doc_id.
+
+  /** Integer-offset extension of duplicated anchor marks (doc_id, pos)
+    * into maximal spans (doc_id, span_id, s0, e0): anchor pos covers
+    * [pos, pos+K-1]; a new span starts where the gap to the furthest
+    * cover so far exceeds adjacency. Both windows partition by doc_id —
+    * the working set is one document's anchor list.
+    */
+  private[graft] def fuseSpans(dup: DataFrame): DataFrame = {
     val wPrev = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wRun = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val spans = dup
+    dup
       .withColumn("prev_end", max(col("pos") + (K - 1)).over(wPrev))
       .withColumn("brk",
         when(col("prev_end").isNull || col("pos") > col("prev_end") + 1, 1).otherwise(0))
       .withColumn("span_id", sum("brk").over(wRun))
       .groupBy("doc_id", "span_id")
       .agg(min("pos").as("s0"), (max("pos") + (K - 1)).as("e0"))
-    (t, base, spans)
+  }
+
+  /** Execute a span removal plan: spans fold to ONE array row per
+    * affected doc (span-scale), join the tokenized corpus by doc_id
+    * once, and the complement filter is a map-only array lambda —
+    * O(n_tok × n_spans) per doc, zero token-level shuffle. Returns
+    * (doc_id, n_tokens, kept_tokens, clean_text).
+    */
+  private[graft] def cleanWith(t: DataFrame, spans: DataFrame): DataFrame = {
+    val base = t.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+    val spanArr = spans.groupBy("doc_id")
+      .agg(collect_list(struct(col("s0"), col("e0"))).as("sp"))
+    val kept = t.join(spanArr, Seq("doc_id"), "left")
+      .withColumn("sp", coalesce(col("sp"), array()))
+      .withColumn("kept", filter(
+        transform(col("toks"), (w, i) => struct((i + 1).as("pos"), w.as("w"))),
+        x => !exists(col("sp"), sp =>
+          x.getField("pos") >= sp.getField("s0") &&
+            x.getField("pos") <= sp.getField("e0"))))
+    base.join(
+        kept.select(col("doc_id"),
+          size(col("kept")).cast("long").as("kept_tokens"),
+          array_join(transform(col("kept"), x => x.getField("w")), " ").as("clean_text")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("kept_tokens"), col("clean_text"))
+  }
+
+  /** Tokenized corpus, per-doc sizes, and the maximal duplicated spans
+    * (doc_id, s0, e0) — the shared front half of plan and apply.
+    */
+  private def spanFrames(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val t = tokens(docs(s, dir))
+    val base = t.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+    // Cached — the mark stage reads it twice (count table + join
+    // back), and without the cache the whole explode re-runs.
+    val anchors = anchorsOf(t).cache()
+    val dupKeys = anchors.groupBy("ph")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("ph")
+    val dup = anchors.join(dupKeys, "ph").select("doc_id", "pos")
+    (t, base, fuseSpans(dup))
   }
 
   /** The shared oracle front half: CTEs `t` (tokens), `base` (sizes),
@@ -165,23 +204,8 @@ object SubstringDedupOps {
     // token-level shuffle.
     "dedup_substring_apply" -> QDef(
       (s, dir) => {
-        val (t, base, spans) = spanFrames(s, dir)
-        val spanArr = spans.groupBy("doc_id")
-          .agg(collect_list(struct(col("s0"), col("e0"))).as("sp"))
-        val kept = t.join(spanArr, Seq("doc_id"), "left")
-          .withColumn("sp", coalesce(col("sp"), array()))
-          .withColumn("kept", filter(
-            transform(col("toks"), (w, i) => struct((i + 1).as("pos"), w.as("w"))),
-            x => !exists(col("sp"), sp =>
-              x.getField("pos") >= sp.getField("s0") &&
-                x.getField("pos") <= sp.getField("e0"))))
-        base.join(
-            kept.select(col("doc_id"),
-              size(col("kept")).cast("long").as("kept_tokens"),
-              array_join(transform(col("kept"), x => x.getField("w")), " ").as("clean_text")),
-            Seq("doc_id"))
-          .select(col("doc_id"), col("n_tokens"), col("kept_tokens"), col("clean_text"))
-          .orderBy("doc_id")
+        val (t, _, spans) = spanFrames(s, dir)
+        cleanWith(t, spans).orderBy("doc_id")
       },
       // The oracle mirrors the Spark shape — spans fold to one list per
       // doc, the complement filter is a per-row list lambda — instead of
