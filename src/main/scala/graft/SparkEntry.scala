@@ -65,7 +65,10 @@ object SparkEntry {
       graft.queries.SurvivalOps.defs ++
       graft.queries.BpeOps.defs ++
       graft.queries.SubstringDedupOps.defs ++
-      graft.queries.ImportanceOps.defs
+      graft.queries.ImportanceOps.defs ++
+      graft.queries.ClassifierOps.defs ++
+      graft.queries.PrivacyOps.defs ++
+      graft.queries.RrfOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -82,6 +82,11 @@ class PlanLintInventorySpec extends SparkSpec {
     "ml_hard_negatives" -> Map("NON_EQUI_JOIN" -> 1),
     "ml_knn_label" -> Map("CARTESIAN_PRODUCT" -> 1),
     "ml_logreg_newton" -> Map("CARTESIAN_PRODUCT" -> 1),
+    // one-row N-docs aggregate broadcast into each of the T=3 gradient
+    // steps — the iterative-fit family re-plans the weight subtree per
+    // reference (the ml_auc class), so the bounded one-row crossJoin
+    // count scales with unroll depth, not data
+    "ml_text_classifier" -> Map("CARTESIAN_PRODUCT" -> 7),
     "mm_dhash_neardup" -> Map("SMALL_SIDE_NOT_BROADCAST" -> 1),
     "q_ab_test" -> Map("CARTESIAN_PRODUCT" -> 1),
     "q_approx_topk" -> Map("CARTESIAN_PRODUCT" -> 1),

@@ -92,7 +92,12 @@ class ShuffleBudgetSpec extends SparkSpec {
     // scale-killer this pin exists to catch); DSIR is two bucket-scale
     // aggregates + a broadcast ratio join + per-doc sums
     "dedup_substring_apply" -> 3 * 1024 * 1024L,
-    "curate_dsir_weights" -> 512 * 1024L)
+    "curate_dsir_weights" -> 512 * 1024L,
+    // the discriminative twin of DSIR: T=3 iterations over the CACHED
+    // (doc, bucket) feature frame — each one doc-scale margin agg + one
+    // bucket-scale gradient agg, weights broadcast; a corpus-sized
+    // number means an iteration started re-shuffling raw tokens
+    "ml_text_classifier" -> 1024 * 1024L)
 
   test("headline queries stay inside their shuffle-byte budgets") {
     val acc = new ShuffleAccounting
