@@ -129,6 +129,11 @@ class PlanLintInventorySpec extends SparkSpec {
     "text_inverted_index" -> Map("NON_EQUI_JOIN" -> 1),
     "text_nb_lang" -> Map("CARTESIAN_PRODUCT" -> 2),
     "text_pmi_topk" -> Map("CARTESIAN_PRODUCT" -> 2),
+    // one-row stats/query-vector broadcasts; the row_number windows and
+    // the fusion full-outer join run AFTER orderBy().limit(R) — every
+    // flagged node operates on a constant R=50-row frame, not the corpus
+    "text_rrf_fusion" -> Map("CARTESIAN_PRODUCT" -> 2, "GLOBAL_WINDOW" -> 2,
+      "SMALL_SIDE_NOT_BROADCAST" -> 2),
     "text_tfidf_topk" -> Map("CARTESIAN_PRODUCT" -> 1),
     "text_unigram_logprob" -> Map("CARTESIAN_PRODUCT" -> 1),
     "text_zipf_fit" -> Map("GLOBAL_WINDOW" -> 1)
