@@ -40,7 +40,12 @@ import graft.Tables
   * partial-mergeable; the 257-row weight vector is broadcast into every
   * join and never grows with the corpus. No windows, no vocabulary-scale
   * state, no driver loop over data — training is T plan stages, not
-  * collects.
+  * collects. Each iteration's weight frame is localCheckpoint'd (a
+  * 257-row model, never data-scale): margins and the next step both
+  * consume it, so without the lineage cut the uncached plan subtree
+  * doubles per unrolled iteration (~2^T plan size — at T=3 that was 7
+  * re-planned one-row crossJoins and a 10 s bench entry; checkpointing
+  * makes plan size and work linear in T and lets T grow).
   */
 object ClassifierOps {
 
@@ -100,19 +105,23 @@ object ClassifierOps {
       (s, dir) => {
         val (feat0, ntk) = features(s, dir)
         val feat = feat0.cache()
-        val nDocs = feat.agg(countDistinct(col("doc_id")).as("n"))
+        val nDocs = feat.agg(countDistinct(col("doc_id")).as("n")).localCheckpoint()
         // Iteration 1, closed-form (w=0 ⇒ p=1/2 exactly): pure decimal.
         val w1 = feat
           .groupBy("b")
           .agg(sum(col("x") * (col("y").cast("decimal(2,1)") - lit(BigDecimal("0.5")))).as("g"))
           .crossJoin(broadcast(nDocs))
           .select(col("b"), q12(lit(Eta) * col("g").cast("double") / col("n")).as("wv"))
+          .localCheckpoint()
         // Iterations 2..T: margins → 6-dp sigmoid residual → gradient.
+        // Each step is checkpointed: the 257-row model is consumed twice
+        // (margins + next step), so the lineage cut keeps plan size
+        // linear in T instead of doubling per iteration.
         val wT = (2 to T).foldLeft(w1) { (w, _) =>
           val resid = margins(feat, w)
             .select(col("doc_id"),
               (col("y").cast("decimal(8,6)") - p6(col("m"))).as("resid"))
-          step(feat, nDocs, w, resid)
+          step(feat, nDocs, w, resid).localCheckpoint()
         }
         margins(feat, wT)
           .join(ntk.select("doc_id", "n_tok"), "doc_id")

@@ -24,6 +24,15 @@ import graft.Tables
   * (the exact grouping, then the re-aggregation of the failing slice)
   * plus one BROADCAST join against the group-scale failing-key list.
   * No windows, no row-level shuffle beyond the group keys.
+  *
+  * RELEASE-FILTER CONTRACT: this query is an AUDIT, not a release
+  * filter — it walks ONE lattice level and emits every group with
+  * explicit k_anon / l_diverse flags, so groups that pass K but fail
+  * l-diversity, and '*'-generalized groups still under K, appear in
+  * the output flagged false. A caller using this as an actual release
+  * gate MUST keep only rows where k_anon AND l_diverse (or iterate
+  * generalization / suppress the remainder); releasing the flagged
+  * rows unfiltered would publish non-anonymous groups.
   */
 object PrivacyOps {
 

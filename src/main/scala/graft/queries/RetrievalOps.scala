@@ -23,10 +23,76 @@ object RetrievalOps {
 
   /** Fixed query-term set for the BM25 demo — terms present in the
     * synthetic corpus vocabulary at different document frequencies.
+    * Package-private: RrfOps fuses THIS ranker, so the term set, K1/B
+    * and the score recipe live here once (see bm25Scored).
     */
-  private val QueryTerms = Seq("spark", "data", "query")
-  private val K1 = 1.2
-  private val B = 0.75
+  private[queries] val QueryTerms = Seq("spark", "data", "query")
+  private[queries] val K1 = 1.2
+  private[queries] val B = 0.75
+
+  /** Shared BM25 scoring pass: (doc_id, tf_<term>..., dl, bm25) for
+    * every document matching ≥1 query term. One integer-only stats row
+    * broadcast back into a map-only fixed-order score expression —
+    * text_bm25 projects and orders it; RrfOps takes its top-R as the
+    * lexical ranker. Single definition so the K1/B recipe cannot drift
+    * between the standalone query and the fusion.
+    */
+  private[queries] def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+    val dfCols = QueryTerms.map(t =>
+      sum(when(array_contains(col("toks"), t), 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = tok.agg(
+      count(lit(1)).as("n"),
+      (sum(col("dl")).as("sumdl") +: dfCols): _*)
+    // Literal-free tf columns: filter(toks, x -> x = term) length.
+    val tf = QueryTerms.foldLeft(tok) { (d, t) =>
+      d.withColumn(s"tf_$t", size(expr(s"filter(toks, x -> x = '$t')")).cast("long"))
+    }
+    val scored = tf.crossJoin(broadcast(stats))
+    val avgdl = col("sumdl").cast("double") / col("n")
+    val score = QueryTerms
+      .map { t =>
+        val idf = log((col("n") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5)) + lit(1.0))
+        idf * (col(s"tf_$t") * lit(K1 + 1.0)) /
+          (col(s"tf_$t") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / avgdl))
+      }
+      .reduce(_ + _)
+    scored
+      .filter(QueryTerms.map(t => col(s"tf_$t")).reduce(_ + _) > 0)
+      .select(
+        col("doc_id") +:
+          QueryTerms.map(t => col(s"tf_$t")) :+
+          round(score, 4).as("bm25"): _*)
+  }
+
+  /** The oracle-side twin of bm25Scored: the tok/stats/tf CTE bodies
+    * (no leading WITH), the ROUND(...,4) score expression, and the
+    * ≥1-matching-term predicate — both QDefs splice these verbatim.
+    */
+  private[queries] val bm25SqlCtes: String =
+    s"""tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |  FROM documents),
+       |stats AS (
+       |  SELECT COUNT(*) AS n, SUM(dl) AS sumdl,
+       |${QueryTerms.map(t => s"    SUM(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS df_$t").mkString(",\n")}
+       |  FROM tok),
+       |tf AS (
+       |  SELECT doc_id, dl,
+       |${QueryTerms.map(t => s"    CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(",\n")}
+       |  FROM tok)""".stripMargin
+
+  private[queries] val bm25SqlScore: String =
+    s"""ROUND(${QueryTerms
+      .map(t =>
+        s"ln((n - df_$t + 0.5e0) / (df_$t + 0.5e0) + 1.0e0) * (tf_$t * ${K1 + 1.0}e0) / (tf_$t + ${K1}e0 * (${1.0 - B}e0 + ${B}e0 * dl / (CAST(sumdl AS DOUBLE) / n)))")
+      .mkString("\n      + ")}, 4)"""
+
+  private[queries] val bm25SqlMatch: String =
+    QueryTerms.map(t => s"tf_$t").mkString(" + ") + " > 0"
 
   val defs: Map[String, QDef] = Map(
 
@@ -39,55 +105,12 @@ object RetrievalOps {
     // identical in the oracle. No per-term explode: tf comes from a
     // higher-order filter over the token array, inside codegen.
     "text_bm25" -> QDef(
-      (s, dir) => {
-        val tok = docs(s, dir)
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
-        val dfCols = QueryTerms.map(t =>
-          sum(when(array_contains(col("toks"), t), 1L).otherwise(0L)).as(s"df_$t"))
-        val stats = tok.agg(
-          count(lit(1)).as("n"),
-          (sum(col("dl")).as("sumdl") +: dfCols): _*)
-        // Literal-free tf columns: filter(toks, x -> x = term) length.
-        val tf = QueryTerms.foldLeft(tok) { (d, t) =>
-          d.withColumn(s"tf_$t", size(expr(s"filter(toks, x -> x = '$t')")).cast("long"))
-        }
-        val scored = tf.crossJoin(broadcast(stats))
-        val avgdl = col("sumdl").cast("double") / col("n")
-        val score = QueryTerms
-          .map { t =>
-            val idf = log((col("n") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5)) + lit(1.0))
-            idf * (col(s"tf_$t") * lit(K1 + 1.0)) /
-              (col(s"tf_$t") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / avgdl))
-          }
-          .reduce(_ + _)
-        scored
-          .filter(QueryTerms.map(t => col(s"tf_$t")).reduce(_ + _) > 0)
-          .select(
-            col("doc_id") +:
-              QueryTerms.map(t => col(s"tf_$t")) :+
-              round(score, 4).as("bm25"): _*)
-          .orderBy("doc_id")
-      },
-      s"""WITH tok AS (
-         |  SELECT doc_id, string_split(text, ' ') AS toks,
-         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-         |  FROM documents),
-         |stats AS (
-         |  SELECT COUNT(*) AS n, SUM(dl) AS sumdl,
-         |${QueryTerms.map(t => s"    SUM(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS df_$t").mkString(",\n")}
-         |  FROM tok),
-         |tf AS (
-         |  SELECT doc_id, dl,
-         |${QueryTerms.map(t => s"    CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(",\n")}
-         |  FROM tok)
+      (s, dir) => bm25Scored(s, dir).orderBy("doc_id"),
+      s"""WITH $bm25SqlCtes
          |SELECT doc_id, ${QueryTerms.map(t => s"tf_$t").mkString(", ")},
-         |  ROUND(${QueryTerms
-          .map(t =>
-            s"ln((n - df_$t + 0.5e0) / (df_$t + 0.5e0) + 1.0e0) * (tf_$t * ${K1 + 1.0}e0) / (tf_$t + ${K1}e0 * (${1.0 - B}e0 + ${B}e0 * dl / (CAST(sumdl AS DOUBLE) / n)))")
-          .mkString("\n      + ")}, 4) AS bm25
+         |  $bm25SqlScore AS bm25
          |FROM tf, stats
-         |WHERE ${QueryTerms.map(t => s"tf_$t").mkString(" + ")} > 0
+         |WHERE $bm25SqlMatch
          |ORDER BY doc_id""".stripMargin),
 
     // The counting kernel of BPE tokenizer training: adjacent character-

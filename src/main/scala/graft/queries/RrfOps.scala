@@ -37,30 +37,13 @@ object RrfOps {
   /** Per-ranker cutoff. */
   private val R = 50
 
-  private val QueryTerms = Seq("spark", "data", "query")
-  private val K1 = 1.2
-  private val B = 0.75
-
-  /** Top-R lexical ranks: (doc_id, rank_lex), BM25 over QueryTerms. */
+  /** Top-R lexical ranks: (doc_id, rank_lex) — the top-R of
+    * RetrievalOps.bm25Scored, so the term set and K1/B recipe are
+    * defined exactly once (text_bm25 and this ranker cannot drift).
+    */
   private def lexicalTopR(s: SparkSession, dir: String): DataFrame = {
-    val tok = Tables(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
-    val dfCols = QueryTerms.map(t =>
-      sum(when(array_contains(col("toks"), t), 1L).otherwise(0L)).as(s"df_$t"))
-    val stats = tok.agg(count(lit(1)).as("n"), (sum(col("dl")).as("sumdl") +: dfCols): _*)
-    val tf = QueryTerms.foldLeft(tok) { (d, t) =>
-      d.withColumn(s"tf_$t", size(expr(s"filter(toks, x -> x = '$t')")).cast("long"))
-    }
-    val avgdl = col("sumdl").cast("double") / col("n")
-    val score = QueryTerms.map { t =>
-      val idf = log((col("n") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5)) + lit(1.0))
-      idf * (col(s"tf_$t") * lit(K1 + 1.0)) /
-        (col(s"tf_$t") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / avgdl))
-    }.reduce(_ + _)
-    val topR = tf.crossJoin(broadcast(stats))
-      .filter(QueryTerms.map(t => col(s"tf_$t")).reduce(_ + _) > 0)
-      .select(col("doc_id"), round(score, 4).as("bm25"))
+    val topR = RetrievalOps.bm25Scored(s, dir)
+      .select(col("doc_id"), col("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(R)
     topR.withColumn("rank_lex",
@@ -95,26 +78,12 @@ object RrfOps {
                 coalesce(lit(1.0) / (lit(Kappa) + col("rank_sem")), lit(0.0)), 6).as("rrf"))
         fused.orderBy(col("rrf").desc, col("doc_id")).limit(20)
       },
-      s"""WITH tok AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks,
-        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-        |  FROM documents),
-        |stats AS (
-        |  SELECT COUNT(*) AS n, SUM(dl) AS sumdl,
-        |${QueryTerms.map(t => s"    SUM(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS df_$t").mkString(",\n")}
-        |  FROM tok),
-        |tf AS (
-        |  SELECT doc_id, dl,
-        |${QueryTerms.map(t => s"    CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(",\n")}
-        |  FROM tok),
+      s"""WITH ${RetrievalOps.bm25SqlCtes},
         |lex0 AS (
         |  SELECT doc_id,
-        |    ROUND(${QueryTerms
-        .map(t =>
-          s"ln((n - df_$t + 0.5e0) / (df_$t + 0.5e0) + 1.0e0) * (tf_$t * ${K1 + 1.0}e0) / (tf_$t + ${K1}e0 * (${1.0 - B}e0 + ${B}e0 * dl / (CAST(sumdl AS DOUBLE) / n)))")
-        .mkString("\n      + ")}, 4) AS bm25
+        |    ${RetrievalOps.bm25SqlScore} AS bm25
         |  FROM tf, stats
-        |  WHERE ${QueryTerms.map(t => s"tf_$t").mkString(" + ")} > 0
+        |  WHERE ${RetrievalOps.bm25SqlMatch}
         |  ORDER BY bm25 DESC, doc_id LIMIT $R),
         |lex AS (
         |  SELECT doc_id,

@@ -82,11 +82,10 @@ class PlanLintInventorySpec extends SparkSpec {
     "ml_hard_negatives" -> Map("NON_EQUI_JOIN" -> 1),
     "ml_knn_label" -> Map("CARTESIAN_PRODUCT" -> 1),
     "ml_logreg_newton" -> Map("CARTESIAN_PRODUCT" -> 1),
-    // one-row N-docs aggregate broadcast into each of the T=3 gradient
-    // steps — the iterative-fit family re-plans the weight subtree per
-    // reference (the ml_auc class), so the bounded one-row crossJoin
-    // count scales with unroll depth, not data
-    "ml_text_classifier" -> Map("CARTESIAN_PRODUCT" -> 7),
+    // ml_text_classifier: no entry since r11 — the per-iteration weight
+    // frames are localCheckpoint'd (257-row model), so the one-row
+    // nDocs crossJoins live in already-executed checkpoint segments and
+    // the final visible plan is a single broadcast-join margin pass
     "mm_dhash_neardup" -> Map("SMALL_SIDE_NOT_BROADCAST" -> 1),
     "q_ab_test" -> Map("CARTESIAN_PRODUCT" -> 1),
     "q_approx_topk" -> Map("CARTESIAN_PRODUCT" -> 1),
