@@ -68,7 +68,14 @@ object SparkEntry {
       graft.queries.ImportanceOps.defs ++
       graft.queries.ClassifierOps.defs ++
       graft.queries.PrivacyOps.defs ++
-      graft.queries.RrfOps.defs
+      graft.queries.RrfOps.defs ++
+      graft.queries.RankEvalOps.defs ++
+      graft.queries.EmbCompressOps.defs ++
+      graft.queries.GopherOps.defs ++
+      graft.queries.RankStatsOps.defs ++
+      graft.queries.KMeansOps.defs ++
+      graft.queries.CCNetOps.defs ++
+      graft.queries.BootstrapOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

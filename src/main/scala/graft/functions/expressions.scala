@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graftbridge.{BoundedTopK, ColumnBridge, CosineSimilarity, DamerauLevenshtein, DotProduct, HilbertIndex, IntersectCountSortedLong, JaccardSimilarity, JaccardSortedLong, JaroWinklerSim}
+import org.apache.spark.sql.graftbridge.{BoundedTopK, ColumnBridge, CosineSimilarity, DamerauLevenshtein, DotProduct, HilbertIndex, IntersectCountSortedLong, JaccardSimilarity, JaccardSortedLong, JaroWinklerSim, SignBitHamming}
 
 /** Column-level entry points + SQL registration for the native codegen
   * kernels defined in org.apache.spark.sql.graftbridge.
@@ -37,6 +37,10 @@ object GraftFunctions {
   /** Order-256 Hilbert-curve index (layout clustering). */
   def hilbert(x: Column, y: Column): Column =
     ColumnBridge.column(HilbertIndex(ColumnBridge.expression(x), ColumnBridge.expression(y)))
+
+  /** Sign-bit Hamming distance (1-bit binary-quantized retrieval). */
+  def signHamming(a: Column, b: Column): Column =
+    ColumnBridge.column(SignBitHamming(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** 6-char geohash cell id of (lat, lon) degrees (spatial bucketing). */
   def geohash6(lat: Column, lon: Column): Column =

@@ -420,6 +420,88 @@ object MlOps {
         |SELECT CAST(SUM(np) AS BIGINT) AS n_pos, CAST(SUM(nn) AS BIGINT) AS n_neg,
         |  ROUND(CAST(SUM(np * (2 * cum_lt + nn)) AS DOUBLE)
         |    / (2.0 * CAST(SUM(np) AS DOUBLE) * CAST(SUM(nn) AS DOUBLE)), 6) AS auc
-        |FROM cum""".stripMargin)
+        |FROM cum""".stripMargin),
+
+    // §2 25io average precision (area under the precision-recall curve,
+    // the class-imbalance-robust complement to ml_auc's ROC-AUC) of the
+    // shared logreg classifier, at distinct-score granularity:
+    // AP = Σ_s (np(s)/N_pos) · precision_at(s) where precision_at(s) =
+    // pos_ge(s)/(pos_ge(s)+neg_ge(s)) over scores ≥ s. Everything is
+    // exact integers until the per-group precision division; each
+    // group's term is quantized to a 10-dp decimal before the final sum,
+    // so the sum is order-independent. The ≥-s cumulative counts come
+    // from the same bucket-offset prefix composition as ml_auc (≤nb
+    // offset rows + per-bucket windows — never an unpartitioned window
+    // over the corpus-scale distinct-score table), inverted against the
+    // one-row totals.
+    "ml_pr_auc" -> QDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val beta = broadcast(logregFit(s, dir))
+        val pred = logregInput(s, dir).crossJoin(beta)
+          .withColumn("pq", q12(
+            lit(1.0) / (lit(1.0) + exp(-(col("b0f") + col("b1f") * col("x"))))))
+        val scored = pred.groupBy("pq").agg(
+          sum("y").cast("long").as("np"),
+          (count(lit(1)) - sum("y")).cast("long").as("nn"))
+        val nb = 32
+        val mm = scored.agg(min(col("pq").cast("double")).as("lo"),
+          max(col("pq").cast("double")).as("hi"),
+          sum("np").as("tp"), sum("nn").as("tn"))
+        val bucketed = scored.crossJoin(broadcast(mm))
+          .withColumn("b", least(lit(nb - 1),
+            floor((col("pq").cast("double") - col("lo")) /
+              ((col("hi") - col("lo") + 0.001) / nb)).cast("int")))
+        val offs = bucketed.groupBy("b")
+          .agg(sum("np").as("bnp"), sum("nn").as("bnn"))
+          .withColumn("off_np", coalesce(sum("bnp").over(
+            Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("off_nn", coalesce(sum("bnn").over(
+            Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("b", "off_np", "off_nn")
+        val wb = Window.partitionBy("b").orderBy("pq")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        bucketed.join(broadcast(offs), "b")
+          .withColumn("pos_ge",
+            col("tp") - (col("off_np") + coalesce(sum("np").over(wb), lit(0L))))
+          .withColumn("neg_ge",
+            col("tn") - (col("off_nn") + coalesce(sum("nn").over(wb), lit(0L))))
+          .withColumn("term", round(
+            col("np").cast("double") * col("pos_ge").cast("double") /
+              (col("pos_ge") + col("neg_ge")).cast("double"), 10)
+            .cast("decimal(28,10)"))
+          .agg(max("tp").as("n_pos_l"), max("tn").as("n_neg_l"),
+            sum("term").as("tsum"))
+          .select(col("n_pos_l").cast("long").as("n_pos"),
+            col("n_neg_l").cast("long").as("n_neg"),
+            round(col("tsum").cast("double") / col("n_pos_l").cast("double"), 6)
+              .as("ap"))
+      },
+      s"""$logregOracleCtes,
+        |pred AS (
+        |  SELECT y,
+        |    CAST(ROUND(1.0 / (1.0 + EXP(-(b0f + b1f * x))), 12) AS DECIMAL(26,12)) AS pq
+        |  FROM o CROSS JOIN betaf),
+        |scored AS (
+        |  SELECT pq, CAST(SUM(y) AS BIGINT) AS np,
+        |         CAST(COUNT(*) - SUM(y) AS BIGINT) AS nn
+        |  FROM pred GROUP BY pq),
+        |tot AS (SELECT SUM(np) AS tp, SUM(nn) AS tn FROM scored),
+        |cum AS (
+        |  SELECT np, nn,
+        |    tp - COALESCE(SUM(np) OVER (ORDER BY pq
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos_ge,
+        |    tn - COALESCE(SUM(nn) OVER (ORDER BY pq
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_ge,
+        |    tp, tn
+        |  FROM scored CROSS JOIN tot),
+        |terms AS (
+        |  SELECT tp, tn,
+        |    CAST(ROUND(CAST(np AS DOUBLE) * CAST(pos_ge AS DOUBLE)
+        |      / CAST(pos_ge + neg_ge AS DOUBLE), 10) AS DECIMAL(28,10)) AS term
+        |  FROM cum)
+        |SELECT CAST(MAX(tp) AS BIGINT) AS n_pos, CAST(MAX(tn) AS BIGINT) AS n_neg,
+        |  ROUND(CAST(SUM(term) AS DOUBLE) / CAST(MAX(tp) AS DOUBLE), 6) AS ap
+        |FROM terms""".stripMargin)
   )
 }

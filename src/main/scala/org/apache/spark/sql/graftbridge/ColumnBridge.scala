@@ -289,6 +289,56 @@ case class IntersectCountSortedLong(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Sign-bit Hamming distance of two double arrays — the scoring kernel
+  * of 1-bit binary-quantized retrieval: counts positions where the sign
+  * bits (x > 0) disagree. Pure integer output, so the candidate search
+  * has no float-divergence surface at all. Null on dimension mismatch.
+  * Native because the zip_with+aggregate HOF formulation runs
+  * interpreted per element — this is one codegen'd branch-free loop.
+  */
+case class SignBitHamming(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sign_bit_hamming"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var h = 0L; var i = 0
+    while (i < n) {
+      if ((x.getDouble(i) > 0.0) != (y.getDouble(i) > 0.0)) h += 1L
+      i += 1
+    }
+    h
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n"); val h = ctx.freshName("h")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $h = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (($a.getDouble($i) > 0.0) != ($b.getDouble($i) > 0.0)) $h++;
+         |  }
+         |  ${ev.value} = $h;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Jaccard over pre-sorted distinct long arrays (hashed shingles): a
   * single O(n) merge with primitive comparisons — the pair-verification
   * fast path for near-dup detection at scale.

@@ -61,6 +61,10 @@ class PlanLintInventorySpec extends SparkSpec {
     "curate_winsorize" -> Map("CARTESIAN_PRODUCT" -> 4, "GLOBAL_WINDOW" -> 1, "NON_EQUI_JOIN" -> 1),
     "dedup_clusters" -> Map("SMALL_SIDE_NOT_BROADCAST" -> 1),
     "dedup_embedding" -> Map("NON_EQUI_JOIN" -> 1),
+    // one-row query-vector broadcasts; the rank windows run AFTER
+    // orderBy().limit(10) — constant 10-row frames (the rrf class)
+    "emb_binary_quant" -> Map("CARTESIAN_PRODUCT" -> 1, "GLOBAL_WINDOW" -> 1),
+    "emb_mrl_recall" -> Map("CARTESIAN_PRODUCT" -> 2, "GLOBAL_WINDOW" -> 1),
     "emb_scalar_quant" -> Map("CARTESIAN_PRODUCT" -> 1),
     "ev_anomaly_mad" -> Map("CARTESIAN_PRODUCT" -> 3),
     "ev_cusum_changepoint" -> Map("CARTESIAN_PRODUCT" -> 1, "GLOBAL_WINDOW" -> 1),
@@ -82,6 +86,13 @@ class PlanLintInventorySpec extends SparkSpec {
     "ml_hard_negatives" -> Map("NON_EQUI_JOIN" -> 1),
     "ml_knn_label" -> Map("CARTESIAN_PRODUCT" -> 1),
     "ml_logreg_newton" -> Map("CARTESIAN_PRODUCT" -> 1),
+    // k-row (k=4) centroid-frame broadcasts, one per Lloyd iteration
+    "ml_kmeans_lloyd" -> Map("CARTESIAN_PRODUCT" -> 2),
+    // the logreg-family re-planned fit subtree (ml_auc's class: one-row
+    // beta/min-max/totals broadcasts) + the ≤nb bucket-offset window
+    "ml_pr_auc" -> Map("CARTESIAN_PRODUCT" -> 10, "GLOBAL_WINDOW" -> 1),
+    // 50-row query-set broadcast into the corpus scoring pass
+    "ml_ranking_metrics" -> Map("CARTESIAN_PRODUCT" -> 1),
     // ml_text_classifier: no entry since r11 — the per-iteration weight
     // frames are localCheckpoint'd (257-row model), so the one-row
     // nDocs crossJoins live in already-executed checkpoint segments and
@@ -108,6 +119,9 @@ class PlanLintInventorySpec extends SparkSpec {
     "q_interpolate" -> Map("GLOBAL_WINDOW" -> 3),
     "q_js_divergence" -> Map("CARTESIAN_PRODUCT" -> 1),
     "q_kll_merge" -> Map("CARTESIAN_PRODUCT" -> 1),
+    // one-row min-max/totals/tie-sum broadcasts + the ≤nb bucket-offset
+    // window (the ml_auc prefix composition over distinct values)
+    "q_kruskal_wallis" -> Map("CARTESIAN_PRODUCT" -> 5, "GLOBAL_WINDOW" -> 1),
     "q_ks_test" -> Map("CARTESIAN_PRODUCT" -> 3, "GLOBAL_WINDOW" -> 1),
     "q_merge_upsert" -> Map("SMALL_SIDE_NOT_BROADCAST" -> 2),
     "q_mom_growth" -> Map("GLOBAL_WINDOW" -> 1),

@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, SparkEntry}
+
+/** Semantic sanity for the round-11 tranche: ranking metrics, PR-AUC,
+  * binary quantization, Matryoshka recall, Gopher rules, Kruskal-Wallis
+  * and Lloyd k-means. Exact cross-engine parity is the oracle gate's
+  * job; these specs pin the METRIC PROPERTIES that hashes can't express
+  * (bounds, monotone relations, invariants).
+  */
+class RankEvalSpec extends SparkSpec {
+
+  private val dir = sf("any")
+
+  test("ml_ranking_metrics: metrics bounded, hits consistent with recall") {
+    val rows = SparkEntry.queries("ml_ranking_metrics")(spark, dir).collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      val (nRel, hits) = (r.getAs[Long]("n_rel"), r.getAs[Long]("hits"))
+      val (mrr, ndcg, recall) =
+        (r.getAs[Double]("mrr"), r.getAs[Double]("ndcg"), r.getAs[Double]("recall"))
+      assert(mrr >= 0.0 && mrr <= 1.0)
+      assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-9)
+      assert(hits >= 0 && hits <= 10)
+      assert(math.abs(recall - hits.toDouble / nRel) < 1e-4)
+      // A query with any hit must have positive MRR and NDCG, and
+      // vice versa — the three metrics agree on "found anything".
+      assert((hits > 0) == (mrr > 0.0))
+      assert((hits > 0) == (ndcg > 0.0))
+    }
+  }
+
+  test("ml_pr_auc: AP within [0,1] and at least the positive base rate sanity band") {
+    val r = SparkEntry.queries("ml_pr_auc")(spark, dir).collect().head
+    val (np, nn, ap) =
+      (r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"), r.getAs[Double]("ap"))
+    assert(np > 0 && nn > 0)
+    assert(ap > 0.0 && ap <= 1.0)
+    // A classifier can't be grossly WORSE than random on its own
+    // training data: AP should be at least half the base rate.
+    val base = np.toDouble / (np + nn)
+    assert(ap > base / 2, s"ap=$ap base=$base")
+  }
+
+  test("SignBitHamming: native kernel matches the HOF reference formulation") {
+    val e = graft.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val both = e.crossJoin(broadcast(q))
+      .select(
+        graft.functions.GraftFunctions.signHamming(col("v"), col("qv")).as("native"),
+        aggregate(
+          zip_with(col("v"), col("qv"),
+            (x, y) => when((x > lit(0.0)) =!= (y > lit(0.0)), 1L).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getAs[Long]("native") == r.getAs[Long]("hof")))
+  }
+
+  test("emb_binary_quant: hamming bounded by dim, rerank ordered by exact cosine") {
+    val rows = SparkEntry.queries("emb_binary_quant")(spark, dir).collect()
+    assert(rows.length == 10)
+    val cosines = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cosine"))
+    assert(cosines.sameElements(cosines.sortBy(-_)), "rerank must be cosine-descending")
+    rows.foreach { r =>
+      val h = r.getAs[Long]("hamming")
+      assert(h >= 0 && h <= 64)
+    }
+  }
+
+  test("emb_mrl_recall: ranks 1..10, overlap flag matches a recomputed full top-10") {
+    val out = SparkEntry.queries("emb_mrl_recall")(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("rank_trunc")).sorted.sameElements(1L to 10L))
+    // Recompute the exact full-dim top-10 independently and check flags.
+    val e = graft.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val full = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"), round(VectorOps.cosine(col("v"), col("qv")), 6).as("c"))
+      .orderBy(col("c").desc, col("vec_id")).limit(10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("in_full_topk") == full.contains(r.getAs[Long]("vec_id")))
+    }
+  }
+
+  test("text_gopher_rules: keep is exactly the conjunction of the four flags") {
+    val rows = SparkEntry.queries("text_gopher_rules")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val conj = r.getAs[Boolean]("words_ok") && r.getAs[Boolean]("mwl_ok") &&
+        r.getAs[Boolean]("stop_ok") && r.getAs[Boolean]("alpha_ok")
+      assert(r.getAs[Boolean]("keep") == conj)
+      assert(r.getAs[Boolean]("words_ok") == (r.getAs[Long]("n_words") >= 50 &&
+        r.getAs[Long]("n_words") <= 100000))
+    }
+    // The battery must discriminate on this corpus (not all-pass/all-fail).
+    val kept = rows.count(_.getAs[Boolean]("keep"))
+    assert(kept > 0 && kept < rows.length)
+  }
+
+  test("q_kruskal_wallis: H nonnegative, tie-corrected H' >= H, k=5 groups") {
+    val r = SparkEntry.queries("q_kruskal_wallis")(spark, dir).collect().head
+    assert(r.getAs[Long]("k_groups") == 5)
+    val (h, ht) = (r.getAs[Double]("h"), r.getAs[Double]("h_tie"))
+    assert(h >= 0.0)
+    // C = 1 - ties/(N^3-N) <= 1, so H' = H/C >= H.
+    assert(ht >= h - 1e-9)
+  }
+
+  test("ml_kmeans_lloyd: every vector assigned exactly once, all clusters non-empty") {
+    val rows = SparkEntry.queries("ml_kmeans_lloyd")(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("cluster_id")).sorted.sameElements(0L to 3L))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") > 0)
+      assert(r.getAs[Double]("mean_d") >= 0.0)
+    }
+    val total = rows.map(_.getAs[Long]("n")).sum
+    val corpus = graft.Tables(spark, dir, "embeddings").count()
+    assert(total == corpus, s"assigned $total of $corpus vectors")
+  }
+}

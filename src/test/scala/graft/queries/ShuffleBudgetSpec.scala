@@ -97,7 +97,21 @@ class ShuffleBudgetSpec extends SparkSpec {
     // (doc, bucket) feature frame — each one doc-scale margin agg + one
     // bucket-scale gradient agg, weights broadcast; a corpus-sized
     // number means an iteration started re-shuffling raw tokens
-    "ml_text_classifier" -> 1024 * 1024L)
+    "ml_text_classifier" -> 1024 * 1024L,
+    // round-11 tranche (measured sf0.001: 49 / 225 / 0 / 0 / 10 / 79 /
+    // 224 KiB): PR-AUC shuffles distinct scores; ranking metrics the
+    // bounded per-query top-k buffers; the binary-quant and Matryoshka
+    // paths are MAP-ONLY (a nonzero number here means a ranker started
+    // shuffling the corpus instead of TakeOrdered-ing it); Gopher rules
+    // shuffle only the output ordering; Kruskal-Wallis the distinct-value
+    // aggregates; k-means the k×dim update rows + argmin buffers
+    "ml_pr_auc" -> 192 * 1024L,
+    "ml_ranking_metrics" -> 768 * 1024L,
+    "emb_binary_quant" -> 16 * 1024L,
+    "emb_mrl_recall" -> 16 * 1024L,
+    "text_gopher_rules" -> 48 * 1024L,
+    "q_kruskal_wallis" -> 256 * 1024L,
+    "ml_kmeans_lloyd" -> 768 * 1024L)
 
   test("headline queries stay inside their shuffle-byte budgets") {
     val acc = new ShuffleAccounting
