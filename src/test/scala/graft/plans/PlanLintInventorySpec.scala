@@ -126,6 +126,9 @@ class PlanLintInventorySpec extends SparkSpec {
     "q_merge_upsert" -> Map("SMALL_SIDE_NOT_BROADCAST" -> 2),
     "q_mom_growth" -> Map("GLOBAL_WINDOW" -> 1),
     "q_pagerank" -> Map("CARTESIAN_PRODUCT" -> 4),
+    // one-row CI-bounds broadcast; the rank window runs over the B=32-row
+    // replica-means table (constant, not corpus)
+    "q_poisson_bootstrap" -> Map("CARTESIAN_PRODUCT" -> 1, "GLOBAL_WINDOW" -> 1),
     "q_rfm_segments" -> Map("CARTESIAN_PRODUCT" -> 1),
     "q_rolling_slope" -> Map("GLOBAL_WINDOW" -> 3),
     "q_skew_diagnose" -> Map("CARTESIAN_PRODUCT" -> 1),
@@ -139,6 +142,9 @@ class PlanLintInventorySpec extends SparkSpec {
     "q_woe_binning" -> Map("CARTESIAN_PRODUCT" -> 3),
     "text_bigram_lm" -> Map("CARTESIAN_PRODUCT" -> 1),
     "text_bm25" -> Map("CARTESIAN_PRODUCT" -> 1),
+    // one-row totals/min-max/count broadcasts re-planned per consumer of
+    // the lp subtree (the ml_auc class) + the ≤nb bucket-offset window
+    "text_ccnet_buckets" -> Map("CARTESIAN_PRODUCT" -> 6, "GLOBAL_WINDOW" -> 1),
     "text_inverted_index" -> Map("NON_EQUI_JOIN" -> 1),
     "text_nb_lang" -> Map("CARTESIAN_PRODUCT" -> 2),
     "text_pmi_topk" -> Map("CARTESIAN_PRODUCT" -> 2),

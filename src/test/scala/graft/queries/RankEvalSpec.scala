@@ -111,6 +111,35 @@ class RankEvalSpec extends SparkSpec {
     assert(ht >= h - 1e-9)
   }
 
+  test("text_ccnet_buckets: exact terciles, bucket order matches score order") {
+    val rows = SparkEntry.queries("text_ccnet_buckets")(spark, dir).collect()
+    val n = rows.length
+    val counts = rows.groupBy(_.getAs[String]("bucket")).view.mapValues(_.size).toMap
+    // Rank terciles: bucket sizes differ by at most 1.
+    assert(counts.keySet == Set("head", "middle", "tail"))
+    assert(counts.values.max - counts.values.min <= 1)
+    assert(counts.values.sum == n)
+    // Every head doc scores >= every tail doc.
+    val headMin = rows.filter(_.getAs[String]("bucket") == "head")
+      .map(_.getAs[Double]("avg_logprob")).min
+    val tailMax = rows.filter(_.getAs[String]("bucket") == "tail")
+      .map(_.getAs[Double]("avg_logprob")).max
+    assert(headMin >= tailMax)
+    // Ranks are a permutation of 1..N.
+    assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to n.toLong))
+  }
+
+  test("q_poisson_bootstrap: CI brackets the full mean, bounds ordered") {
+    val r = SparkEntry.queries("q_poisson_bootstrap")(spark, dir).collect().head
+    val (mean, lo, hi) = (r.getAs[Double]("mean"),
+      r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+    assert(r.getAs[Long]("b_replicas") == 32)
+    assert(lo <= hi)
+    // With B=32 Poisson replicas the 2nd..31st band must bracket the
+    // point estimate on this well-behaved mean.
+    assert(lo <= mean && mean <= hi, s"CI [$lo, $hi] vs mean $mean")
+  }
+
   test("ml_kmeans_lloyd: every vector assigned exactly once, all clusters non-empty") {
     val rows = SparkEntry.queries("ml_kmeans_lloyd")(spark, dir).collect()
     assert(rows.map(_.getAs[Long]("cluster_id")).sorted.sameElements(0L to 3L))

@@ -111,7 +111,13 @@ class ShuffleBudgetSpec extends SparkSpec {
     "emb_mrl_recall" -> 16 * 1024L,
     "text_gopher_rules" -> 48 * 1024L,
     "q_kruskal_wallis" -> 256 * 1024L,
-    "ml_kmeans_lloyd" -> 768 * 1024L)
+    "ml_kmeans_lloyd" -> 768 * 1024L,
+    // (measured sf0.001: 28 / 1.7 KiB): CCNet shuffles vocabulary counts
+    // + doc-scale lp aggregates; the bootstrap's exchange carries B rows
+    // per partition — a corpus-sized number means the replica explode
+    // stopped partial-aggregating map-side
+    "text_ccnet_buckets" -> 128 * 1024L,
+    "q_poisson_bootstrap" -> 16 * 1024L)
 
   test("headline queries stay inside their shuffle-byte budgets") {
     val acc = new ShuffleAccounting
