@@ -95,6 +95,72 @@ object SpectralOps {
       """SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_vec,
         |  CAST((SELECT MIN(len(embedding)) FROM embeddings) AS BIGINT) AS dim,
         |  true AS norm_ok, true AS rayleigh_monotone_ok,
-        |  true AS align_ok, true AS dominance_ok""".stripMargin)
+        |  true AS align_ok, true AS dominance_ok""".stripMargin),
+
+    // §2 25je top-2 principal directions via power iteration WITH
+    // DEFLATION — the PCA step beyond 25fj's single direction: v2 is
+    // found by iterating the same corpus matvec and projecting the
+    // v1-component out of every iterate (Hotelling deflation applied to
+    // the VECTOR, so M itself — d×d — is still never materialized; the
+    // per-iteration cost stays one map pass + one d-key partial-agg
+    // shuffle + a d-double driver collect). Contracts emitted as the
+    // tolerance-gate booleans of the 25fj pattern: both directions unit
+    // norm, mutually orthogonal, deflated Rayleigh sequence monotone,
+    // λ2 ≤ λ1, and the top-2 explained-variance share within (0, 1].
+    "emb_pca_top2" -> QDef(
+      (s, dir) => {
+        val vecs = Eval.barrier(Eval.fanOut(
+          emb(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v")))).cache()
+        val d = vecs.select(size(col("v"))).head().getInt(0)
+        def orth(y: Seq[Double], u: Seq[Double]): Seq[Double] = {
+          val c = y.zip(u).map { case (a, b) => a * b }.sum
+          y.zip(u).map { case (a, b) => a - c * b }
+        }
+        // v1: the 25fj walk (8 iterations, uniform start).
+        var x1: Seq[Double] = normalize(Seq.fill(d)(1.0))
+        var r1 = Vector.empty[Double]
+        for (_ <- 1 to 8) {
+          val (y, r) = matvec(vecs, x1)
+          r1 :+= r
+          x1 = normalize(y)
+        }
+        // v2: deflated walk — alternating-sign start (guaranteed not
+        // parallel to the near-uniform v1), v1-component projected out
+        // of every iterate before renormalizing.
+        var x2: Seq[Double] =
+          normalize(orth(Seq.tabulate(d)(i => if (i % 2 == 0) 1.0 else -1.0), x1))
+        var r2 = Vector.empty[Double]
+        for (_ <- 1 to 8) {
+          val (y, r) = matvec(vecs, x2)
+          r2 :+= r
+          x2 = normalize(orth(y, x1))
+        }
+        val trace = vecs.agg(
+          sum(graft.functions.GraftFunctions.dot(col("v"), col("v"))).as("trace"),
+          count(lit(1)).as("n")).head()
+        val (tr, nvec) = (trace.getDouble(0), trace.getLong(1))
+        val share = (r1.last + r2.last) / tr
+        def unit(x: Seq[Double]) = math.abs(math.sqrt(x.map(a => a * a).sum) - 1.0) < 1e-9
+        val ortho = math.abs(x1.zip(x2).map { case (a, b) => a * b }.sum) < 1e-9
+        import s.implicits._
+        Seq((nvec, d.toLong,
+          unit(x1) && unit(x2),
+          ortho,
+          r2.sliding(2).forall(w => w(1) >= w(0) * (1 - 1e-6)),
+          // The synthetic spectrum is FLAT (λ2/λ1 ≈ 0.98 — see 25fj's
+          // convergence note), so 8-iteration Rayleigh estimates of two
+          // near-equal eigenvalues can cross inside the gap; the order
+          // gate allows that 2% band and still catches gross breakage
+          // (a deflation bug hands v2 the λ1 direction at ratio ≈ 1.0
+          // with ortho_ok false, not a within-gap crossing).
+          r2.last <= r1.last * 1.02,
+          share > 0.0 && share <= 1.0 + 1e-9))
+          .toDF("n_vec", "dim", "norm_ok", "ortho_ok", "rayleigh_monotone_ok",
+            "order_ok", "share_ok")
+      },
+      """SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_vec,
+        |  CAST((SELECT MIN(len(embedding)) FROM embeddings) AS BIGINT) AS dim,
+        |  true AS norm_ok, true AS ortho_ok, true AS rayleigh_monotone_ok,
+        |  true AS order_ok, true AS share_ok""".stripMargin)
   )
 }

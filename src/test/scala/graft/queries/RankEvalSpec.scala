@@ -129,6 +129,13 @@ class RankEvalSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to n.toLong))
   }
 
+  test("emb_pca_top2: all contract gates true at sf0.001") {
+    val r = SparkEntry.queries("emb_pca_top2")(spark, dir).collect().head
+    Seq("norm_ok", "ortho_ok", "rayleigh_monotone_ok", "order_ok", "share_ok")
+      .foreach(c => assert(r.getAs[Boolean](c), s"$c must hold"))
+    assert(r.getAs[Long]("dim") == 64)
+  }
+
   test("q_poisson_bootstrap: CI brackets the full mean, bounds ordered") {
     val r = SparkEntry.queries("q_poisson_bootstrap")(spark, dir).collect().head
     val (mean, lo, hi) = (r.getAs[Double]("mean"),

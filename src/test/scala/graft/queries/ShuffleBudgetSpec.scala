@@ -117,7 +117,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     // per partition — a corpus-sized number means the replica explode
     // stopped partial-aggregating map-side
     "text_ccnet_buckets" -> 128 * 1024L,
-    "q_poisson_bootstrap" -> 16 * 1024L)
+    "q_poisson_bootstrap" -> 16 * 1024L,
+    // 16 deflated+plain matvec iterations, each one d-key partial-agg
+    // exchange (measured sf0.001: 282 KiB — d-scale rows, not corpus)
+    "emb_pca_top2" -> 1024 * 1024L)
 
   test("headline queries stay inside their shuffle-byte budgets") {
     val acc = new ShuffleAccounting
