@@ -76,6 +76,16 @@ object Bench {
       // this the cached blocks of every past run accumulate and GC
       // pressure lands on random later queries.
       spark.catalog.clearCache()
+      // clearCache drops SQL-cached relations but NOT localCheckpoint'd
+      // RDD blocks (the iterative operators checkpoint per round) —
+      // those wait for the ContextCleaner to notice the RDD object was
+      // GC'd. Over a 250-query pass the leaked checkpoint blocks
+      // fragment the storage pool and the per-job fixed cost of LATER
+      // many-job iterative queries climbs (r11: dedup_clusters 2.7 s
+      // isolated vs up to 9.3 s late in a full run, plans byte-equal).
+      // Unpersist everything still registered explicitly.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       // Untimed full GC: lets the ContextCleaner reap this query's
       // broadcasts/shuffles NOW instead of letting 200 executions of
       // state pile into the storage pool (see periodicGC note above).
@@ -119,6 +129,8 @@ object Bench {
         catch { case _: Throwable => () }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         System.gc()
         System.err.println(f"[bench] timed $name $dt%.1fs")
         dt

@@ -37,8 +37,13 @@ object ClusterOps {
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .repartition(col("src"))
       .localCheckpoint()
+    // Lazy checkpoints throughout the loop: the convergence probe
+    // (labelSum) is the action that materializes each round's frame, so
+    // a round costs ONE job instead of two (eager checkpoint + probe).
+    // On shallow near-dup graphs the per-round fixed cost IS the
+    // operator's cost, so halving the job count halves the wall.
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+      .withColumn("label", col("id")).localCheckpoint(false)
     // Explicit cast: sum over a non-integral label type would return
     // Double/Decimal (ClassCastException here) or — worse — null→0,
     // which would report convergence after one round. Fail loudly on a
@@ -54,7 +59,7 @@ object ClusterOps {
         .select(col("dst").as("id"), col("label"))
       val next = labels.union(msgs)
         .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val s = labelSum(next)
       labels = next
       converged = s == prevSum

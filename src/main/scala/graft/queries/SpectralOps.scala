@@ -55,6 +55,32 @@ object SpectralOps {
     if (n == 0.0) y else y.map(_ / n)
   }
 
+  /** Block matvec: (M·x1, M·x2) in ONE corpus pass — two per-row dots
+    * against the literal block, one posexplode, one d-key partial agg
+    * carrying both component sums. Returns the two images and their
+    * Rayleigh quotients x·(Mx). Subspace iteration's whole point at
+    * scale: k directions cost ONE pass, not k.
+    */
+  private def matvec2(vecs: DataFrame, x1: Seq[Double], x2: Seq[Double])
+      : (Seq[Double], Seq[Double], Double, Double) = {
+    val row = vecs
+      .select(col("v"),
+        graft.functions.GraftFunctions.dot(col("v"), typedlit(x1)).as("d1"),
+        graft.functions.GraftFunctions.dot(col("v"), typedlit(x2)).as("d2"))
+      .select(posexplode(col("v")).as(Seq("pos", "vj")), col("d1"), col("d2"))
+      .groupBy("pos").agg(sum(col("vj") * col("d1")).as("y1j"),
+        sum(col("vj") * col("d2")).as("y2j"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("y1j"), col("y2j")))).as("pm"))
+      .select(transform(col("pm"), e => e.getField("y1j")).as("y1"),
+        transform(col("pm"), e => e.getField("y2j")).as("y2"))
+      .head()
+    val y1 = row.getSeq[Double](0)
+    val y2 = row.getSeq[Double](1)
+    (y1, y2,
+      x1.zip(y1).map { case (a, b) => a * b }.sum,
+      x2.zip(y2).map { case (a, b) => a * b }.sum)
+  }
+
   val defs: Map[String, QDef] = Map(
 
     // §2 25fj top principal direction of the embedding corpus.
@@ -97,16 +123,17 @@ object SpectralOps {
         |  true AS norm_ok, true AS rayleigh_monotone_ok,
         |  true AS align_ok, true AS dominance_ok""".stripMargin),
 
-    // §2 25je top-2 principal directions via power iteration WITH
-    // DEFLATION — the PCA step beyond 25fj's single direction: v2 is
-    // found by iterating the same corpus matvec and projecting the
-    // v1-component out of every iterate (Hotelling deflation applied to
-    // the VECTOR, so M itself — d×d — is still never materialized; the
-    // per-iteration cost stays one map pass + one d-key partial-agg
-    // shuffle + a d-double driver collect). Contracts emitted as the
-    // tolerance-gate booleans of the 25fj pattern: both directions unit
-    // norm, mutually orthogonal, deflated Rayleigh sequence monotone,
-    // λ2 ≤ λ1, and the top-2 explained-variance share within (0, 1].
+    // §2 25je top-2 principal directions via BLOCK power iteration
+    // (subspace iteration with per-step Gram-Schmidt — the PCA step
+    // beyond 25fj's single direction): the 2-column block [x1 x2]
+    // multiplies through M in ONE corpus pass per iteration (matvec2),
+    // then re-orthonormalizes on the driver (d-scale work), so M (d×d)
+    // is never materialized and the whole walk costs 8 passes — the
+    // same as 25fj's single direction, which is the point of blocking.
+    // Contracts emitted as the tolerance-gate booleans of the 25fj
+    // pattern: both directions unit norm, mutually orthogonal, second
+    // Rayleigh sequence monotone, λ2 ≤ 1.02·λ1, and the top-2
+    // explained-variance share within (0, 1].
     "emb_pca_top2" -> QDef(
       (s, dir) => {
         val vecs = Eval.barrier(Eval.fanOut(
@@ -116,24 +143,19 @@ object SpectralOps {
           val c = y.zip(u).map { case (a, b) => a * b }.sum
           y.zip(u).map { case (a, b) => a - c * b }
         }
-        // v1: the 25fj walk (8 iterations, uniform start).
+        // Deterministic start block: uniform direction + alternating
+        // signs (orthogonal by construction for even d).
         var x1: Seq[Double] = normalize(Seq.fill(d)(1.0))
-        var r1 = Vector.empty[Double]
-        for (_ <- 1 to 8) {
-          val (y, r) = matvec(vecs, x1)
-          r1 :+= r
-          x1 = normalize(y)
-        }
-        // v2: deflated walk — alternating-sign start (guaranteed not
-        // parallel to the near-uniform v1), v1-component projected out
-        // of every iterate before renormalizing.
         var x2: Seq[Double] =
           normalize(orth(Seq.tabulate(d)(i => if (i % 2 == 0) 1.0 else -1.0), x1))
+        var r1 = Vector.empty[Double]
         var r2 = Vector.empty[Double]
         for (_ <- 1 to 8) {
-          val (y, r) = matvec(vecs, x2)
-          r2 :+= r
-          x2 = normalize(orth(y, x1))
+          val (y1, y2, ra, rb) = matvec2(vecs, x1, x2)
+          r1 :+= ra
+          r2 :+= rb
+          x1 = normalize(y1)
+          x2 = normalize(orth(y2, x1))
         }
         val trace = vecs.agg(
           sum(graft.functions.GraftFunctions.dot(col("v"), col("v"))).as("trace"),
