@@ -39,7 +39,7 @@ object KMeansOps {
   /** (vec_id, cid, d): 6-dp squared distance to the nearest centroid,
     * ties on centroid id.
     */
-  private def assign(e: DataFrame, cent: DataFrame): DataFrame =
+  private[graft] def assign(e: DataFrame, cent: DataFrame): DataFrame =
     e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("cid"), round(l2sq(col("v"), col("cv")), 6).as("d"))
       .groupBy("vec_id")
@@ -47,7 +47,7 @@ object KMeansOps {
       .select(col("vec_id"), col("m.cid").as("cid"), col("m.d").as("d"))
 
   /** New (cid, cv) centroids: per-coordinate exact-decimal mean. */
-  private def update(e: DataFrame, asg: DataFrame): DataFrame =
+  private[graft] def update(e: DataFrame, asg: DataFrame): DataFrame =
     asg.select("vec_id", "cid").join(e, "vec_id")
       .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
       .groupBy("cid", "i")
