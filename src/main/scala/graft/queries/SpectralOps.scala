@@ -183,6 +183,42 @@ object SpectralOps {
       """SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_vec,
         |  CAST((SELECT MIN(len(embedding)) FROM embeddings) AS BIGINT) AS dim,
         |  true AS norm_ok, true AS ortho_ok, true AS rayleigh_monotone_ok,
-        |  true AS order_ok, true AS share_ok""".stripMargin)
+        |  true AS order_ok, true AS share_ok""".stripMargin),
+
+    // §2 25jg per-DIMENSION whitening statistics — the diagonal of the
+    // feature-standardization transform (complementing emb_norm_stats'
+    // per-VECTOR norms and feeding the whitening use-case 25fj/25je
+    // exist for): per coordinate, mean and standard deviation from
+    // exact-decimal Σx and Σx² (6-dp-quantized components; the decimal
+    // products are exact, so the moments are order-independent at any
+    // partitioning — doubles appear only in the final mean/var
+    // expression, written identically on both engines). ONE map pass +
+    // one d-key partial aggregation; the output is d rows.
+    "emb_whiten_stats" -> QDef(
+      (s, dir) => {
+        val x6 = round(col("x"), 6).cast("decimal(14,6)")
+        emb(s, dir)
+          .select(posexplode(asDouble(col("embedding"))).as(Seq("i", "x")))
+          .groupBy("i")
+          .agg(count(lit(1)).as("n"), sum(x6).as("sx"), sum(x6 * x6).as("sxx"))
+          .select((col("i") + 1).cast("long").as("dim"), col("n"),
+            round(col("sx").cast("double") / col("n"), 6).as("mean"),
+            round(sqrt(greatest(lit(0.0),
+              col("sxx").cast("double") / col("n") -
+                (col("sx").cast("double") / col("n")) *
+                (col("sx").cast("double") / col("n")))), 6).as("std"))
+          .orderBy("dim")
+      },
+      """WITH x AS (
+        |  SELECT unnest(range(1, len(embedding) + 1)) AS dim,
+        |         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE), 6) AS DECIMAL(14,6)) AS x
+        |  FROM embeddings)
+        |SELECT CAST(dim AS BIGINT) AS dim, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS mean,
+        |  ROUND(SQRT(GREATEST(0.0,
+        |    CAST(SUM(x * x) AS DOUBLE) / COUNT(*)
+        |      - (CAST(SUM(x) AS DOUBLE) / COUNT(*))
+        |      * (CAST(SUM(x) AS DOUBLE) / COUNT(*)))), 6) AS std
+        |FROM x GROUP BY dim ORDER BY dim""".stripMargin)
   )
 }

@@ -136,6 +136,20 @@ class RankEvalSpec extends SparkSpec {
     assert(r.getAs[Long]("dim") == 64)
   }
 
+  test("emb_whiten_stats: one row per dimension, nonnegative std, plausible moments") {
+    val rows = SparkEntry.queries("emb_whiten_stats")(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("dim")).sorted.toSeq == (1L to 64L))
+    val nVec = graft.Tables(spark, dir, "embeddings").count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") == nVec)
+      assert(r.getAs[Double]("std") >= 0.0)
+      assert(math.abs(r.getAs[Double]("mean")) < 10.0)
+    }
+    // Embeddings are not constant per dimension: std must be positive
+    // somewhere (all-zero stds would mean the moment math collapsed).
+    assert(rows.exists(_.getAs[Double]("std") > 0.0))
+  }
+
   test("q_poisson_bootstrap: CI brackets the full mean, bounds ordered") {
     val r = SparkEntry.queries("q_poisson_bootstrap")(spark, dir).collect().head
     val (mean, lo, hi) = (r.getAs[Double]("mean"),

@@ -120,7 +120,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q_poisson_bootstrap" -> 16 * 1024L,
     // 16 deflated+plain matvec iterations, each one d-key partial-agg
     // exchange (measured sf0.001: 282 KiB — d-scale rows, not corpus)
-    "emb_pca_top2" -> 1024 * 1024L)
+    "emb_pca_top2" -> 1024 * 1024L,
+    // one d-key moment aggregation (measured sf0.001: 3.8 KiB)
+    "emb_whiten_stats" -> 32 * 1024L)
 
   test("headline queries stay inside their shuffle-byte budgets") {
     val acc = new ShuffleAccounting
