@@ -256,6 +256,71 @@ object MlOps {
         |    AS f1
         |FROM joined ORDER BY label""".stripMargin),
 
+    // §2 25jh chance-corrected agreement of the kNN classifier: Cohen's
+    // kappa and the multiclass Matthews correlation (Gorodkin's R_K) —
+    // the single-number summaries that stay honest under class imbalance
+    // where accuracy and even macro-F1 inflate. Everything reduces to
+    // the per-class marginals ml_eval_metrics already aggregates
+    // (n_true, n_pred, tp — exact integers at label scale):
+    //   kappa = (N·ΣTP − Σ t_c·p_c) / (N² − Σ t_c·p_c)
+    //   mcc   = (N·ΣTP − Σ t_c·p_c) / √((N²−Σp_c²)(N²−Σt_c²))
+    // Integer sums throughout; the final expressions run in double with
+    // identical operation order on both engines (cast-first so the
+    // N-squared products cannot overflow integers at any corpus size).
+    "ml_kappa_mcc" -> QDef(
+      (s, dir) => {
+        val preds = knnPredictions(s, dir).cache()
+        val byTrue = preds.groupBy(col("true_label").as("label"))
+          .agg(count(lit(1)).as("n_true"),
+            sum((col("true_label") === col("pred_label")).cast("long")).as("tp_t"))
+        val byPred = preds.groupBy(col("pred_label").as("label"))
+          .agg(count(lit(1)).as("n_pred"),
+            sum((col("true_label") === col("pred_label")).cast("long")).as("tp_p"))
+        val j = byTrue.join(byPred, Seq("label"), "full_outer")
+          .select(coalesce(col("n_true"), lit(0L)).as("t"),
+            coalesce(col("n_pred"), lit(0L)).as("p"),
+            coalesce(col("tp_t"), col("tp_p"), lit(0L)).as("tp"))
+        val nD = col("n").cast("double")
+        val num = nD * col("agree") - col("stp")
+        j.agg(sum("t").cast("long").as("n"), sum("tp").cast("long").as("agree"),
+          sum(col("t") * col("p")).cast("long").as("stp"),
+          sum(col("t") * col("t")).cast("long").as("st2"),
+          sum(col("p") * col("p")).cast("long").as("sp2"))
+          .select(col("n"), col("agree"),
+            when(nD * nD - col("stp") =!= 0.0,
+              round(num / (nD * nD - col("stp")), 6)).as("kappa"),
+            when((nD * nD - col("sp2")) * (nD * nD - col("st2")) > 0.0,
+              round(num / sqrt((nD * nD - col("sp2")) * (nD * nD - col("st2"))), 6))
+              .as("mcc"))
+      },
+      s"""$knnOracleCtes,
+        |bytrue AS (
+        |  SELECT true_label AS label, COUNT(*) AS n_true,
+        |    SUM(CASE WHEN true_label = pred_label THEN 1 ELSE 0 END) AS tp_t
+        |  FROM preds GROUP BY 1),
+        |bypred AS (
+        |  SELECT pred_label AS label, COUNT(*) AS n_pred,
+        |    SUM(CASE WHEN true_label = pred_label THEN 1 ELSE 0 END) AS tp_p
+        |  FROM preds GROUP BY 1),
+        |j AS (
+        |  SELECT COALESCE(n_true, 0) AS t, COALESCE(n_pred, 0) AS p,
+        |    COALESCE(tp_t, tp_p, 0) AS tp
+        |  FROM bytrue FULL OUTER JOIN bypred ON bytrue.label = bypred.label),
+        |m AS (
+        |  SELECT CAST(SUM(t) AS BIGINT) AS n, CAST(SUM(tp) AS BIGINT) AS agree,
+        |    CAST(SUM(t * p) AS BIGINT) AS stp, CAST(SUM(t * t) AS BIGINT) AS st2,
+        |    CAST(SUM(p * p) AS BIGINT) AS sp2
+        |  FROM j)
+        |SELECT n, agree,
+        |  CASE WHEN CAST(n AS DOUBLE) * n - stp <> 0.0
+        |    THEN ROUND((CAST(n AS DOUBLE) * agree - stp)
+        |      / (CAST(n AS DOUBLE) * n - stp), 6) END AS kappa,
+        |  CASE WHEN (CAST(n AS DOUBLE) * n - sp2) * (CAST(n AS DOUBLE) * n - st2) > 0.0
+        |    THEN ROUND((CAST(n AS DOUBLE) * agree - stp)
+        |      / SQRT((CAST(n AS DOUBLE) * n - sp2) * (CAST(n AS DOUBLE) * n - st2)), 6)
+        |    END AS mcc
+        |FROM m""".stripMargin),
+
     // §2 25hr hard-negative mining for contrastive training: for each
     // holdout query, the 3 nearest corpus vectors whose label DIFFERS
     // from the query's — the pairs a contrastive objective needs most.

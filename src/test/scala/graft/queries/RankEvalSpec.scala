@@ -161,6 +161,17 @@ class RankEvalSpec extends SparkSpec {
     assert(lo <= mean && mean <= hi, s"CI [$lo, $hi] vs mean $mean")
   }
 
+  test("ml_kappa_mcc: bounded in [-1,1], consistent with observed agreement") {
+    val r = SparkEntry.queries("ml_kappa_mcc")(spark, dir).collect().head
+    val (n, agree) = (r.getAs[Long]("n"), r.getAs[Long]("agree"))
+    val (kappa, mcc) = (r.getAs[Double]("kappa"), r.getAs[Double]("mcc"))
+    assert(agree >= 0 && agree <= n)
+    assert(kappa >= -1.0 - 1e-9 && kappa <= 1.0 + 1e-9)
+    assert(mcc >= -1.0 - 1e-9 && mcc <= 1.0 + 1e-9)
+    // Perfect agreement iff kappa == 1; here the classifier is imperfect.
+    assert((agree == n) == (kappa == 1.0))
+  }
+
   test("ml_kmeans_lloyd: every vector assigned exactly once, all clusters non-empty") {
     val rows = SparkEntry.queries("ml_kmeans_lloyd")(spark, dir).collect()
     assert(rows.map(_.getAs[Long]("cluster_id")).sorted.sameElements(0L to 3L))

@@ -122,7 +122,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     // exchange (measured sf0.001: 282 KiB — d-scale rows, not corpus)
     "emb_pca_top2" -> 1024 * 1024L,
     // one d-key moment aggregation (measured sf0.001: 3.8 KiB)
-    "emb_whiten_stats" -> 32 * 1024L)
+    "emb_whiten_stats" -> 32 * 1024L,
+    // the knn-prediction pipeline's bounded top-k buffers + label-scale
+    // marginals (measured sf0.001: 217 KiB)
+    "ml_kappa_mcc" -> 768 * 1024L)
 
   test("headline queries stay inside their shuffle-byte budgets") {
     val acc = new ShuffleAccounting
