@@ -156,18 +156,45 @@ object Bench {
     canary()
     System.err.println("[bench] canary summary: " +
       canarySamples.map { case (i, d) => f"$i:$d%.2f" }.mkString(" "))
+    val rid = runId(results.toMap)
     // Full per-query record first (may be long; also mirrored on stderr):
     // carries shuffle_bytes for EVERY query.
-    println(renderLine(results.toSeq.sortBy(_._1), results.toMap, sfDir,
-      shuffle = shuffleBytes.toSeq.sortBy(_._1)))
+    val fullLine = renderLine(results.toSeq.sortBy(_._1), results.toMap, sfDir,
+      shuffle = shuffleBytes.toSeq.sortBy(_._1), runId = rid)
+    println(fullLine)
+    // The driver keeps only the LAST 2000 chars of output, so the short
+    // line below folds the tail into "_other_total" — which left the
+    // mechanical bench gate grading only ~50 of the pinned keys (r11
+    // verdict task 2). Persist the COMPLETE per-query record to a file
+    // the gate can merge: tools/bench_gate.py trusts it iff its "run" id
+    // (a hash over every name:seconds pair) matches the one embedded in
+    // the driver-captured short line — binding file and artifact to the
+    // same physical run.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), fullLine + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
+    }
     spark.stop()
-    println(shortLine(results.toMap, sfDir, shuffleBytes.toMap))
+    println(shortLine(results.toMap, sfDir, shuffleBytes.toMap, runId = rid))
+  }
+
+  /** Deterministic id binding BENCH_FULL.json to the driver-captured
+    * short line: sha-256 over the sorted "name:seconds(3dp)" pairs,
+    * first 12 hex chars. Any divergence in any timing changes the id.
+    */
+  def runId(results: Map[String, Double]): String = {
+    val canon = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => k + ":" + fmt(v) }.mkString(",")
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(canon.getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
   }
 
   private def fmt(v: Double) = f"$v%.3f"
 
   private def renderLine(es: Seq[(String, Double)], all: Map[String, Double], sfDir: String,
-      rest: Double = 0.0, shuffle: Seq[(String, Long)] = Nil): String = {
+      rest: Double = 0.0, shuffle: Seq[(String, Long)] = Nil, runId: String = ""): String = {
     val total = if (all.nonEmpty) all.values.sum else 0.0
     val entries = es.map { case (k, v) => "\"" + k + "\":" + fmt(v) } ++
       (if (rest > 0) Seq("\"_other_total\":" + fmt(rest)) else Nil)
@@ -175,7 +202,8 @@ object Bench {
       if (shuffle.isEmpty) ""
       else ""","shuffle_bytes":""" +
         shuffle.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${entries.mkString("{", ",", "}")}$shufPart,"sf":"$sfDir"}"""
+    val runPart = if (runId.isEmpty) "" else s""","run":"$runId""""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${entries.mkString("{", ",", "}")}$shufPart$runPart,"sf":"$sfDir"}"""
   }
 
   /** The FINAL stdout line. The round driver parses a JSON line out of
@@ -187,18 +215,18 @@ object Bench {
     * main). Invariants spec-tested in BenchLineSpec.
     */
   def shortLine(results: Map[String, Double], sfDir: String,
-      shuffle: Map[String, Long] = Map.empty): String = {
+      shuffle: Map[String, Long] = Map.empty, runId: String = ""): String = {
     val bySlowest = results.toSeq.sortBy { case (k, v) => (-v, k) }
     val topShuffle = shuffle.toSeq.sortBy { case (k, v) => (-v, k) }.take(8)
     // Length-driven, not count-driven: drop the cheapest entries into
     // "_other_total" until the line fits (long query names would
     // otherwise defeat a fixed top-N cap).
     var keep = bySlowest.length
-    var line = renderLine(bySlowest, results, sfDir, shuffle = topShuffle)
+    var line = renderLine(bySlowest, results, sfDir, shuffle = topShuffle, runId = runId)
     while (line.length > 1500 && keep > 0) {
       keep = math.max(0, keep - math.max(1, (line.length - 1500) / 30))
       line = renderLine(bySlowest.take(keep), results, sfDir,
-        rest = bySlowest.drop(keep).map(_._2).sum, shuffle = topShuffle)
+        rest = bySlowest.drop(keep).map(_._2).sum, shuffle = topShuffle, runId = runId)
     }
     line
   }

@@ -60,6 +60,10 @@ object EmbCompressOps {
           .orderBy(col("cosine").desc, col("vec_id")).limit(10)
           .withColumn("rank",
             row_number().over(Window.orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
+          // Explicit final sort: the oracle ends with ORDER BY cosine
+          // DESC, vec_id, and relying on the rank window's internal sort
+          // surviving as the last physical operator is planner-fragile.
+          .orderBy(col("cosine").desc, col("vec_id"))
       },
       s"""WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

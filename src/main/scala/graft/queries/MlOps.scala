@@ -264,9 +264,11 @@ object MlOps {
     // (n_true, n_pred, tp — exact integers at label scale):
     //   kappa = (N·ΣTP − Σ t_c·p_c) / (N² − Σ t_c·p_c)
     //   mcc   = (N·ΣTP − Σ t_c·p_c) / √((N²−Σp_c²)(N²−Σt_c²))
-    // Integer sums throughout; the final expressions run in double with
-    // identical operation order on both engines (cast-first so the
-    // N-squared products cannot overflow integers at any corpus size).
+    // Exact arithmetic throughout: the marginal products t·p, t², p² are
+    // computed in DECIMAL(38,0) (operand cast BEFORE the multiply, so a
+    // class with ≳3e9 members cannot wrap a 64-bit product), summed
+    // exactly, and only the final kappa/mcc expressions run in double —
+    // with identical operation order on both engines.
     "ml_kappa_mcc" -> QDef(
       (s, dir) => {
         val preds = knnPredictions(s, dir).cache()
@@ -283,9 +285,9 @@ object MlOps {
         val nD = col("n").cast("double")
         val num = nD * col("agree") - col("stp")
         j.agg(sum("t").cast("long").as("n"), sum("tp").cast("long").as("agree"),
-          sum(col("t") * col("p")).cast("long").as("stp"),
-          sum(col("t") * col("t")).cast("long").as("st2"),
-          sum(col("p") * col("p")).cast("long").as("sp2"))
+          sum(col("t").cast("decimal(20,0)") * col("p")).as("stp"),
+          sum(col("t").cast("decimal(20,0)") * col("t")).as("st2"),
+          sum(col("p").cast("decimal(20,0)") * col("p")).as("sp2"))
           .select(col("n"), col("agree"),
             when(nD * nD - col("stp") =!= 0.0,
               round(num / (nD * nD - col("stp")), 6)).as("kappa"),
@@ -308,8 +310,9 @@ object MlOps {
         |  FROM bytrue FULL OUTER JOIN bypred ON bytrue.label = bypred.label),
         |m AS (
         |  SELECT CAST(SUM(t) AS BIGINT) AS n, CAST(SUM(tp) AS BIGINT) AS agree,
-        |    CAST(SUM(t * p) AS BIGINT) AS stp, CAST(SUM(t * t) AS BIGINT) AS st2,
-        |    CAST(SUM(p * p) AS BIGINT) AS sp2
+        |    SUM(CAST(t AS DECIMAL(20,0)) * p) AS stp,
+        |    SUM(CAST(t AS DECIMAL(20,0)) * t) AS st2,
+        |    SUM(CAST(p AS DECIMAL(20,0)) * p) AS sp2
         |  FROM j)
         |SELECT n, agree,
         |  CASE WHEN CAST(n AS DOUBLE) * n - stp <> 0.0

@@ -75,8 +75,11 @@ object RankEvalOps {
             col("n_rel_all").cast("long").as("n_rel"),
             col("hits").cast("long").as("hits"),
             coalesce(round(lit(1.0) / col("first_rel"), 6), lit(0.0)).as("mrr"),
+            // Bound FIRST, cast second: least(K, n_rel_all) is ≤ K so the
+            // int cast is always safe, whereas casting the unbounded
+            // corpus-scale count first could wrap past Int.MaxValue.
             round(col("dcg").cast("double") /
-              element_at(idcgArr, least(lit(K), col("n_rel_all").cast("int")))
+              element_at(idcgArr, least(lit(K.toLong), col("n_rel_all")).cast("int"))
                 .cast("double"), 6).as("ndcg"),
             round(col("hits").cast("double") / col("n_rel_all"), 6).as("recall"))
           .orderBy("q_id")

@@ -66,16 +66,37 @@ object KMeansStream {
           .groupBy("cid", "i")
           .agg(sum(round(col("x"), 6).cast("decimal(24,6)")).as("bx"),
             count(lit(1)).as("bn0"))
+        // Ragged-dimension guard: per-coordinate counts are identical for
+        // every coordinate of a cluster iff every member vector had the
+        // same length. A mixed-dimension batch would otherwise let
+        // max(bn0) silently pick one count while zip_with nulls the
+        // mismatched sums — corrupting state without an error. Fail the
+        // batch loudly instead (the checkpoint retries it, surfacing the
+        // bad input rather than committing corruption).
         val bstate = parts.groupBy("cid")
-          .agg(collect_list(struct(col("i"), col("bx"))).as("a"), max("bn0").as("bn"))
-          .select(col("cid"), col("bn"),
+          .agg(collect_list(struct(col("i"), col("bx"))).as("a"),
+            max("bn0").as("bn"), min("bn0").as("bn_min"))
+          .select(col("cid"),
+            when(col("bn") === col("bn_min"), col("bn"))
+              .otherwise(raise_error(concat(
+                lit("KMeansStream: ragged batch vector dimensions for cid="),
+                col("cid").cast("string")))).as("bn"),
             transform(array_sort(col("a")), e => e.getField("bx")).as("bs"))
         state.join(bstate, Seq("cid"), "left")
           .select(col("cid"),
             (col("n") + coalesce(col("bn"), lit(0L))).as("n"),
             when(col("bs").isNull, col("s"))
-              .otherwise(zip_with(col("s"), col("bs"),
-                (a, x) => (a + x).cast("decimal(24,6)"))).as("s"),
+              // Batch-vs-state dimension check: a uniformly-wrong-length
+              // batch passes the per-cluster count guard but must not
+              // zip against state of a different dimensionality.
+              .otherwise(when(size(col("bs")) === size(col("s")),
+                zip_with(col("s"), col("bs"),
+                  (a, x) => (a + x).cast("decimal(24,6)")))
+                .otherwise(raise_error(concat(
+                  lit("KMeansStream: batch vector dimension "),
+                  size(col("bs")).cast("string"),
+                  lit(" != state dimension "),
+                  size(col("s")).cast("string"))))).as("s"),
             col("c0"))
     }
 

@@ -46,6 +46,24 @@ class BenchLineSpec extends AnyFunSuite {
     (1 to 10).foreach(i => assert(line.contains(f"q_generated_operator_name_$i%03d")))
   }
 
+  test("run id binds the short line to BENCH_FULL.json: embedded, stable, timing-sensitive") {
+    val q = queries(300)
+    val rid = Bench.runId(q)
+    assert(rid.matches("[0-9a-f]{12}"))
+    // Deterministic over map order; sensitive to any single timing.
+    assert(Bench.runId(q.toSeq.reverse.toMap) == rid)
+    assert(Bench.runId(q.updated(q.keys.head, 99.0)) != rid)
+    val line = Bench.shortLine(q, sf, runId = rid)
+    assert(line.length <= 1500, s"line length ${line.length}")
+    assert(line.contains(s""""run":"$rid""""))
+    // sf stays the LAST field (driver tail-parse invariant).
+    assert(line.endsWith(s""","sf":"$sf"}"""))
+    // Folding still happens with the run id present.
+    assert(line.contains("_other_total"))
+    // Without a run id the field is absent entirely.
+    assert(!Bench.shortLine(q, sf).contains(""""run":"""))
+  }
+
   test("shuffle_bytes rides the short line compactly and under budget") {
     val shuffle = (1 to 150).map(i => f"q_generated_operator_name_$i%03d" -> i * 1000L).toMap
     val line = Bench.shortLine(queries(106), sf, shuffle)

@@ -91,6 +91,22 @@ class ReferenceParitySpec extends SparkSpec {
       Seq(Seq(1L, 3L), Seq(3L, 3L)))
   }
 
+  test("olap_test.clj test-unnest-array") {
+    val s = fresh()
+    s.createTable("letters", Seq("letter" -> "STRING"))
+    s.insert("letters", Seq(Seq("a"), Seq("b"), Seq("c")))
+    assert(rows(s, "SELECT letter FROM letters ORDER BY letter") ==
+      Seq(Seq("a"), Seq("b"), Seq("c")))
+  }
+
+  test("olap_test.clj test-unnest-integers") {
+    val s = fresh()
+    s.createTable("int_arr", Seq("n" -> "INT64"))
+    s.insert("int_arr", Seq(Seq(1), Seq(2), Seq(3)))
+    assert(rows(s, "SELECT n FROM int_arr ORDER BY n") ==
+      Seq(Seq(1L), Seq(2L), Seq(3L)))
+  }
+
   test("olap_test.clj test-cross-join") {
     val s = fresh()
     s.createTable("users", Seq("id" -> "INT64", "name" -> "STRING"))

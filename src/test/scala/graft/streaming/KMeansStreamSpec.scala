@@ -59,6 +59,27 @@ class KMeansStreamSpec extends SparkSpec {
     assert(cents(table) == c2)
   }
 
+  test("ragged batch vector dimensions fail the batch loudly instead of corrupting state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("kmstream3").toString
+    val table = s"$base/state"; val ckpt = s"$base/ckpt"
+    val input = MemoryStream[KVec]
+    // Two vectors near axis 0 land in the SAME cluster with DIFFERENT
+    // dimensionality: pre-guard this silently merged max(count) with
+    // null-padded sums; now the batch must raise instead of committing.
+    input.addData(KVec(1L, Seq(0.9, 0.1, 0.0)), KVec(2L, Seq(0.8, 0.1)))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      KMeansStream.kmeansSink(input.toDF(), init, table, ckpt).awaitTermination()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(m =>
+      m.contains("ragged batch vector dimensions") || m.contains("state dimension")))
+    // Nothing committed: no snapshot readable.
+    assert(StreamOps.latestSnapshot(spark, table).isEmpty)
+  }
+
   test("one-batch stream state equals one batch Lloyd update from the same init") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

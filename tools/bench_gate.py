@@ -24,6 +24,7 @@ Rules:
 Exit code 0 = pass, 1 = any failure.
 """
 import json
+import os
 import sys
 
 
@@ -36,11 +37,42 @@ def load_queries(path):
         d = json.loads(text)
     except json.JSONDecodeError:
         d = json.loads(text.splitlines()[0])
-    if "queries" in d and isinstance(d["queries"], dict):
-        return d["queries"]
     if "parsed" in d and isinstance(d["parsed"], dict):
-        return d["parsed"].get("queries", {})
+        d = d["parsed"]
+    if "queries" in d and isinstance(d["queries"], dict):
+        return expand_folded(path, d)
     raise SystemExit(f"{path}: no per-query seconds found")
+
+
+def expand_folded(path, d):
+    """The driver captures only Bench's SHORT line (tail-length-bounded),
+    which folds cheap queries into "_other_total" — leaving most pinned
+    keys ungraded. Bench also persists the COMPLETE per-query record to
+    BENCH_FULL.json, stamped with the same "run" id (a hash over every
+    name:seconds pair). When the artifact is folded AND a full record
+    with a MATCHING run id is found, grade from the full record; a
+    missing or mismatched id falls back to the folded map (never grade
+    timings from a different physical run).
+    """
+    q = d["queries"]
+    if "_other_total" not in q or not d.get("run"):
+        return q
+    here = os.path.dirname(os.path.abspath(path))
+    for cand in (os.path.join(here, "BENCH_FULL.json"), "BENCH_FULL.json"):
+        if not os.path.exists(cand):
+            continue
+        try:
+            full = json.loads(open(cand).read().strip().splitlines()[0])
+        except (json.JSONDecodeError, IndexError):
+            continue
+        if full.get("run") == d["run"] and isinstance(full.get("queries"), dict):
+            fq = full["queries"]
+            print(f"using {cand} (run {d['run']}): "
+                  f"{len(fq)} per-query timings vs {len(q) - 1} + _other_total")
+            return fq
+    print(f"note: folded artifact (run {d.get('run')}) and no matching "
+          f"BENCH_FULL.json — grading the unfolded keys only")
+    return q
 
 
 def main():
