@@ -75,7 +75,8 @@ object SparkEntry {
       graft.queries.RankStatsOps.defs ++
       graft.queries.KMeansOps.defs ++
       graft.queries.CCNetOps.defs ++
-      graft.queries.BootstrapOps.defs
+      graft.queries.BootstrapOps.defs ++
+      graft.queries.GraphAnnOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Graph-based ANN (the HNSW/NSW family, Malkov & Yashunin 2016,
+  * flattened to the single-layer navigable-small-world case): a
+  * bounded-degree neighbor graph over the corpus, searched by a
+  * fixed-width greedy beam from a small set of entry points. This is the
+  * modern recall/latency frontier past IVF-PQ — the graph concentrates
+  * each hop's work on the immediate neighborhood of the current best
+  * candidates instead of whole quantizer cells.
+  *
+  * Spark shape, and why it holds at 100 TB:
+  *
+  * BUILD — candidate pairs come from LSH BANDS (the dedup_minhash_lsh
+  * discipline, reusing VectorOps' deterministic hyperplane tables): each
+  * vector lands in `tables` band buckets, pairs are generated ONLY
+  * within a bucket (equi-join on the band key — shuffle bounded by
+  * bucket sizes, never all-pairs), and each vector keeps its `degree`
+  * best neighbors through the bounded top-k aggregate (map-side partial
+  * buffers cap at `degree` entries, so the pair stream never crosses an
+  * exchange unbounded). Symmetrization unions reversed edges and
+  * re-truncates to `degree` — out-degree stays bounded by construction
+  * at any corpus size. The edge list is O(n × degree) rows: linear in
+  * the corpus, shuffled once at build time, keyed by source node.
+  *
+  * SEARCH — the frontier (queries × beam rows) is BROADCAST against the
+  * edge list each hop: candidate generation is a map-side semi-join over
+  * the n×degree edges, so per-hop traffic is O(queries × beam × degree)
+  * candidate rows — independent of corpus size — and candidate scoring
+  * is another broadcast (candidates against the corpus scan, map-only).
+  * `hops` is a constant; the whole search costs `hops` corpus scans and
+  * ZERO corpus-scale shuffles. GraphAnnSpec pins the per-hop candidate
+  * bound mechanically.
+  *
+  * Determinism: hyperplanes are the frozen VectorOps tables; every
+  * ranking is the bounded top-k's (score DESC, id ASC) order; entry
+  * points are the md5-least corpus ids (the trainSample discipline) —
+  * identical results at any partitioning.
+  */
+object GraphAnnOps {
+
+  import VectorOps.asDouble
+  import graft.functions.GraftFunctions.cosineSim
+
+  private def emb(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "embeddings")
+
+  /** Build geometry: 8 LSH bands of 3 hyperplanes each give ~2^3 buckets
+    * per band — coarse enough that near neighbors collide in several
+    * bands, fine enough that buckets stay a small fraction of the
+    * corpus. Degree 8 is the NSW sweet spot at this scale.
+    */
+  val Degree = 8
+  val BandPlanes = 3
+  val Bands = 8
+
+  /** Search geometry: 4 entry points, beam (HNSW's ef) 9, 3 hops.
+    * Only UNVISITED nodes are ever scored (per-hop anti-join against
+    * the visited pool), so the real cost — distance computations per
+    * query — is the DISTINCT visited count, which expansion overlap
+    * keeps well under the hops × beam × degree worst case;
+    * GraphAnnSpec pins the measured average below IVF-PQ's
+    * nprobe/cells = 4/16 corpus fraction while beating its recall.
+    */
+  val Entries = 4
+  val Beam = 9
+  val Hops = 3
+
+  /** Bounded-degree symmetric neighbor graph: (vec_id, nbr, sim) rows,
+    * ≤ `degree` per vec_id, built from banded LSH candidate pairs.
+    */
+  def buildGraph(e: DataFrame, degree: Int = Degree): DataFrame = {
+    val withKeys = e.select(col("vec_id"), col("v"),
+      VectorOps.lshKeys(col("v"), BandPlanes, Bands).as("keys"))
+    val keyed = withKeys.select(col("vec_id"), col("v"), col("keys"),
+      explode(col("keys")).as("band"))
+    // Within-bucket pairs. A pair colliding in several bands would enter
+    // the top-k heap once PER BAND (the bounded heap does not dedupe by
+    // id — duplicates would crowd real neighbors out of the k slots), so
+    // each pair is emitted only from the MINIMAL band the two sides
+    // share: a map-side filter on the joined rows, no extra shuffle.
+    val pairs = keyed.alias("l")
+      .join(keyed.alias("r"), Seq("band"))
+      .filter(col("l.vec_id") =!= col("r.vec_id"))
+      .filter(col("band") ===
+        array_min(array_intersect(col("l.keys"), col("r.keys"))))
+      .select(col("l.vec_id").as("q_id"), col("r.vec_id").as("neighbor_id"),
+        cosineSim(col("l.v"), col("r.v")).as("sim"))
+    val directed = VectorOps.topKPerQuery(pairs, "sim", degree)
+      .select(col("q_id").as("vec_id"), col("neighbor_id").as("nbr"), col("sim"))
+    // Symmetrize (an NSW edge is useful in both directions) with an
+    // explicit dedup — a↔b may exist in both directions — then
+    // re-truncate so out-degree stays bounded. The dedup shuffle is
+    // O(n × degree) rows: linear in the corpus, build-time only.
+    val sym = directed.unionByName(
+        directed.select(col("nbr").as("vec_id"), col("vec_id").as("nbr"), col("sim")))
+      .groupBy(col("vec_id").as("q_id"), col("nbr").as("neighbor_id"))
+      .agg(max("sim").as("sim"))
+    VectorOps.topKPerQuery(sym, "sim", degree)
+      .select(col("q_id").as("vec_id"), col("neighbor_id").as("nbr"))
+  }
+
+  /** Deterministic global entry points: the `n` md5-least vec_ids (the
+    * IvfOps.trainSample discipline — a TakeOrdered, never a shuffle).
+    */
+  private def entryPoints(e: DataFrame, n: Int): DataFrame =
+    e.sort(md5(col("vec_id").cast("string")), col("vec_id")).limit(n)
+      .select(col("vec_id").as("nbr"))
+
+  /** Beam search over a built graph. Returns the top-`k` scored visited
+    * nodes per query plus (for the budget spec) the per-hop candidate
+    * frames. `qs`: (q_id, qv).
+    */
+  def beamSearch(
+      e: DataFrame, graph: DataFrame, qs: DataFrame,
+      k: Int, beam: Int = Beam, hops: Int = Hops,
+      entries: Int = Entries): (DataFrame, Seq[DataFrame], DataFrame) = {
+    // Score a (q_id, nbr) frame: broadcast it against the corpus scan —
+    // map-only, one corpus scan per call.
+    def score(cand: DataFrame): DataFrame =
+      e.join(broadcast(cand.dropDuplicates("q_id", "nbr")), col("vec_id") === col("nbr"))
+        .join(broadcast(qs), Seq("q_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          cosineSim(col("qv"), col("v")).as("sim"))
+
+    val entry = qs.select("q_id").crossJoin(entryPoints(e, entries))
+    var visited = score(entry).localCheckpoint(true)
+    val hopFrames = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (_ <- 0 until hops) {
+      // Frontier: current best `beam` visited nodes per query.
+      val frontier = VectorOps.topKPerQuery(visited, "sim", beam)
+        .select(col("q_id"), col("neighbor_id").as("vec_id"))
+      // Expand: adjacency ⋈ broadcast frontier — map-side over the
+      // n×degree edge list, ≤ queries × beam × degree candidate rows —
+      // then drop every node already scored (anti-join against the
+      // tiny visited pool): distance computations happen ONCE per
+      // distinct visited node, the honest ANN cost metric.
+      val cand = graph.join(broadcast(frontier), "vec_id")
+        .select(col("q_id"), col("nbr"))
+        .join(broadcast(visited.select(col("q_id"), col("neighbor_id").as("nbr"))),
+          Seq("q_id", "nbr"), "left_anti")
+      hopFrames += cand
+      // Merge new scores into the visited pool (anti-join above makes
+      // this a disjoint union; checkpoint truncates the per-hop
+      // lineage — the ClassifierOps plan-growth lesson).
+      visited = visited.unionByName(score(cand)).localCheckpoint(true)
+    }
+    (VectorOps.topKPerQuery(
+        visited.select(col("q_id"), col("neighbor_id"), round(col("sim"), 6).as("cosine")),
+        "cosine", k),
+      hopFrames.toSeq,
+      visited)
+  }
+
+  /** Graph ANN top-10 for the 10 probe queries over the embeddings
+    * table — build + search.
+    */
+  def graphTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = Eval.barrier(Eval.fanOut(
+      emb(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v")))).cache()
+    val graph = buildGraph(e).cache()
+    val qs = e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    beamSearch(e, graph, qs, k = 10)._1
+  }
+
+  def defs: Map[String, QDef] = Map(
+    // §2 25jr graph ANN (NSW beam search). Approximate, so the gate is
+    // the ANN tier's driver-checkable contract: structural k plus a
+    // recall floor vs the exact baseline as deterministic hashable
+    // output. The floor is 0.2 — IVF-PQ's pinned floor at a LOWER
+    // candidate budget (100 vs 125 scored nodes/query at sf0.01);
+    // GraphAnnSpec pins the measured-recall dominance and the per-hop
+    // O(beam × degree) traffic bound.
+    "ann_graph_topk" -> QDef(
+      (s, dir) => {
+        val g = graphTopK(s, dir).select(col("q_id"), col("neighbor_id"))
+        val brute = VectorOps.bruteTopK(s, dir).select(col("q_id"), col("neighbor_id"))
+        val hits = g.join(brute, Seq("q_id", "neighbor_id")).agg(count(lit(1)).as("hits"))
+        val shape = g.groupBy("q_id").agg(count(lit(1)).as("k"))
+          .agg(min("k").as("kmin"), max("k").as("kmax"), count(lit(1)).as("nq"))
+        brute.agg(count(lit(1)).as("n_exact")).crossJoin(hits).crossJoin(shape)
+          .select(
+            col("n_exact").cast("long").as("n_exact"),
+            (col("kmin") === 10 && col("kmax") === 10 &&
+              col("nq") * 10 === col("n_exact")).as("k_ok"),
+            (col("hits") >= col("n_exact") * 0.2).as("recall_ok"))
+      },
+      """SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 10)
+        |  * LEAST(10, (SELECT COUNT(*) FROM embeddings) - 1) AS BIGINT) AS n_exact,
+        |  true AS k_ok, true AS recall_ok""".stripMargin)
+  )
+}
