@@ -58,6 +58,21 @@ object GraftFunctions {
       BoundedTopK(ColumnBridge.expression(score), ColumnBridge.expression(id), k)
         .toAggregateExpression())
 
+  /** Registry-proof REGEX split: builds Catalyst's StringSplit node
+    * directly, so a session whose function registry overrides SPLIT
+    * with literal-delimiter (BigQuery) semantics — every engine session
+    * via BQCompat.installDialect — cannot change its meaning.
+    * `functions.split` resolves BY NAME through the session registry at
+    * analysis time, which is exactly the hole this closes (r12: BPE
+    * training inside a DAG engine session silently learned zero rules
+    * because its sentinel splits stopped splitting).
+    */
+  def regexSplit(str: Column, pattern: String, limit: Int = -1): Column =
+    ColumnBridge.column(org.apache.spark.sql.catalyst.expressions.StringSplit(
+      ColumnBridge.expression(str),
+      org.apache.spark.sql.catalyst.expressions.Literal(pattern),
+      org.apache.spark.sql.catalyst.expressions.Literal(limit)))
+
   /** Expose to spark.sql as COSINE_SIM / JACCARD_SIM. */
   def install(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

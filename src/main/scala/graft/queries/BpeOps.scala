@@ -82,13 +82,16 @@ object BpeOps {
     * more than the whole rest of a training pass.
     */
   private def charString(text: Column): Column =
-    concat(lit(S), array_join(split(normalize(text), ""), S + S), lit(S))
+    concat(lit(S),
+      array_join(graft.functions.GraftFunctions.regexSplit(normalize(text), ""), S + S),
+      lit(S))
 
   /** Tokens of a sentinel string: strip the outer sentinels, split on
     * the doubled one.
     */
   private def toks(sCol: Column): Column =
-    split(sCol.substr(lit(2), greatest(length(sCol) - 2, lit(0))),
+    graft.functions.GraftFunctions.regexSplit(
+      sCol.substr(lit(2), greatest(length(sCol) - 2, lit(0))),
       java.util.regex.Pattern.quote(S + S))
 
   /** One training round's candidate list: the `m` most frequent
@@ -110,7 +113,8 @@ object BpeOps {
       .groupBy(col("p"))
       .agg(count(lit(1)).as("cnt"))
       .select(
-        split(col("p"), java.util.regex.Pattern.quote(S), 2).as("ab"),
+        graft.functions.GraftFunctions
+          .regexSplit(col("p"), java.util.regex.Pattern.quote(S), 2).as("ab"),
         col("cnt"))
       .select(element_at(col("ab"), 1).as("a"), element_at(col("ab"), 2).as("b"), col("cnt"))
       .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
@@ -216,7 +220,7 @@ object BpeOps {
     * batch) and `mm` (the '|'-joined merge table); callers append their
     * own final SELECT.
     */
-  private def trainSqlCtes(rounds: Int, perRound: Int, topM: Int): String = {
+  private[queries] def trainSqlCtes(rounds: Int, perRound: Int, topM: Int): String = {
     val sep = "chr(31)"
     def pass(i: Int): String =
       s"""tk$i AS MATERIALIZED (
