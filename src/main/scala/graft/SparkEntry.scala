@@ -77,7 +77,8 @@ object SparkEntry {
       graft.queries.CCNetOps.defs ++
       graft.queries.BootstrapOps.defs ++
       graft.queries.GraphAnnOps.defs ++
-      graft.queries.PipelineE2E2.defs
+      graft.queries.PipelineE2E2.defs ++
+      graft.queries.UnigramLmOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
