@@ -11,9 +11,13 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Partition-invariance sweeps (r11 verdict task 4) re-run the full
+    // inventory at several shuffle-partition settings without changing
+    // the executor count; the driver never sets this.
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       // Match GraftConf: query builders are written for classic
       // (null-on-invalid) semantics, not ANSI strict mode.

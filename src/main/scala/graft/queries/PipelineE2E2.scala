@@ -121,7 +121,17 @@ object PipelineE2E2 {
   private[graft] def runChainSession(s: SparkSession, dir: String): graft.engine.GraftSession = {
     val gs = new SessionManager(s).create()
     val docsDf = Tables(gs.spark, dir, "documents")
-    val dag = new Dag(gs)
+    // Stage snapshots live under a per-run temp dir removed on JVM exit
+    // (repeated Bench invocations would otherwise accumulate one
+    // materialization tree per run in the shared /tmp).
+    val work = java.nio.file.Files.createTempDirectory("graft-e2e2-")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(work.toFile)
+    }
+    val dag = new Dag(gs, Some(work))
     dag.register(Seq(
       DagTable.view("docs", docsDf),
       DagTable.view("bpe", BpeOps.encodeStats(docsDf)),
