@@ -78,7 +78,9 @@ object SparkEntry {
       graft.queries.BootstrapOps.defs ++
       graft.queries.GraphAnnOps.defs ++
       graft.queries.PipelineE2E2.defs ++
-      graft.queries.UnigramLmOps.defs
+      graft.queries.UnigramLmOps.defs ++
+      graft.queries.LineDedupOps.defs ++
+      graft.queries.DomainMixOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -251,17 +251,11 @@ object UnigramLmOps {
        |  SELECT piece, CAST(-ROUND((ln(used + 1) - ln(tu + nv)) * 1000000, 0) AS BIGINT) AS cost
        |  FROM keep$n CROSS JOIN t$n)""".stripMargin
 
-  def defs: Map[String, QDef] = Map(
-    // §2 25jk unigram-LM tokenizer: train (seed → Viterbi-EM prune ×2)
-    // + encode; per-doc word/piece/unk counts + the learned vocab.
-    "text_unigram_lm" -> QDef(
-      (s, dir) => {
-        val d = docs(s, dir)
-        val words = wordFreq(d).cache()
-        val vocab = trainVocab(words)
-        encodeDocs(d, words, vocab)
-      },
-      s"""WITH RECURSIVE wtok AS (
+  /** Shared oracle prefix: full training replay (seed → 2 EM prunes)
+    * down to the final per-word segmentation CTE `seg`.
+    */
+  private def trainOracleCtes: String =
+    s"""WITH RECURSIVE wtok AS (
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
          |words AS MATERIALIZED (
          |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM wtok
@@ -290,7 +284,20 @@ object UnigramLmOps {
          |${dpCte("v1", "dp2")},
          |${pruneCtes("dp2", "v1", 2)},
          |${dpCte("v2", "dp3")},
-         |seg AS MATERIALIZED (SELECT word, d0.n AS n, d0.u AS u FROM dp3 WHERE i = len(word)),
+         |seg AS MATERIALIZED (SELECT word, d0.n AS n, d0.u AS u FROM dp3 WHERE i = len(word))"""
+      .stripMargin
+
+  def defs: Map[String, QDef] = Map(
+    // §2 25jk unigram-LM tokenizer: train (seed → Viterbi-EM prune ×2)
+    // + encode; per-doc word/piece/unk counts + the learned vocab.
+    "text_unigram_lm" -> QDef(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val words = wordFreq(d).cache()
+        val vocab = trainVocab(words)
+        encodeDocs(d, words, vocab)
+      },
+      s"""$trainOracleCtes,
          |vstr AS MATERIALIZED (
          |  SELECT string_agg(piece || ':' || CAST(cost AS VARCHAR), '|' ORDER BY piece) AS vocab
          |  FROM v2)
@@ -301,6 +308,53 @@ object UnigramLmOps {
          |FROM wtok w JOIN seg s USING (word)
          |WHERE len(w.word) > 0
          |GROUP BY w.doc_id
-         |ORDER BY w.doc_id""".stripMargin)
+         |ORDER BY w.doc_id""".stripMargin),
+
+    // §2 25jn tokenizer FERTILITY readout (the cross-lingual equity
+    // metric tokenizer reports lead with — pieces/word, unk rate and
+    // chars/piece BY LANGUAGE under the trained unigram-LM vocab; a
+    // language with outlier fertility pays proportionally more of the
+    // context window). Same trained vocab and per-distinct-word
+    // segmentation as text_unigram_lm (all corpus work reduces to the
+    // word table first); the per-language rollup is exact integer sums
+    // joined map-side, ratios rounded from integral inputs — nothing
+    // float-order-sensitive.
+    "text_tokenizer_fertility" -> QDef(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val words = wordFreq(d).cache()
+        val vocab = trainVocab(words)
+        val seg = segment(words, vocab)
+          .select(col("word"), col("v.n").as("n"), col("v.u").as("u"))
+        d.select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) > 0)
+          .join(broadcast(seg), "word")
+          .groupBy("lang")
+          .agg(countDistinct("doc_id").as("n_docs"),
+            count(lit(1)).as("n_words"),
+            sum("n").as("n_pieces"), sum("u").as("n_unk"),
+            sum(length(col("word")).cast("long")).as("nc"))
+          .select(col("lang"), col("n_docs"), col("n_words"),
+            col("n_pieces"), col("n_unk"),
+            round(col("n_pieces").cast("double") / col("n_words"), 6)
+              .as("pieces_per_word"),
+            round(col("n_unk").cast("double") / col("n_pieces"), 6)
+              .as("unk_rate"),
+            round(col("nc").cast("double") / col("n_pieces"), 6)
+              .as("chars_per_piece"))
+          .orderBy("lang")
+      },
+      s"""$trainOracleCtes
+         |SELECT d.lang, COUNT(DISTINCT w.doc_id) AS n_docs,
+         |  COUNT(*) AS n_words,
+         |  CAST(SUM(s.n) AS BIGINT) AS n_pieces,
+         |  CAST(SUM(s.u) AS BIGINT) AS n_unk,
+         |  ROUND(CAST(SUM(s.n) AS DOUBLE) / COUNT(*), 6) AS pieces_per_word,
+         |  ROUND(CAST(SUM(s.u) AS DOUBLE) / SUM(s.n), 6) AS unk_rate,
+         |  ROUND(CAST(SUM(len(w.word)) AS DOUBLE) / SUM(s.n), 6) AS chars_per_piece
+         |FROM wtok w JOIN seg s USING (word) JOIN documents d USING (doc_id)
+         |WHERE len(w.word) > 0
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin)
   )
 }
