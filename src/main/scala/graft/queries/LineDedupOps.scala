@@ -90,6 +90,62 @@ object LineDedupOps {
          |  COALESCE(string_agg(CASE WHEN dup.line IS NULL THEN l.line END,
          |                      ' ' ORDER BY l.line_no), '') AS clean_text
          |FROM lines l LEFT JOIN dup ON l.line = dup.line
-         |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin)
+         |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin),
+
+    // §2 25jo cross-source contamination matrix: for every source pair,
+    // the number of DISTINCT 4-word lines they share and the line-set
+    // Jaccard — the dataset-overlap audit (benchmark leakage across
+    // ingested datasets) run before mixing sources into a training
+    // corpus. Scale: reduce to the distinct (line, source) table first
+    // (one corpus-scale agg), then per-line source SETS (bounded by
+    // |sources|) explode to ordered pairs map-side — never a line-table
+    // self-join; output is |sources|² rows.
+    "text_source_overlap" -> QDef(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val ls = docLines(d.select(col("doc_id"), col("text")))
+          .join(d.select(col("doc_id"), col("source")), "doc_id")
+          .select("line", "source").distinct()
+        val perSrc = ls.groupBy("source").agg(count(lit(1)).as("n"))
+        val pairs = ls.groupBy("line")
+          .agg(sort_array(collect_set("source")).as("ss"))
+          .filter(size(col("ss")) >= 2)
+          .select(explode(expr(
+            """flatten(transform(sequence(1, size(ss) - 1), i ->
+              |  transform(sequence(i + 1, size(ss)), j ->
+              |    struct(element_at(ss, i) AS a, element_at(ss, j) AS b))))"""
+              .stripMargin)).as("p"))
+          .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
+          .agg(count(lit(1)).as("shared_lines"))
+        pairs
+          .join(perSrc.select(col("source").as("src_a"), col("n").as("na")), "src_a")
+          .join(perSrc.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
+          .select(col("src_a"), col("src_b"), col("shared_lines"),
+            round(col("shared_lines").cast("double")
+              / (col("na") + col("nb") - col("shared_lines")), 6).as("jaccard"))
+          .orderBy("src_a", "src_b")
+      },
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |lines AS MATERIALIZED (
+         |  SELECT doc_id, g.i AS line_no,
+         |         array_to_string(ws[(g.i * $LineW + 1):(g.i * $LineW + $LineW)], ' ') AS line
+         |  FROM d, unnest(range(0, CAST(ceil(len(ws) / $LineW.0) AS BIGINT))) AS g(i)),
+         |ls AS MATERIALIZED (
+         |  SELECT DISTINCT l.line, doc.source
+         |  FROM lines l JOIN documents doc USING (doc_id)),
+         |per_src AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM ls GROUP BY source),
+         |pairs AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |         CAST(COUNT(*) AS BIGINT) AS shared_lines
+         |  FROM ls a JOIN ls b ON a.line = b.line AND a.source < b.source
+         |  GROUP BY a.source, b.source)
+         |SELECT src_a, src_b, shared_lines,
+         |  ROUND(CAST(shared_lines AS DOUBLE) / (pa.n + pb.n - shared_lines), 6)
+         |    AS jaccard
+         |FROM pairs
+         |JOIN per_src pa ON pa.source = src_a
+         |JOIN per_src pb ON pb.source = src_b
+         |ORDER BY src_a, src_b""".stripMargin)
   )
 }

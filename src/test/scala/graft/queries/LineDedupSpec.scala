@@ -46,6 +46,26 @@ class LineDedupSpec extends SparkSpec {
       (3L, 1L, 0L, "unique words only here")))
   }
 
+  test("source overlap matrix matches a brute-force line-set self-join") {
+    val dir = "/root/testdata/sf0.001"
+    val d = graft.Tables(spark, dir, "documents")
+    val ls = LineDedupOps.docLines(d.select(col("doc_id"), col("text")))
+      .join(d.select(col("doc_id"), col("source")), "doc_id")
+      .select("line", "source").distinct().cache()
+    val brute = ls.as("a").join(ls.as("b"),
+        col("a.line") === col("b.line") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared_lines"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val fast = LineDedupOps.defs("text_source_overlap").run(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(fast == brute)
+    LineDedupOps.defs("text_source_overlap").run(spark, dir).collect().foreach { r =>
+      val j = r.getDouble(3)
+      assert(j > 0.0 && j <= 1.0, s"jaccard $j out of range")
+    }
+  }
+
   test("documents with nothing dropped reassemble to their exact text") {
     val dir = "/root/testdata/sf0.001"
     val out = LineDedupOps.defs("text_line_dedup").run(spark, dir)
