@@ -35,16 +35,16 @@ import graft.Tables
 object LineDedupOps {
 
   /** Words per pseudo-line. */
-  private val LineW = 4
+  private[graft] val LineW = 4
 
   /** A line occurring ≥ K times corpus-wide is boilerplate. */
-  private val K = 3
+  private[graft] val K = 3
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
   /** doc_id, line_no, line — built map-only from the word array. */
-  private[queries] def docLines(d: DataFrame): DataFrame =
+  private[graft] def docLines(d: DataFrame): DataFrame =
     d.select(col("doc_id"),
       posexplode(expr(
         s"""transform(
