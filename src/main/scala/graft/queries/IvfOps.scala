@@ -94,23 +94,32 @@ object IvfOps {
       .select(col("cid"), transform(col("pm"), e => e.getField("m")).as("cv"))
 
   /** IVF top-10 per probe query (16 cells, nprobe=2). */
-  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
-        val k = 16; val nprobe = 2
-        val e = Eval.barrier(Eval.fanOut(
-          emb(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v")))).cache()
-        // Deterministic seeds spread across the id range; the Lloyd step
-        // trains on an absolute-size hash-rank sample (256 rows per cell
-        // — constant as the corpus grows; the quantizer needs cluster
-        // shape, not every vector).
-        val seeds: Seq[Seq[Double]] = e.filter(col("vec_id") % lit(29) === 0)
-          .sort("vec_id").limit(k)
-          .select("v").collect().map(_.getSeq[Double](0)).toSeq
-        val sample = trainSample(e, 256 * k)
-        val cents: Seq[Seq[Double]] = trainCodebook(sample, seeds, iters = 2)
-        val cells = assignLiteral(e, cents)
+  /** Train the 16-cell quantizer and assign the corpus — the shared
+    * index-build half of [[ivfTopK]] and the recall-curve sweep.
+    * Returns (assigned corpus, codebook, probe queries).
+    */
+  private[queries] def trainedCells(
+      s: SparkSession, dir: String): (DataFrame, Seq[Seq[Double]], DataFrame) = {
+    val k = 16
+    val e = Eval.barrier(Eval.fanOut(
+      emb(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v")))).cache()
+    // Deterministic seeds spread across the id range; the Lloyd step
+    // trains on an absolute-size hash-rank sample (256 rows per cell
+    // — constant as the corpus grows; the quantizer needs cluster
+    // shape, not every vector).
+    val seeds: Seq[Seq[Double]] = e.filter(col("vec_id") % lit(29) === 0)
+      .sort("vec_id").limit(k)
+      .select("v").collect().map(_.getSeq[Double](0)).toSeq
+    val sample = trainSample(e, 256 * k)
+    val cents: Seq[Seq[Double]] = trainCodebook(sample, seeds, iters = 2)
+    val cells = assignLiteral(e, cents)
+    val qs = e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    (cells, cents, qs)
+  }
 
-        val qs = e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("v").as("qv"))
-        searchCells(s, cells, cents, qs, k = 10, nprobe = nprobe)
+  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    val (cells, cents, qs) = trainedCells(s, dir)
+    searchCells(s, cells, cents, qs, k = 10, nprobe = 2)
   }
 
   /** Probe + score over an ALREADY-ASSIGNED corpus (`vec_id`, `v`, `cid`)
@@ -185,6 +194,55 @@ object IvfOps {
       },
       """SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 10)
         |  * LEAST(10, (SELECT COUNT(*) FROM embeddings) - 1) AS BIGINT) AS n_exact,
-        |  true AS k_ok, true AS recall_ok""".stripMargin)
+        |  true AS k_ok, true AS recall_ok""".stripMargin),
+
+    // §2 25jq ANN recall-vs-budget sweep (the recall/latency frontier
+    // readout every ANN deployment tunes against): ONE trained quantizer,
+    // searched at nprobe ∈ {1,2,4,8,16}; recall@10 vs the exact baseline
+    // is provably MONOTONE in nprobe (probe sets are nested under the
+    // deterministic tie-break, and adding candidates to an exact-scored
+    // top-k can only gain true neighbors), and at nprobe=16 (all cells)
+    // the candidate set IS the corpus, so the sweep must END AT EXACT
+    // recall — both facts emitted as hashable booleans per sweep point.
+    // The index builds once; each sweep point reuses the assigned cells
+    // (at scale: one corpus pass for assignment, then nprobe/cells of
+    // the corpus scored per point). The 5-row curve rides one bounded
+    // window for the monotonicity lag.
+    "ann_ivf_recall_curve" -> QDef(
+      (s, dir) => {
+        val (cells, cents, qs) = trainedCells(s, dir)
+        val cached = cells.cache()
+        val brute = VectorOps.bruteTopK(s, dir)
+          .select(col("q_id"), col("neighbor_id")).cache()
+        val nExact = brute.agg(count(lit(1)).as("n_exact"))
+        val perProbe = Seq(1, 2, 4, 8, 16).map { np =>
+          val ivf = searchCells(s, cached, cents, qs, k = 10, nprobe = np)
+            .select(col("q_id"), col("neighbor_id"))
+          ivf.join(brute, Seq("q_id", "neighbor_id"))
+            .agg(count(lit(1)).as("hits"))
+            .crossJoin(ivf.groupBy("q_id").agg(count(lit(1)).as("kq"))
+              .agg(min("kq").as("kmin"), max("kq").as("kmax"),
+                count(lit(1)).as("nq")))
+            .select(lit(np.toLong).as("nprobe"), col("hits"),
+              col("kmin"), col("kmax"), col("nq"))
+        }.reduce(_ unionByName _)
+        val w = org.apache.spark.sql.expressions.Window.orderBy("nprobe")
+        perProbe.crossJoin(broadcast(nExact))
+          .select(col("nprobe"), col("n_exact").cast("long").as("n_exact"),
+            (col("kmin") === 10 && col("kmax") === 10 &&
+              col("nq") * 10 === col("n_exact")).as("k_ok"),
+            (col("hits") >= coalesce(lag("hits", 1).over(w), lit(0L)))
+              .as("monotone_ok"),
+            (col("nprobe") =!= 16L || col("hits") === col("n_exact"))
+              .as("full_ok"))
+          .orderBy("nprobe")
+      },
+      """WITH ne AS (
+        |  SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 10)
+        |    * LEAST(10, (SELECT COUNT(*) FROM embeddings) - 1) AS BIGINT) AS n_exact)
+        |SELECT CAST(nprobe AS BIGINT) AS nprobe, n_exact,
+        |  true AS k_ok, true AS monotone_ok, true AS full_ok
+        |FROM (SELECT unnest([1, 2, 4, 8, 16]) AS nprobe) CROSS JOIN ne
+        |ORDER BY nprobe""".stripMargin)
   )
 }
