@@ -123,6 +123,51 @@ object CurateOps2 {
         |  FROM x)
         |SELECT lang, CAST(n AS BIGINT) AS n_true, noise,
         |  ROUND(n + noise, 4) AS n_released
-        |FROM y ORDER BY lang""".stripMargin)
+        |FROM y ORDER BY lang""".stripMargin),
+
+    // §2 25jr deterministic train/val/test split, keyed on the CONTENT
+    // hash (md5(text) bucket mod 10 → 8/1/1): hashing the text rather
+    // than the id means verbatim duplicates land in the SAME split by
+    // construction — the split-level leakage rule (a train/test dup pair
+    // is benchmark contamination even after doc-level dedup misses it).
+    // Map-only assignment (no state, no sampling order), |lang×3| output
+    // rows, per-lang fractions from a broadcast totals join — at 100 TB
+    // the split is a pushdown-able predicate on a stored column, never a
+    // shuffle.
+    "curate_split" -> QDef(
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .withColumn("b",
+            conv(substring(md5(col("text")), 1, 12), 16, 10)
+              .cast("long") % 10)
+          .withColumn("split",
+            when(col("b") < 8, "train")
+              .when(col("b") === 8, "val").otherwise("test"))
+        val per = d.groupBy("lang", "split")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+        val tot = d.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+        per.join(broadcast(tot), "lang")
+          .select(col("lang"), col("split"), col("n_docs"), col("n_chars"),
+            round(col("n_docs").cast("double") / col("n_lang"), 6).as("frac"))
+          .orderBy("lang", "split")
+      },
+      """WITH d AS (
+        |  SELECT lang, n_chars,
+        |    CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT) % 10 AS b
+        |  FROM documents),
+        |w AS (
+        |  SELECT lang, n_chars,
+        |    CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END
+        |      AS split
+        |  FROM d),
+        |per AS (
+        |  SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |  FROM w GROUP BY lang, split),
+        |tot AS (SELECT lang, COUNT(*) AS n_lang FROM w GROUP BY lang)
+        |SELECT lang, split, n_docs, per.n_chars,
+        |  ROUND(CAST(n_docs AS DOUBLE) / n_lang, 6) AS frac
+        |FROM per JOIN tot USING (lang)
+        |ORDER BY lang, split""".stripMargin)
   )
 }

@@ -45,6 +45,15 @@ class PlanLintInventorySpec extends SparkSpec {
     */
   private val baseline: Map[String, Map[String, Int]] = Map(
     "ann_cosine_topk" -> Map("NON_EQUI_JOIN" -> 1),
+    // NSW beam search: the ≤4-row entry-point frame and per-hop
+    // queries×beam frontier broadcast against the corpus scan with the
+    // vec_id =!= q_id / visited-pool guards — the broadcast-bounded
+    // candidate class (per-hop rows ≤ q×beam×degree, spec-pinned)
+    "ann_graph_topk" -> Map("CARTESIAN_PRODUCT" -> 2, "NON_EQUI_JOIN" -> 2),
+    // recall sweep: 5 sweep points × (one-row hits + one-row shape +
+    // one-row n_exact) aggregate broadcasts riding along; the window is
+    // the lag over the 5-row curve itself (bounded by construction)
+    "ann_ivf_recall_curve" -> Map("CARTESIAN_PRODUCT" -> 16, "GLOBAL_WINDOW" -> 1),
     "ann_ivf_topk" -> Map("CARTESIAN_PRODUCT" -> 4, "NON_EQUI_JOIN" -> 2),
     // composed IVF-PQ: one-row seed/training/recall-gate aggregate
     // broadcasts + the vec_id =!= q_id guards inside broadcast-bounded
@@ -53,6 +62,9 @@ class PlanLintInventorySpec extends SparkSpec {
     "ann_lsh_topk" -> Map("CARTESIAN_PRODUCT" -> 1, "NON_EQUI_JOIN" -> 2),
     "ann_pq_topk" -> Map("CARTESIAN_PRODUCT" -> 2, "NON_EQUI_JOIN" -> 4),
     "curate_cms_counts" -> Map("CARTESIAN_PRODUCT" -> 1),
+    // one-row corpus-total (T_g) and |domains|-row softmax-denominator
+    // aggregates broadcast into the |domains|-row weight table
+    "curate_doremi" -> Map("CARTESIAN_PRODUCT" -> 3),
     // the one-row (ns, nt) corpus-total aggregate broadcast into the
     // 256-row bucket ratio table — the same adjudicated one-row class
     "curate_dsir_weights" -> Map("CARTESIAN_PRODUCT" -> 1),
