@@ -117,13 +117,16 @@ object GraphAnnOps {
   def beamSearch(
       e: DataFrame, graph: DataFrame, qs: DataFrame,
       k: Int, beam: Int = Beam, hops: Int = Hops,
-      entries: Int = Entries): (DataFrame, Seq[DataFrame], DataFrame) = {
+      entries: Int = Entries, excludeSelf: Boolean = true): (DataFrame, Seq[DataFrame], DataFrame) = {
     // Score a (q_id, nbr) frame: broadcast it against the corpus scan —
-    // map-only, one corpus scan per call.
+    // map-only, one corpus scan per call. `excludeSelf` is off when the
+    // caller searches REPRESENTATIVES and re-expands to duplicate
+    // members afterwards (the self node's group then carries the
+    // query's verbatim twins — the exact baseline's own top hits).
     def score(cand: DataFrame): DataFrame =
       e.join(broadcast(cand.dropDuplicates("q_id", "nbr")), col("vec_id") === col("nbr"))
         .join(broadcast(qs), Seq("q_id"))
-        .filter(col("vec_id") =!= col("q_id"))
+        .filter(if (excludeSelf) col("vec_id") =!= col("q_id") else lit(true))
         .select(col("q_id"), col("vec_id").as("neighbor_id"),
           cosineSim(col("qv"), col("v")).as("sim"))
 
@@ -160,11 +163,56 @@ object GraphAnnOps {
     * table — build + search.
     */
   def graphTopK(s: SparkSession, dir: String): DataFrame = {
-    val e = Eval.barrier(Eval.fanOut(
+    val eAll = Eval.barrier(Eval.fanOut(
       emb(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v")))).cache()
-    val graph = buildGraph(e).cache()
-    val qs = e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("v").as("qv"))
-    beamSearch(e, graph, qs, k = 10)._1
+    // VERBATIM-DUPLICATE groups collapse to ONE graph node before the
+    // build: an NSW graph over duplicated vectors degenerates into
+    // disjoint cliques of copies — every degree slot is taken by a
+    // cosine-1.0 twin, so the walk has no edge OUT of its entry clique.
+    // The r12 sf1 sweep measured exactly that on the 10×-replicated
+    // corpus: visited stuck at 360 and recall 0 regardless of hop/beam
+    // budget. Production ANN indexes dedupe before building for this
+    // reason; representatives keep the navigable property, and the
+    // final top-k re-expands to group members (identical cosine,
+    // id-ascending ties — the exact baseline's own order). gid is an
+    // 8-byte value hash, so the group tables join on a narrow key,
+    // never on raw vectors.
+    val keyed = eAll.select(col("vec_id"), col("v"), xxhash64(col("v")).as("gid"))
+    val reps = keyed.groupBy("gid")
+      .agg(min("vec_id").as("vec_id"), min_by(col("v"), col("vec_id")).as("v"))
+      .cache()
+    val graph = buildGraph(reps.select("vec_id", "v")).cache()
+    val qs = eAll.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    // Single-layer NSW: greedy routing crosses a small-world graph in
+    // O(log n) hops (HNSW's upper layers exist precisely to shortcut
+    // this), so a FIXED hop budget that navigates 500 nodes would
+    // strand the walk short of the neighborhood on a larger graph.
+    // Scale the budget with the diameter, ~log_degree(n distinct):
+    // unchanged at gate scale (n ≤ 512 → the original 3 hops), +1 hop
+    // per 8× corpus growth; per-hop traffic stays O(q × beam × degree).
+    val hops = math.max(Hops,
+      math.ceil(math.log(reps.count().toDouble) / math.log(Degree)).toInt)
+    // k+1 representatives: the self node legitimately wins a slot
+    // (its group carries the query's verbatim twins), but when the
+    // query's group is a SINGLETON the expansion filter consumes that
+    // slot without producing a row — one spare rep keeps the final
+    // top-10 full in both regimes.
+    val repTop = beamSearch(reps.select("vec_id", "v"), graph, qs,
+      k = 11, hops = hops, excludeSelf = false)._1
+    // Re-expand representatives to their duplicate-group members: two
+    // map-side broadcasts (the 10×k rep hits against the rep scan for
+    // gid, then against the member table), re-ranked by the baseline's
+    // own (cosine DESC, id ASC) order with the query itself excluded.
+    val repHits = reps.join(
+        broadcast(repTop.select(col("q_id"), col("neighbor_id"), col("cosine"))),
+        reps("vec_id") === col("neighbor_id"))
+      .select(col("q_id"), col("gid"), col("cosine"))
+    val expanded = keyed.select(col("gid"), col("vec_id").as("neighbor_id"))
+      .join(broadcast(repHits), "gid")
+      .filter(col("neighbor_id") =!= col("q_id"))
+      .select(col("q_id"), col("neighbor_id"), col("cosine"))
+    VectorOps.topKPerQuery(expanded, "cosine", 10)
   }
 
   def defs: Map[String, QDef] = Map(
