@@ -73,8 +73,17 @@ object GraphAnnOps {
     * ≤ `degree` per vec_id, built from banded LSH candidate pairs.
     */
   def buildGraph(e: DataFrame, degree: Int = Degree): DataFrame = {
+    // Band resolution scales with the corpus: with FIXED planes the
+    // expected bucket size is n/2^planes, so banded pair generation is
+    // O(n²/2^planes) — quadratic at any fixed setting (measured: the
+    // build dominated the sf0.1 runtime and would 100× at sf1). One
+    // extra hyperplane per corpus doubling holds buckets at ~64
+    // vectors, keeping candidate pairs LINEAR (n × bucket × bands)
+    // while each node still sees ~bands×64 candidates for its 8 slots.
+    val planes = math.max(BandPlanes,
+      math.ceil(math.log(e.count().toDouble / 64.0) / math.log(2.0)).toInt)
     val withKeys = e.select(col("vec_id"), col("v"),
-      VectorOps.lshKeys(col("v"), BandPlanes, Bands).as("keys"))
+      VectorOps.lshKeys(col("v"), planes, Bands).as("keys"))
     val keyed = withKeys.select(col("vec_id"), col("v"), col("keys"),
       explode(col("keys")).as("band"))
     // Within-bucket pairs. A pair colliding in several bands would enter
@@ -149,7 +158,10 @@ object GraphAnnOps {
       hopFrames += cand
       // Merge new scores into the visited pool (anti-join above makes
       // this a disjoint union; checkpoint truncates the per-hop
-      // lineage — the ClassifierOps plan-growth lesson).
+      // lineage — the ClassifierOps plan-growth lesson; a cache()
+      // variant was measured 3x SLOWER end-to-end at sf0.1: lazy
+      // caches make every hop's broadcast replan the whole union
+      // tree, and the final top-k re-evaluates the last generation).
       visited = visited.unionByName(score(cand)).localCheckpoint(true)
     }
     (VectorOps.topKPerQuery(
