@@ -69,19 +69,24 @@ object GraphAnnOps {
   val Beam = 9
   val Hops = 3
 
+  /** Band resolution for an n-vector corpus: with FIXED planes the
+    * expected bucket size is n/2^planes, so banded pair generation is
+    * O(n²/2^planes) — quadratic at any fixed setting (measured: the
+    * build dominated the sf0.1 runtime and would 100× at sf1). One
+    * extra hyperplane per corpus doubling holds buckets at ~64
+    * vectors, keeping candidate pairs LINEAR (n × bucket × bands)
+    * while each node still sees ~bands×64 candidates for its 8 slots.
+    */
+  def planesFor(n: Long): Int = math.max(BandPlanes,
+    math.ceil(math.log(n.toDouble / 64.0) / math.log(2.0)).toInt)
+
   /** Bounded-degree symmetric neighbor graph: (vec_id, nbr, sim) rows,
     * ≤ `degree` per vec_id, built from banded LSH candidate pairs.
+    * `nHint` lets a caller that already counted the corpus skip the
+    * extra count action.
     */
-  def buildGraph(e: DataFrame, degree: Int = Degree): DataFrame = {
-    // Band resolution scales with the corpus: with FIXED planes the
-    // expected bucket size is n/2^planes, so banded pair generation is
-    // O(n²/2^planes) — quadratic at any fixed setting (measured: the
-    // build dominated the sf0.1 runtime and would 100× at sf1). One
-    // extra hyperplane per corpus doubling holds buckets at ~64
-    // vectors, keeping candidate pairs LINEAR (n × bucket × bands)
-    // while each node still sees ~bands×64 candidates for its 8 slots.
-    val planes = math.max(BandPlanes,
-      math.ceil(math.log(e.count().toDouble / 64.0) / math.log(2.0)).toInt)
+  def buildGraph(e: DataFrame, degree: Int = Degree, nHint: Long = -1L): DataFrame = {
+    val planes = planesFor(if (nHint > 0) nHint else e.count())
     val withKeys = e.select(col("vec_id"), col("v"),
       VectorOps.lshKeys(col("v"), planes, Bands).as("keys"))
     val keyed = withKeys.select(col("vec_id"), col("v"), col("keys"),
@@ -193,7 +198,8 @@ object GraphAnnOps {
     val reps = keyed.groupBy("gid")
       .agg(min("vec_id").as("vec_id"), min_by(col("v"), col("vec_id")).as("v"))
       .cache()
-    val graph = buildGraph(reps.select("vec_id", "v")).cache()
+    val nReps = reps.count()
+    val graph = buildGraph(reps.select("vec_id", "v"), nHint = nReps).cache()
     val qs = eAll.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     // Single-layer NSW: greedy routing crosses a small-world graph in
@@ -204,7 +210,7 @@ object GraphAnnOps {
     // unchanged at gate scale (n ≤ 512 → the original 3 hops), +1 hop
     // per 8× corpus growth; per-hop traffic stays O(q × beam × degree).
     val hops = math.max(Hops,
-      math.ceil(math.log(reps.count().toDouble) / math.log(Degree)).toInt)
+      math.ceil(math.log(nReps.toDouble) / math.log(Degree)).toInt)
     // k+1 representatives: the self node legitimately wins a slot
     // (its group carries the query's verbatim twins), but when the
     // query's group is a SINGLETON the expansion filter consumes that
