@@ -81,6 +81,69 @@ object TextOps2 {
         |GROUP BY doc_id
         |ORDER BY mean_surprisal, doc_id LIMIT 25""".stripMargin),
 
+    // §2 25js interpolated KNESER-NEY bigram scoring (Kneser & Ney 1995
+    // — the smoothing production perplexity filters actually use, vs
+    // 25fh's add-one: absolute discount d=0.75 plus a CONTINUATION
+    // back-off that ranks words by how many distinct contexts they
+    // follow, not raw frequency):
+    //   p(w2|w1) = (c(w1,w2) − d)/c(w1·) + (d·N1+(w1,·)/c(w1·)) · (N1+(·,w2)/B)
+    // with N1+ the distinct-continuation counts and B the bigram-type
+    // total. Every input is an exact integer aggregate at VOCABULARY
+    // scale (three partial-agg shuffles + one 1-row type count); the
+    // per-doc join back is keyed by bigram; docs scored are their own
+    // corpus bigrams so c(w1,w2) ≥ 1 and the discounted term stays
+    // positive — no max(·,0) branch to diverge on. One identical
+    // parenthesized expression shape on both engines, avg rounded 4dp.
+    "text_kn_bigram" -> QDef(
+      (s, dir) => {
+        val t = tokd(s, dir)
+        val bi = t.select(col("doc_id"),
+            explode(transform(sequence(lit(1), size(col("toks")) - 1),
+              i => struct(
+                element_at(col("toks"), i).as("w1"),
+                element_at(col("toks"), i + 1).as("w2")))).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .cache()
+        val cBi = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+        val cUni = bi.groupBy("w1").agg(count(lit(1)).as("cu"),
+          countDistinct(col("w2")).as("nf"))
+        val n1b = bi.groupBy("w2").agg(countDistinct(col("w1")).as("nb"))
+        val bt = cBi.agg(count(lit(1)).as("btypes"))
+        bi.filter(col("doc_id") < 100)
+          .join(cBi, Seq("w1", "w2"))
+          .join(cUni, Seq("w1"))
+          .join(n1b, Seq("w2"))
+          .crossJoin(broadcast(bt))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_bigrams"),
+            round(avg(-log2(
+              (col("cb") - lit(0.75)) / col("cu")
+                + ((lit(0.75) * col("nf")) / col("cu"))
+                * (col("nb") / col("btypes").cast("double")))), 4)
+              .as("mean_kn_surprisal"))
+          .orderBy("doc_id")
+      },
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |bi AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        |  FROM t, UNNEST(range(1, len(toks))) AS u(i)),
+        |cbi AS (SELECT w1, w2, COUNT(*) AS cb FROM bi GROUP BY 1, 2),
+        |cuni AS (SELECT w1, COUNT(*) AS cu, COUNT(DISTINCT w2) AS nf FROM bi GROUP BY 1),
+        |n1b AS (SELECT w2, COUNT(DISTINCT w1) AS nb FROM bi GROUP BY 1),
+        |bt AS (SELECT COUNT(*) AS btypes FROM cbi)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  ROUND(AVG(-log2(
+        |    (cb - 0.75) / cu + ((0.75 * nf) / cu) * (nb / CAST(btypes AS DOUBLE))
+        |  )), 4) AS mean_kn_surprisal
+        |FROM bi JOIN cbi USING (w1, w2) JOIN cuni USING (w1) JOIN n1b USING (w2)
+        |CROSS JOIN bt
+        |WHERE doc_id < 100
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
     // §2 25fl intra-corpus DUPLICATED-PASSAGE fraction (the
     // C4/RefinedWeb boilerplate signal, distinct from decontamination's
     // external benchmark overlap): for each doc, the share of its 8-gram
