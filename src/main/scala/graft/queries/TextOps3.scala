@@ -76,6 +76,106 @@ object TextOps3 {
         |      / (CAST(n AS DOUBLE) * sxx - sx * sx), 4) AS zipf_slope
         |FROM m""".stripMargin),
 
+    // §2 25jt HEAPS-LAW vocabulary-growth fit V(n) = K·n^β — the
+    // statistic that sizes tokenizer vocabularies and predicts
+    // out-of-vocabulary rates as a corpus grows. The cumulative-vocab
+    // curve needs NO sequential scan: a word's contribution to every
+    // prefix is fully determined by its FIRST-OCCURRENCE doc
+    // (min(doc_id) — one vocabulary-scale agg), so vocab(t) = #{words:
+    // first_seen < t} and tokens(t) = Σ doc lengths below t, both
+    // evaluated at 8 evenly spaced doc-id checkpoints by a map-side
+    // explode of the 8-threshold literal
+    // (≤8× row expansion, partial-agged). OLS of ln(vocab) on
+    // ln(tokens) folds in checkpoint order over one collected 8-row
+    // list (the zipf_fit recipe); K uses the 4dp-rounded β so both
+    // engines exponentiate identical inputs.
+    "text_heaps_law" -> QDef(
+      (s, dir) => {
+        val d = docs(s, dir)
+        // Checkpoints split the doc_id RANGE, not a dense 0..N count:
+        // at scale ids arrive with gaps and replica offsets (the sf1
+        // ScaleGen layout), and count-based cutoffs would silently fit
+        // only the lowest-id prefix. Range cutoffs cover the whole
+        // corpus for any id layout; each is still a growing prefix in
+        // ingestion (doc_id) order, which is all Heaps' law needs.
+        val r = d.agg(min("doc_id"), max("doc_id")).collect()(0)
+        val (dmin, dmax) = (r.getLong(0), r.getLong(1))
+        val ts: Seq[(Int, Long)] = (1 to 8).map(k =>
+          k -> (dmin + math.ceil((dmax - dmin + 1).toDouble * k / 8.0).toLong - 1L))
+        val tsCol = typedlit(ts)
+        val fs = d.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .groupBy("w").agg(min("doc_id").as("fs"))
+        val vk = fs
+          .select(explode(filter(tsCol, e => col("fs") <= e.getField("_2"))).as("e"))
+          .groupBy(col("e._1").as("k")).agg(count(lit(1)).as("vocab"))
+        val tk = d
+          .select(size(split(col("text"), " ")).cast("long").as("n"),
+            explode(filter(tsCol, e => col("doc_id") <= e.getField("_2"))).as("e"))
+          .groupBy(col("e._1").as("k")).agg(sum("n").as("toks"))
+        vk.join(tk, "k")
+          .select(col("k"), col("toks"), col("vocab"),
+            log(col("toks").cast("double")).as("lx"),
+            log(col("vocab").cast("double")).as("ly"))
+          .groupBy()
+          .agg(count(lit(1)).as("np"),
+            max("toks").as("total_tokens"), max("vocab").as("total_vocab"),
+            sort_array(collect_list(struct(col("k"), col("lx"), col("ly")))).as("xs"))
+          .select(col("np"), col("total_tokens"), col("total_vocab"),
+            aggregate(col("xs"), lit(0.0), (a, x) => a + x.getField("lx")).as("sx"),
+            aggregate(col("xs"), lit(0.0), (a, x) => a + x.getField("ly")).as("sy"),
+            aggregate(col("xs"), lit(0.0),
+              (a, x) => a + x.getField("lx") * x.getField("lx")).as("sxx"),
+            aggregate(col("xs"), lit(0.0),
+              (a, x) => a + x.getField("lx") * x.getField("ly")).as("sxy"))
+          .select(col("np"), col("total_tokens"), col("total_vocab"),
+            col("sx"), col("sy"),
+            round((col("np").cast("double") * col("sxy") - col("sx") * col("sy")) /
+              (col("np").cast("double") * col("sxx") - col("sx") * col("sx")), 4)
+              .as("heaps_beta"))
+          .withColumn("heaps_k",
+            round(exp((col("sy") - col("heaps_beta") * col("sx"))
+              / col("np").cast("double")), 4))
+          .select("np", "total_tokens", "total_vocab", "heaps_beta", "heaps_k")
+      },
+      """WITH n AS (SELECT MIN(doc_id) AS dmin, MAX(doc_id) AS dmax FROM documents),
+        |ts AS (
+        |  SELECT CAST(g.k AS INT) AS k,
+        |    dmin + CAST(ceil((dmax - dmin + 1) * g.k / 8.0) AS BIGINT) - 1 AS t
+        |  FROM n, UNNEST(range(1, 9)) AS g(k)),
+        |fs AS (
+        |  SELECT w, MIN(doc_id) AS fs
+        |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        |vk AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS vocab
+        |       FROM fs JOIN ts ON fs.fs <= ts.t GROUP BY k),
+        |nd2 AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+        |tk AS (SELECT k, CAST(SUM(n) AS BIGINT) AS toks
+        |       FROM nd2 JOIN ts ON nd2.doc_id <= ts.t GROUP BY k),
+        |pts AS (
+        |  SELECT k, toks, vocab,
+        |    ln(CAST(toks AS DOUBLE)) AS lx, ln(CAST(vocab AS DOUBLE)) AS ly
+        |  FROM vk JOIN tk USING (k)),
+        |xs AS (
+        |  SELECT COUNT(*) AS np, MAX(toks) AS total_tokens, MAX(vocab) AS total_vocab,
+        |    list(lx ORDER BY k) AS lxs, list(ly ORDER BY k) AS lys,
+        |    list(lx * lx ORDER BY k) AS lxx, list(lx * ly ORDER BY k) AS lxy
+        |  FROM pts),
+        |m AS (
+        |  SELECT np, total_tokens, total_vocab,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), lxs), (a, b) -> a + b) AS sx,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), lys), (a, b) -> a + b) AS sy,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), lxx), (a, b) -> a + b) AS sxx,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), lxy), (a, b) -> a + b) AS sxy
+        |  FROM xs),
+        |b AS (
+        |  SELECT np, total_tokens, total_vocab, sx, sy,
+        |    ROUND((CAST(np AS DOUBLE) * sxy - sx * sy)
+        |        / (CAST(np AS DOUBLE) * sxx - sx * sx), 4) AS heaps_beta
+        |  FROM m)
+        |SELECT CAST(np AS BIGINT) AS np, total_tokens, total_vocab, heaps_beta,
+        |  ROUND(exp((sy - heaps_beta * sx) / CAST(np AS DOUBLE)), 4) AS heaps_k
+        |FROM b""".stripMargin),
+
     // §2 25hi RAKE keyphrases. Scale shape: phrase runs come from
     // per-document windows (doc_id partitions, high cardinality); the
     // word-statistics table partial-aggregates to vocabulary scale and
