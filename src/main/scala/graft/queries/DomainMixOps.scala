@@ -47,37 +47,53 @@ object DomainMixOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
+  /** The (lang, w) token-count table for a document frame — the ONE
+    * corpus-scale exchange everything else derives from. Shared with
+    * [[graft.streaming.DoremiStream]], whose snapshot state is exactly
+    * this table maintained incrementally.
+    */
+  private[graft] def domainCounts(docFrame: DataFrame): DataFrame =
+    docFrame
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("lang", "w").agg(count(lit(1)).as("cd"))
+
+  /** DoReMi weight table from a (lang, w, cd) count table — the exact
+    * closed-form excess-loss + exponentiated-gradient step of
+    * `curate_doremi`, factored so the streaming monitor's maintained
+    * weights are BY CONSTRUCTION the same algebra as the batch op (the
+    * spec still proves the maintained counts feeding it match a batch
+    * recompute).
+    */
+  private[graft] def weightsFromCounts(cd: DataFrame): DataFrame = {
+    val cg = cd.groupBy("w").agg(sum("cd").as("cg"))
+    val dom = cd.join(cg, "w")
+      .groupBy("lang")
+      .agg(sum("cd").as("n_toks"),
+        sum(col("cd").cast("double") * log(col("cg"))).as("sg"),
+        sum(col("cd").cast("double") * log(col("cd"))).as("sd"))
+    val tot = dom.agg(sum("n_toks").as("tg"))
+    val ex = dom.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_toks"),
+        round((col("sd") - col("n_toks") * log(col("n_toks"))
+          - col("sg") + col("n_toks") * log(col("tg"))) / col("n_toks"), 4)
+          .as("excess_nats"))
+      .withColumn("term",
+        round(exp(lit(Eta) * col("excess_nats")), 12).cast("decimal(26,12)"))
+    val den = ex.agg(sum("term").as("denom"), count(lit(1)).as("k"))
+    ex.crossJoin(broadcast(den))
+      .select(col("lang"), col("n_toks"), col("excess_nats"),
+        round(lit(1.0 - Smooth)
+          * (col("term").cast("double") / col("denom").cast("double"))
+          + lit(Smooth) / col("k"), 6).as("weight"))
+      .orderBy("lang")
+  }
+
   def defs: Map[String, QDef] = Map(
 
     // §2 25jm DoReMi-style domain reweighting over lang domains.
     "curate_doremi" -> QDef(
-      (s, dir) => {
-        val tok = docs(s, dir)
-          .select(col("lang"), explode(split(col("text"), " ")).as("w"))
-          .filter(length(col("w")) > 0)
-        val cd = tok.groupBy("lang", "w").agg(count(lit(1)).as("cd"))
-        val cg = cd.groupBy("w").agg(sum("cd").as("cg"))
-        val dom = cd.join(cg, "w")
-          .groupBy("lang")
-          .agg(sum("cd").as("n_toks"),
-            sum(col("cd").cast("double") * log(col("cg"))).as("sg"),
-            sum(col("cd").cast("double") * log(col("cd"))).as("sd"))
-        val tot = dom.agg(sum("n_toks").as("tg"))
-        val ex = dom.crossJoin(broadcast(tot))
-          .select(col("lang"), col("n_toks"),
-            round((col("sd") - col("n_toks") * log(col("n_toks"))
-              - col("sg") + col("n_toks") * log(col("tg"))) / col("n_toks"), 4)
-              .as("excess_nats"))
-          .withColumn("term",
-            round(exp(lit(Eta) * col("excess_nats")), 12).cast("decimal(26,12)"))
-        val den = ex.agg(sum("term").as("denom"), count(lit(1)).as("k"))
-        ex.crossJoin(broadcast(den))
-          .select(col("lang"), col("n_toks"), col("excess_nats"),
-            round(lit(1.0 - Smooth)
-              * (col("term").cast("double") / col("denom").cast("double"))
-              + lit(Smooth) / col("k"), 6).as("weight"))
-          .orderBy("lang")
-      },
+      (s, dir) => weightsFromCounts(domainCounts(docs(s, dir))),
       s"""WITH tok AS (
          |  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
          |cd AS MATERIALIZED (

@@ -31,6 +31,22 @@ import graft.engine.{Dag, DagTable, SessionManager}
   */
 object PipelineE2E2 {
 
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+  }
+
+  /** One temp root + one shutdown hook per JVM; each run gets a
+    * subdirectory (see runChainSession).
+    */
+  private lazy val tempRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft-e2e2-")
+    sys.addShutdownHook(rmTree(root.toFile))
+    root
+  }
+
+  private val lastRun =
+    new java.util.concurrent.atomic.AtomicReference[java.nio.file.Path](null)
+
   /** Spark-dialect stage SQL. Mirrored 1:1 by the DuckDB CTEs in the
     * oracle below — same predicates, same thresholds, same tie-breaks.
     */
@@ -106,6 +122,17 @@ object PipelineE2E2 {
       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc, MIN(merges) AS merges
       |FROM c GROUP BY 1, 2""".stripMargin
 
+  /** Every derived-stage SQL this operator registers, in dependency
+    * order. Exposed for BQCompatShadowSpec: these strings run inside a
+    * DIALECT session (GraftSession installs BQCompat.dialectOverrides),
+    * so any call to an overridden builtin name must be vetted for
+    * identical semantics under both registries.
+    */
+  private[graft] val DagSqls: Seq[(String, String)] = Seq(
+    "gopher" -> GopherSql, "ccnet" -> CcnetSql, "deduped" -> DedupSql,
+    "benchmark" -> BenchmarkSql, "decontam" -> DecontamSql,
+    "mixture" -> MixtureSql, "packed" -> PackedSql)
+
   /** Build + run the DAG in a fresh child session; returns the packed
     * summary read from the engine's own materialized snapshot.
     */
@@ -121,27 +148,21 @@ object PipelineE2E2 {
   private[graft] def runChainSession(s: SparkSession, dir: String): graft.engine.GraftSession = {
     val gs = new SessionManager(s).create()
     val docsDf = Tables(gs.spark, dir, "documents")
-    // Stage snapshots live under a per-run temp dir removed on JVM exit
-    // (repeated Bench invocations would otherwise accumulate one
-    // materialization tree per run in the shared /tmp).
-    val work = java.nio.file.Files.createTempDirectory("graft-e2e2-")
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(work.toFile)
+    // Stage snapshots live under per-run subdirectories of ONE temp root
+    // with ONE shutdown hook (Bench + Verify + the partition-invariance
+    // sweep call this several times per JVM; a root-and-hook per run
+    // accumulated materialization trees and hooks until exit). The
+    // previous run's subtree is deleted eagerly when the next run starts.
+    val work = java.nio.file.Files.createTempDirectory(tempRoot, "run-")
+    lastRun.getAndSet(work) match {
+      case null => ()
+      case prev => rmTree(prev.toFile)
     }
     val dag = new Dag(gs, Some(work))
     dag.register(Seq(
       DagTable.view("docs", docsDf),
-      DagTable.view("bpe", BpeOps.encodeStats(docsDf)),
-      DagTable.derived("gopher", GopherSql),
-      DagTable.derived("ccnet", CcnetSql),
-      DagTable.derived("deduped", DedupSql),
-      DagTable.derived("benchmark", BenchmarkSql),
-      DagTable.derived("decontam", DecontamSql),
-      DagTable.derived("mixture", MixtureSql),
-      DagTable.derived("packed", PackedSql)))
+      DagTable.view("bpe", BpeOps.encodeStats(docsDf))) ++
+      DagSqls.map { case (name, sql) => DagTable.derived(name, sql) })
     val res = dag.run()
     require(res.allSucceeded,
       s"curate DAG failed: ${res.failed.mkString(", ")}; skipped: ${res.skipped.mkString(", ")}")

@@ -144,6 +144,92 @@ object TextOps2 {
         |WHERE doc_id < 100
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
+    // §2 25ju interpolated KNESER-NEY TRIGRAM scoring — one back-off
+    // level above 25js, the order production perplexity filters
+    // actually run (Chen & Goodman 1999's interpolated KN recursion,
+    // d=0.75 at every level):
+    //   p(w3|w1w2) = (c(w1w2w3)−d)/c(w1w2·) + d·N1+(w1w2·)/c(w1w2·) · p(w3|w2)
+    //   p(w3|w2)   = (N1+(·w2w3)−d)/N1+(·w2·) + d·N1+(w2·)/N1+(·w2·) · p_cont(w3)
+    //   p_cont(w3) = N1+(·w3)/B
+    // where each LOWER level's counts are TYPE counts over the level
+    // above (the defining KN property): N1+(·w2w3) = distinct-w1 count
+    // from the trigram-type table, N1+(·w3)/B from the mid-level
+    // (w2,w3)-type table. Scale shape identical to 25js: the trigram
+    // token table is corpus-scale map-side work; ct/ch/nm/nc/nb are
+    // vocabulary-scale partial-agg shuffles; B is a 1-row broadcast;
+    // the score join back is keyed by trigram after the doc filter.
+    // Docs score their own corpus trigrams, so c ≥ 1 and N1+(·w2w3) ≥ 1
+    // — both discounted numerators stay positive, no max(·,0) branch to
+    // diverge on. One identical parenthesized expression both engines,
+    // avg rounded 4dp.
+    "text_kn_trigram" -> QDef(
+      (s, dir) => {
+        val t = tokd(s, dir)
+        val tri = t.select(col("doc_id"),
+            explode(transform(sequence(lit(1), size(col("toks")) - 2),
+              i => struct(
+                element_at(col("toks"), i).as("w1"),
+                element_at(col("toks"), i + 1).as("w2"),
+                element_at(col("toks"), i + 2).as("w3")))).as("g"))
+          .select(col("doc_id"), col("g.w1").as("w1"),
+            col("g.w2").as("w2"), col("g.w3").as("w3"))
+          .cache()
+        // Trigram-type and history tables (top level).
+        val ct = tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("ctv")).cache()
+        val ch = tri.groupBy("w1", "w2").agg(count(lit(1)).as("ch"),
+          countDistinct(col("w3")).as("nf3"))
+        // Mid level: type counts OVER the trigram-type table (ct rows
+        // are distinct trigrams, so COUNT(*) per (w2,w3) = distinct w1).
+        val nm = ct.groupBy("w2", "w3").agg(count(lit(1)).as("nm")).cache()
+        val nc = ct.groupBy("w2").agg(count(lit(1)).as("nc"),
+          countDistinct(col("w3")).as("nf2"))
+        // Low level: type counts over the mid-level (w2,w3)-type table.
+        val nb = nm.groupBy("w3").agg(count(lit(1)).as("nb"))
+        val bt = nm.agg(count(lit(1)).as("btypes"))
+        tri.filter(col("doc_id") < 100)
+          .join(ct, Seq("w1", "w2", "w3"))
+          .join(ch, Seq("w1", "w2"))
+          .join(nm, Seq("w2", "w3"))
+          .join(nc, Seq("w2"))
+          .join(nb, Seq("w3"))
+          .crossJoin(broadcast(bt))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_trigrams"),
+            round(avg(-log2(
+              (col("ctv") - lit(0.75)) / col("ch")
+                + ((lit(0.75) * col("nf3")) / col("ch"))
+                * ((col("nm") - lit(0.75)) / col("nc")
+                  + ((lit(0.75) * col("nf2")) / col("nc"))
+                  * (col("nb") / col("btypes").cast("double"))))), 4)
+              .as("mean_kn3_surprisal"))
+          .orderBy("doc_id")
+      },
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |tri AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3
+        |  FROM t, UNNEST(range(1, len(toks) - 1)) AS u(i)),
+        |ct AS (SELECT w1, w2, w3, COUNT(*) AS ctv FROM tri GROUP BY 1, 2, 3),
+        |ch AS (SELECT w1, w2, COUNT(*) AS ch, COUNT(DISTINCT w3) AS nf3
+        |       FROM tri GROUP BY 1, 2),
+        |nm AS (SELECT w2, w3, COUNT(*) AS nm FROM ct GROUP BY 1, 2),
+        |nc AS (SELECT w2, COUNT(*) AS nc, COUNT(DISTINCT w3) AS nf2 FROM ct GROUP BY 1),
+        |nb AS (SELECT w3, COUNT(*) AS nb FROM nm GROUP BY 1),
+        |bt AS (SELECT COUNT(*) AS btypes FROM nm)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+        |  ROUND(AVG(-log2(
+        |    (ctv - 0.75) / ch + ((0.75 * nf3) / ch)
+        |      * ((nm - 0.75) / nc + ((0.75 * nf2) / nc) * (nb / CAST(btypes AS DOUBLE)))
+        |  )), 4) AS mean_kn3_surprisal
+        |FROM tri JOIN ct USING (w1, w2, w3) JOIN ch USING (w1, w2)
+        |  JOIN nm USING (w2, w3) JOIN nc USING (w2) JOIN nb USING (w3)
+        |CROSS JOIN bt
+        |WHERE doc_id < 100
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
     // §2 25fl intra-corpus DUPLICATED-PASSAGE fraction (the
     // C4/RefinedWeb boilerplate signal, distinct from decontamination's
     // external benchmark overlap): for each doc, the share of its 8-gram

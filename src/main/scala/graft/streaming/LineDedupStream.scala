@@ -63,6 +63,11 @@ object LineDedupStream {
                 struct(col("line_no"), col("line"))))),
               e => e.getField("line"))).as("clean_text"))
           .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+        // Drop the per-batch cache before handing `merged` to the store:
+        // a long-running stream would otherwise accumulate one cached
+        // block set per micro-batch. The store's snapshot write recomputes
+        // docLines once — a map-only transform on the batch, cheap.
+        lines.unpersist()
         merged
     }
 

@@ -67,6 +67,8 @@ class PlanLintInventorySpec extends SparkSpec {
     "curate_doremi" -> Map("CARTESIAN_PRODUCT" -> 3),
     // the one-row bigram-type-count aggregate riding along (25fh class)
     "text_kn_bigram" -> Map("CARTESIAN_PRODUCT" -> 1),
+    // same class one level up: the one-row mid-level type total B
+    "text_kn_trigram" -> Map("CARTESIAN_PRODUCT" -> 1),
     // the one-row (ns, nt) corpus-total aggregate broadcast into the
     // 256-row bucket ratio table — the same adjudicated one-row class
     "curate_dsir_weights" -> Map("CARTESIAN_PRODUCT" -> 1),

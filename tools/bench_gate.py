@@ -23,9 +23,17 @@ Rules:
     its own entry when present on both sides.
 Exit code 0 = pass, 1 = any failure.
 """
+import hashlib
 import json
 import os
 import sys
+
+
+def run_id(queries):
+    """Python replica of Bench.runId: sha256 over the sorted
+    "name:%.3f" pairs joined by commas, first 6 bytes hex."""
+    canon = ",".join(f"{k}:{queries[k]:.3f}" for k in sorted(queries))
+    return hashlib.sha256(canon.encode("utf-8")).hexdigest()[:12]
 
 
 def load_queries(path):
@@ -67,6 +75,15 @@ def expand_folded(path, d):
             continue
         if full.get("run") == d["run"] and isinstance(full.get("queries"), dict):
             fq = full["queries"]
+            # The run id must not just be label-equal — recompute it from
+            # the full record's own name:seconds pairs (same sorted %.3f
+            # canonicalization as Bench.runId), so a file with edited
+            # timings but a copied id is rejected.
+            recomputed = run_id(fq)
+            if recomputed != d["run"]:
+                print(f"note: {cand} claims run {full.get('run')} but its own "
+                      f"queries hash to {recomputed} — tampered or stale; ignoring")
+                continue
             print(f"using {cand} (run {d['run']}): "
                   f"{len(fq)} per-query timings vs {len(q) - 1} + _other_total")
             return fq

@@ -82,6 +82,14 @@ def canon(df: pd.DataFrame) -> np.ndarray:
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # Scale sweeps run several compares beside a live Spark Verify JVM;
+    # unbounded DuckDB threads (= all 32 cores per process) would thrash.
+    threads = os.environ.get("DUCKDB_THREADS")
+    if threads:
+        con.execute(f"SET threads={int(threads)}")
+    mem = os.environ.get("DUCKDB_MEMORY_LIMIT")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(path):

@@ -1,10 +1,25 @@
 #!/usr/bin/env python3
 """Scale-sweep driver for the DuckDB correctness gate (r8 verdict task
-4): runs compare_local.py ONE QUERY PER SUBPROCESS with a wall-clock
-timeout, so a single oracle whose SQL doesn't scale (e.g. a recursive
-CTE at sf1) reports TIMEOUT instead of eating the whole sweep.
+4): runs the per-query compare ONE QUERY PER SUBPROCESS with a
+wall-clock timeout, so a single oracle whose SQL doesn't scale (e.g. a
+recursive CTE at sf1) reports TIMEOUT instead of eating the whole sweep.
 
-Usage: python3 tools/compare_scale.py <sfDir> <verifyOutDir> [timeoutSec] [parallel] [--strict]
+Usage: python3 tools/compare_scale.py <sfDir> <verifyOutDir> [timeoutSec] [parallel] [--strict] [--watch]
+
+Env:
+  COMPARE_SCRIPT  per-query compare script (default tools/compare_local.py;
+                  set tools/compare_fast.py for sf>=1 sweeps — parity of
+                  the fast path vs the gate replica is proven over the
+                  full sf0.01 inventory, see SURVEY §6).
+
+--watch (r13, full-inventory sf10 sweep): instead of requiring all Spark
+outputs up front, poll <verifyOutDir> and compare each query as soon as
+its parquet directory has a _SUCCESS marker, so DuckDB oracle work
+pipelines behind the multi-hour Spark Verify instead of serializing
+after it. The watch ends when a <verifyOutDir>/VERIFY_DONE sentinel
+exists (touch it when the Verify JVM exits) and every discovered key has
+been compared; keys never produced by then are reported as NO-OUTPUT
+failures.
 
 Exit code: 1 on any FAIL; with --strict, TIMEOUT also exits 1 (a gating
 caller must not read a sweep with unverified oracles as green — without
@@ -13,10 +28,13 @@ sweeps where some oracles are KNOWN not to scale, e.g. recursive CTEs
 at sf10).
 """
 import json
+import os
 import subprocess
 import sys
 import time
 from concurrent.futures import ThreadPoolExecutor
+
+COMPARE_SCRIPT = os.environ.get("COMPARE_SCRIPT", "tools/compare_local.py")
 
 
 def run_one(args):
@@ -24,7 +42,7 @@ def run_one(args):
     t0 = time.time()
     try:
         r = subprocess.run(
-            [sys.executable, "tools/compare_local.py", sf_dir, out_dir, "--only", name],
+            [sys.executable, COMPARE_SCRIPT, sf_dir, out_dir, "--only", name],
             capture_output=True, text=True, timeout=timeout)
         wall = time.time() - t0
         ok = r.returncode == 0 and f"PASS {name}" in r.stdout
@@ -35,24 +53,62 @@ def run_one(args):
         return name, "TIMEOUT", time.time() - t0, ""
 
 
+def summarize(results, strict):
+    n = {s: sum(1 for r in results if r[1] == s)
+         for s in ("PASS", "FAIL", "TIMEOUT")}
+    total_wall = sum(r[2] for r in results)
+    print(f"\n{n['PASS']} passed, {n['FAIL']} failed, {n['TIMEOUT']} timed out; "
+          f"oracle wall {total_wall:.0f}s across {len(results)} queries")
+    sys.exit(1 if (n["FAIL"] or (strict and n["TIMEOUT"])) else 0)
+
+
 def main():
-    argv = [a for a in sys.argv[1:] if a != "--strict"]
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     strict = "--strict" in sys.argv
+    watch = "--watch" in sys.argv
     sf_dir, out_dir = argv[0], argv[1]
     timeout = int(argv[2]) if len(argv) > 2 else 300
     parallel = int(argv[3]) if len(argv) > 3 else 4
     names = sorted(json.load(open(f"{out_dir}/oracle_sql.json")))
     results = []
+
+    if not watch:
+        with ThreadPoolExecutor(max_workers=parallel) as ex:
+            for res in ex.map(run_one, [(sf_dir, out_dir, n, timeout) for n in names]):
+                name, status, wall, detail = res
+                print(f"{status:7s} {name} ({wall:.1f}s){detail}", flush=True)
+                results.append(res)
+        summarize(results, strict)
+
+    # --watch: pipeline compares behind a still-running Verify.
+    pending = set(names)
+    futures = {}
     with ThreadPoolExecutor(max_workers=parallel) as ex:
-        for res in ex.map(run_one, [(sf_dir, out_dir, n, timeout) for n in names]):
-            name, status, wall, detail = res
-            print(f"{status:7s} {name} ({wall:.1f}s){detail}", flush=True)
-            results.append(res)
-    n = {s: sum(1 for r in results if r[1] == s) for s in ("PASS", "FAIL", "TIMEOUT")}
-    total_wall = sum(r[2] for r in results)
-    print(f"\n{n['PASS']} passed, {n['FAIL']} failed, {n['TIMEOUT']} timed out; "
-          f"oracle wall {total_wall:.0f}s across {len(results)} queries")
-    sys.exit(1 if (n["FAIL"] or (strict and n["TIMEOUT"])) else 0)
+        while True:
+            ready = [n for n in sorted(pending)
+                     if os.path.exists(f"{out_dir}/{n}/_SUCCESS")]
+            for n in ready:
+                pending.discard(n)
+                futures[n] = ex.submit(run_one, (sf_dir, out_dir, n, timeout))
+            for n, f in list(futures.items()):
+                if f.done():
+                    name, status, wall, detail = f.result()
+                    print(f"{status:7s} {name} ({wall:.1f}s){detail}", flush=True)
+                    results.append(f.result())
+                    del futures[n]
+            done = os.path.exists(f"{out_dir}/VERIFY_DONE")
+            if done and not pending and not futures:
+                break
+            if done and pending and not futures:
+                # Verify exited without producing these (it logs and
+                # deletes stale output on failure) — never read as green.
+                for n in sorted(pending):
+                    print(f"FAIL    {n} (0.0s) | no spark output after VERIFY_DONE",
+                          flush=True)
+                    results.append((n, "FAIL", 0.0, "no output"))
+                break
+            time.sleep(10)
+    summarize(results, strict)
 
 
 if __name__ == "__main__":
