@@ -68,7 +68,7 @@ object LocalResolver extends TableResolver {
 
 /** Remote backend integration point (reference: src/executor/bigquery.rs),
   * covering the reference executor's whole surface against the PUBLIC
-  * spark-bigquery-connector API (`format("bigquery")` DataSource V2):
+  * spark-bigquery-connector API (`format(connectorFormat)` DataSource V2):
   *
   *  - [[resolve]]    — table read (bigquery.rs:27 client + table fetch);
   *  - [[query]]      — SQL pushed to BigQuery's jobs.query through the
@@ -97,7 +97,14 @@ final class BigQueryResolver(
     defaultProject: Option[String] = None,
     defaultDataset: Option[String] = None,
     materializationDataset: Option[String] = None,
-    temporaryGcsBucket: Option[String] = None)
+    temporaryGcsBucket: Option[String] = None,
+    // The DataSource V2 format the connector registers ("bigquery" via
+    // its DataSourceRegister). Injectable so the integration spec can
+    // drive the IDENTICAL option contracts through a recorded-response
+    // fake provider (BigQueryFakeSpec) without shadowing the real short
+    // name — the typed connector-absent failure paths stay exercised by
+    // the default.
+    connectorFormat: String = "bigquery")
     extends TableResolver {
 
   val mode: ExecutorMode = ExecutorMode.BigQuery
@@ -156,7 +163,7 @@ final class BigQueryResolver(
 
   def resolve(spark: SparkSession, name: String): DataFrame =
     connect(s"resolving ${qualifiedName(name)}") {
-      spark.read.format("bigquery").options(readerOptions(name)).load()
+      spark.read.format(connectorFormat).options(readerOptions(name)).load()
     }
 
   /** Push `sql` to BigQuery as a job and read the result back — the
@@ -164,7 +171,7 @@ final class BigQueryResolver(
     */
   def query(spark: SparkSession, sql: String): DataFrame =
     connect("executing query job") {
-      spark.read.format("bigquery").options(queryOptions(sql)).load()
+      spark.read.format(connectorFormat).options(queryOptions(sql)).load()
     }
 
   /** DDL/DML statement through the same job submission; the returned
@@ -181,7 +188,7 @@ final class BigQueryResolver(
     */
   def persist(df: DataFrame, name: String): Unit =
     connect(s"writing ${qualifiedName(name)}") {
-      df.write.format("bigquery").options(writerOptions(name))
+      df.write.format(connectorFormat).options(writerOptions(name))
         .mode(org.apache.spark.sql.SaveMode.Overwrite).save()
     }
 

@@ -27,14 +27,17 @@ import graft.Tables
   * at any corpus size. The edge list is O(n × degree) rows: linear in
   * the corpus, shuffled once at build time, keyed by source node.
   *
-  * SEARCH — the frontier (queries × beam rows) is BROADCAST against the
-  * edge list each hop: candidate generation is a map-side semi-join over
-  * the n×degree edges, so per-hop traffic is O(queries × beam × degree)
-  * candidate rows — independent of corpus size — and candidate scoring
-  * is another broadcast (candidates against the corpus scan, map-only).
-  * `hops` is a constant; the whole search costs `hops` corpus scans and
-  * ZERO corpus-scale shuffles. GraphAnnSpec pins the per-hop candidate
-  * bound mechanically.
+  * SEARCH — fused driver-orchestrated walk (r13, see fusedBeamSearch):
+  * the scored pool and frontier are corpus-independent codebook-scale
+  * state held on the driver; each hop runs at most one adjacency job
+  * (IN-filter on the distributed n×degree edge list) and one scoring
+  * job (≤ queries × beam × degree candidate pairs broadcast against the
+  * corpus scan, native cosine kernel, bounded collect). A sampled ~√n
+  * HNSW entry layer (see graphTopK) seeds each query's walk inside its
+  * own neighborhood, so the LAYER-0 corpus-scan hop budget is the
+  * constant `Hops` at every corpus size. Zero corpus-scale shuffles at
+  * query time; GraphAnnSpec pins the per-hop candidate bound
+  * mechanically.
   *
   * Determinism: hyperplanes are the frozen VectorOps tables; every
   * ranking is the bounded top-k's (score DESC, id ASC) order; entry
@@ -124,56 +127,113 @@ object GraphAnnOps {
     e.sort(md5(col("vec_id").cast("string")), col("vec_id")).limit(n)
       .select(col("vec_id").as("nbr"))
 
-  /** Beam search over a built graph. Returns the top-`k` scored visited
-    * nodes per query plus (for the budget spec) the per-hop candidate
-    * frames. `qs`: (q_id, qv).
+  /** Fused beam-search result: the top-k frame, the per-hop SCORED
+    * candidate counts (the budget spec's metric), and the full scored
+    * pool (q_id, node, sim).
     */
-  def beamSearch(
+  final case class BeamResult(
+      top: DataFrame, hopCandidates: Seq[Long], pool: Seq[(Long, Long, Double)])
+
+  /** Beam search over a built graph, FUSED to one or two small Spark
+    * jobs per hop (r13; the r12 DataFrame-per-hop loop paid ~25 jobs of
+    * pure scheduling — localCheckpoint + broadcast-collect per hop —
+    * ~0.3 s each at sf0.1). The walk's working set is PROVABLY
+    * corpus-independent: the scored pool is ≤ queries × (entries +
+    * hops × beam × degree) rows and the frontier ≤ queries × beam ids —
+    * codebook-scale state the driver holds directly (the bounded-
+    * `.collect()` discipline every verdict audits). What stays
+    * distributed is exactly the corpus-scale work: the n×degree edge
+    * list (IN-filtered per hop for the ≤ q×beam newly-expanded nodes)
+    * and the vector scan + native cosine kernel (per hop one broadcast
+    * join of the ≤ q×beam×degree candidate pairs against the corpus,
+    * collected back as that many scored rows). Per hop: ≤ 1 adjacency
+    * job + 1 scoring job, both bounded-output.
+    *
+    * Scoring runs through the SAME Catalyst cosine kernel as before, so
+    * scores are bit-identical to the unfused implementation.
+    *
+    * `seeds`: per-query entry node ids (the HNSW upper-layer hand-off);
+    * absent → the global md5-least `entries` nodes. `excludeSelf` is
+    * off when the caller searches REPRESENTATIVES and re-expands to
+    * duplicate members afterwards.
+    */
+  def fusedBeamSearch(
       e: DataFrame, graph: DataFrame, qs: DataFrame,
       k: Int, beam: Int = Beam, hops: Int = Hops,
-      entries: Int = Entries, excludeSelf: Boolean = true): (DataFrame, Seq[DataFrame], DataFrame) = {
-    // Score a (q_id, nbr) frame: broadcast it against the corpus scan —
-    // map-only, one corpus scan per call. `excludeSelf` is off when the
-    // caller searches REPRESENTATIVES and re-expands to duplicate
-    // members afterwards (the self node's group then carries the
-    // query's verbatim twins — the exact baseline's own top hits).
-    def score(cand: DataFrame): DataFrame =
-      e.join(broadcast(cand.dropDuplicates("q_id", "nbr")), col("vec_id") === col("nbr"))
-        .join(broadcast(qs), Seq("q_id"))
-        .filter(if (excludeSelf) col("vec_id") =!= col("q_id") else lit(true))
-        .select(col("q_id"), col("vec_id").as("neighbor_id"),
-          cosineSim(col("qv"), col("v")).as("sim"))
+      entries: Int = Entries, excludeSelf: Boolean = true,
+      seeds: Option[Map[Long, Seq[Long]]] = None): BeamResult = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    // Probe-set-scale collects: the query vectors (|q| rows).
+    val qRows = qs.select(col("q_id"), col("qv")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq.sortBy(_._1)
+    val qIds = qRows.map(_._1)
+    val qsLit = qRows.toDF("q_id", "qv")
 
-    val entry = qs.select("q_id").crossJoin(entryPoints(e, entries))
-    var visited = score(entry).localCheckpoint(true)
-    val hopFrames = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    for (_ <- 0 until hops) {
-      // Frontier: current best `beam` visited nodes per query.
-      val frontier = VectorOps.topKPerQuery(visited, "sim", beam)
-        .select(col("q_id"), col("neighbor_id").as("vec_id"))
-      // Expand: adjacency ⋈ broadcast frontier — map-side over the
-      // n×degree edge list, ≤ queries × beam × degree candidate rows —
-      // then drop every node already scored (anti-join against the
-      // tiny visited pool): distance computations happen ONCE per
-      // distinct visited node, the honest ANN cost metric.
-      val cand = graph.join(broadcast(frontier), "vec_id")
-        .select(col("q_id"), col("nbr"))
-        .join(broadcast(visited.select(col("q_id"), col("neighbor_id").as("nbr"))),
-          Seq("q_id", "nbr"), "left_anti")
-      hopFrames += cand
-      // Merge new scores into the visited pool (anti-join above makes
-      // this a disjoint union; checkpoint truncates the per-hop
-      // lineage — the ClassifierOps plan-growth lesson; a cache()
-      // variant was measured 3x SLOWER end-to-end at sf0.1: lazy
-      // caches make every hop's broadcast replan the whole union
-      // tree, and the final top-k re-evaluates the last generation).
-      visited = visited.unionByName(score(cand)).localCheckpoint(true)
+    val pool = scala.collection.mutable.Map[(Long, Long), Double]()
+    val adj = scala.collection.mutable.Map[Long, Seq[Long]]()
+    val hopCounts = scala.collection.mutable.ArrayBuffer[Long]()
+
+    // One scoring job: broadcast the candidate pairs against the vector
+    // scan, evaluate the native kernel, collect the bounded result.
+    def score(cands: Seq[(Long, Long)]): Unit = if (cands.nonEmpty) {
+      val candLit = cands.toDF("q_id", "nbr")
+      e.join(broadcast(candLit), col("vec_id") === col("nbr"))
+        .join(broadcast(qsLit), Seq("q_id"))
+        .select(col("q_id"), col("nbr"), cosineSim(col("qv"), col("v")).as("sim"))
+        .collect()
+        .foreach(r => pool((r.getLong(0), r.getLong(1))) = r.getDouble(2))
     }
-    (VectorOps.topKPerQuery(
-        visited.select(col("q_id"), col("neighbor_id"), round(col("sim"), 6).as("cosine")),
-        "cosine", k),
-      hopFrames.toSeq,
-      visited)
+
+    // One adjacency job for the not-yet-expanded frontier nodes (the
+    // edge list stays distributed — n×degree rows is corpus-scale).
+    def expand(ids: Seq[Long]): Unit = {
+      val missing = ids.filterNot(adj.contains)
+      if (missing.nonEmpty) {
+        val fetched = graph.filter(col("vec_id").isin(missing: _*))
+          .select("vec_id", "nbr").collect()
+          .groupBy(_.getLong(0)).map { case (v, rs) => v -> rs.map(_.getLong(1)).toSeq }
+        missing.foreach(m => adj(m) = fetched.getOrElse(m, Nil))
+      }
+    }
+
+    val entrySeeds: Map[Long, Seq[Long]] = seeds.getOrElse {
+      val global = entryPoints(e, entries).as[Long].collect().toSeq
+      qIds.map(q => q -> global).toMap
+    }
+    score(for {
+      q <- qIds; id <- entrySeeds.getOrElse(q, Nil)
+      if !excludeSelf || id != q
+    } yield (q, id))
+
+    for (_ <- 0 until hops) {
+      val frontier: Seq[(Long, Long)] = qIds.flatMap { q =>
+        pool.iterator.filter(_._1._1 == q).toSeq
+          .sortBy { case ((_, id), sim) => (-sim, id) }.take(beam)
+          .map { case ((_, id), _) => (q, id) }
+      }
+      expand(frontier.map(_._2).distinct)
+      val cands = frontier.flatMap { case (q, fid) =>
+        adj.getOrElse(fid, Nil).iterator
+          .filter(nbr => !pool.contains((q, nbr)))
+          .filter(nbr => !excludeSelf || nbr != q)
+          .map(nbr => (q, nbr))
+      }.distinct
+      hopCounts += cands.size.toLong
+      score(cands)
+    }
+
+    // Final top-k straight from the pool; the 6-dp round runs in Spark
+    // so the output stays the engine's own Round semantics.
+    val topRows = qIds.flatMap { q =>
+      pool.iterator.filter(_._1._1 == q).toSeq
+        .sortBy { case ((_, id), sim) => (-sim, id) }.take(k)
+        .zipWithIndex.map { case (((_, id), sim), i) => (q, id, sim, (i + 1).toLong) }
+    }
+    val top = topRows.toDF("q_id", "neighbor_id", "sim", "rank")
+      .select(col("q_id"), col("neighbor_id"),
+        round(col("sim"), 6).as("cosine"), col("rank"))
+    BeamResult(top, hopCounts.toSeq, pool.toSeq.map { case ((q, id), s) => (q, id, s) })
   }
 
   /** Graph ANN top-10 for the 10 probe queries over the embeddings
@@ -202,22 +262,39 @@ object GraphAnnOps {
     val graph = buildGraph(reps.select("vec_id", "v"), nHint = nReps).cache()
     val qs = eAll.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    // Single-layer NSW: greedy routing crosses a small-world graph in
-    // O(log n) hops (HNSW's upper layers exist precisely to shortcut
-    // this), so a FIXED hop budget that navigates 500 nodes would
-    // strand the walk short of the neighborhood on a larger graph.
-    // Scale the budget with the diameter, ~log_degree(n distinct):
-    // unchanged at gate scale (n ≤ 512 → the original 3 hops), +1 hop
-    // per 8× corpus growth; per-hop traffic stays O(q × beam × degree).
-    val hops = math.max(Hops,
-      math.ceil(math.log(nReps.toDouble) / math.log(Degree)).toInt)
+    // HNSW ENTRY LAYER (r13; single-layer NSW needs ~log_degree(n) hops
+    // to cross the graph — the r12 budget grew +1 hop per 8× corpus
+    // growth, i.e. +1 corpus scan per 8×. A sampled upper layer restores
+    // a CONSTANT layer-0 budget): layer 1 is the md5-least ~√n
+    // representatives (deterministic, the trainSample discipline) with
+    // its own bounded-degree graph; the walk first navigates layer 1 —
+    // whose per-hop jobs touch only the √n-row sample, so even its
+    // log(√n) budget costs no corpus scans — and hands each query its
+    // top `Entries` layer-1 nodes as layer-0 entry points. Entering
+    // layer 0 already inside the query's neighborhood, the corpus-scan
+    // hop budget stays the constant `Hops` at every n (pinned by
+    // GraphAnnSpec; recall re-proven at sf1/sf10 by the scale sweeps).
+    val l1n = math.max(32, math.ceil(math.sqrt(nReps.toDouble)).toInt)
+    val layer1 = reps.select("vec_id", "v")
+      .sort(md5(col("vec_id").cast("string")), col("vec_id")).limit(l1n)
+      .cache()
+    val graph1 = buildGraph(layer1, nHint = l1n)
+    val hops1 = math.max(Hops,
+      math.ceil(math.log(l1n.toDouble) / math.log(Degree)).toInt)
+    val l1 = fusedBeamSearch(layer1, graph1, qs,
+      k = Entries, hops = hops1, excludeSelf = false)
+    val seeds: Map[Long, Seq[Long]] = l1.pool
+      .groupBy(_._1).map { case (q, rows) =>
+        q -> rows.sortBy { case (_, id, sim) => (-sim, id) }
+          .take(Entries).map(_._2)
+      }
     // k+1 representatives: the self node legitimately wins a slot
     // (its group carries the query's verbatim twins), but when the
     // query's group is a SINGLETON the expansion filter consumes that
     // slot without producing a row — one spare rep keeps the final
     // top-10 full in both regimes.
-    val repTop = beamSearch(reps.select("vec_id", "v"), graph, qs,
-      k = 11, hops = hops, excludeSelf = false)._1
+    val repTop = fusedBeamSearch(reps.select("vec_id", "v"), graph, qs,
+      k = 11, hops = Hops, excludeSelf = false, seeds = Some(seeds)).top
     // Re-expand representatives to their duplicate-group members: two
     // map-side broadcasts (the 10×k rep hits against the rep scan for
     // gid, then against the member table), re-ranked by the baseline's

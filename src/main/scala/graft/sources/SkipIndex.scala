@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.queries.QDef
+import graft.queries.{Money, QDef}
 
 /** File-level data-skipping index: per-file min/max statistics
   * materialized once, then used to prune the FILE LIST of a scan before
@@ -107,9 +107,12 @@ object SkipIndex {
         val est = s.read.parquet(sampled: _*)
           .agg(count(lit(1)).as("s_rows"),
             sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("s_rev"))
+        // Exact DECIMAL revenue sum (Money, r13): the double formulation
+        // drifted past the cent boundary at the sf10 row count — a
+        // double SUM's value depends on partitioning order.
         val exact = Tables(s, dir, "lineitem")
           .agg(count(lit(1)).as("n_exact"),
-            sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_exact"))
+            sum(Money.revenue).as("rev_exact_dec"))
         // Gate width is a documented statistical bound, not a guess:
         // under the multinomial model the estimate's relative σ is
         // √(3/N_eff) with N_eff = rows/cluster-size (orderkey hashing
@@ -122,14 +125,14 @@ object SkipIndex {
         exact.crossJoin(broadcast(est))
           .select(
             col("n_exact"),
-            round(col("rev_exact"), 2).as("rev_exact"),
+            round(col("rev_exact_dec"), 2).cast("double").as("rev_exact"),
             (abs(col("s_rows") * factor - col("n_exact"))
               <= col("n_exact") * 0.20).as("rows_est_ok"),
-            (abs(col("s_rev") * factor - col("rev_exact"))
-              <= col("rev_exact") * 0.20).as("rev_est_ok"))
+            (abs(col("s_rev") * factor - col("rev_exact_dec").cast("double"))
+              <= col("rev_exact_dec").cast("double") * 0.20).as("rev_est_ok"))
       },
-      """SELECT COUNT(*) AS n_exact,
-        |  ROUND(SUM(l_extendedprice * (1.0e0 - l_discount)), 2) AS rev_exact,
+      s"""SELECT COUNT(*) AS n_exact,
+        |  ${Money.revenueSumSql2} AS rev_exact,
         |  true AS rows_est_ok, true AS rev_est_ok
         |FROM lineitem""".stripMargin),
 
@@ -143,14 +146,16 @@ object SkipIndex {
             .write.mode("overwrite").parquet(out)
         }
         val idx = build(s, out, "l_shipdate")
+        // Exact DECIMAL revenue (Money, r13 — the sf10 sweep caught the
+        // double SUM 4 cents off the oracle at 2.1M matching rows).
         prunedRead(s, idx, "l_shipdate", "1995-01-01", "1995-04-01")
           .agg(
             count(lit(1)).as("n_rows"),
-            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+            Money.revenueSum2.as("revenue"),
             sum(col("l_quantity")).cast("double").as("sum_qty"))
       },
-      """SELECT COUNT(*) AS n_rows,
-        |  ROUND(SUM(l_extendedprice * (1.0e0 - l_discount)), 2) AS revenue,
+      s"""SELECT COUNT(*) AS n_rows,
+        |  ${Money.revenueSumSql2} AS revenue,
         |  CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-04-01'""".stripMargin)

@@ -31,18 +31,37 @@ class GraphAnnSpec extends SparkSpec {
     val qs = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val nq = qs.count()
-    val (_, hops, visited) = GraphAnnOps.beamSearch(e, graph, qs, k = 10)
-    assert(hops.size == GraphAnnOps.Hops)
-    hops.foreach { h =>
-      val rows = h.count()
+    val res = GraphAnnOps.fusedBeamSearch(e, graph, qs, k = 10)
+    assert(res.hopCandidates.size == GraphAnnOps.Hops)
+    res.hopCandidates.foreach { rows =>
       assert(rows <= nq * GraphAnnOps.Beam * GraphAnnOps.Degree,
         s"hop produced $rows candidate rows")
     }
     // The honest cost metric — distinct scored nodes per query — stays
-    // under IVF-PQ's nprobe/cells = 4/16 corpus fraction.
-    val avgVisited = visited.count().toDouble / nq
+    // under IVF-PQ's nprobe/cells = 4/16 corpus fraction. The pool IS
+    // the driver's working set: asserting its size also pins the
+    // fused walk's bounded-collect contract.
+    val avgVisited = res.pool.size.toDouble / nq
     assert(avgVisited <= e.count() * 4.0 / 16.0,
       s"avg visited $avgVisited exceeds the IVF-PQ candidate budget")
+    assert(res.pool.size <=
+      nq * (GraphAnnOps.Entries + GraphAnnOps.Hops * GraphAnnOps.Beam * GraphAnnOps.Degree),
+      "scored pool exceeds its corpus-independent bound")
+  }
+
+  test("fused top-k equals the pool's (sim DESC, id ASC) prefix per query") {
+    val e = corpus
+    val graph = GraphAnnOps.buildGraph(e).cache()
+    val qs = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val res = GraphAnnOps.fusedBeamSearch(e, graph, qs, k = 5)
+    val byQ = res.pool.groupBy(_._1)
+    res.top.collect().groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val expect = byQ(q).sortBy { case (_, id, sim) => (-sim, id) }
+        .take(5).map(_._2)
+      val got = rows.sortBy(_.getLong(3)).map(_.getLong(1)).toSeq
+      assert(got == expect, s"query $q top-k mismatch")
+    }
   }
 
   test("beam search is deterministic across shuffle partitionings") {
