@@ -144,10 +144,19 @@ object CurateOps {
     // exact groupBy-count's shuffle is the bottleneck and only the head
     // of the distribution matters. Same driver-checkable contract as the
     // other sketches: exact counts (hash-comparable) + sketch-vs-exact
-    // booleans. With the synthetic vocabulary the sketch tracks every
-    // item (maxItemsTracked >> distinct words) so the booleans are
-    // deterministically true; at real scale the error bound n/maxItems
-    // applies and the 1%+1 tolerance absorbs it.
+    // booleans — made TIE- and SCALE-PROOF in r13 after the sf10 sweep
+    // caught the old top-20 membership check failing legitimately: the
+    // 100×-replicated near-uniform vocabulary has hundreds of words
+    // sharing the boundary count, and a frequent-items sketch's top-k
+    // output breaks those ties arbitrarily. Two changes: (a) the query
+    // asks for the sketch's ENTIRE tracked set (k = maxItemsTracked), so
+    // "in the output" ≡ "tracked" and no tie-break can evict a checked
+    // item; (b) the booleans are gated by the frequent-items guarantee —
+    // an item is provably tracked only when its exact count exceeds the
+    // error envelope ~n/maxItems (2× for slack), so above the bound the
+    // assertions are theorems and below it they hold vacuously — the
+    // contract a 100 TB deployment (vocab >> maxItems) can actually
+    // rely on. Count tolerance = the same εn envelope.
     "q_approx_topk" -> QDef(
       (s, dir) => {
         val words = docs(s, dir)
@@ -157,15 +166,20 @@ object CurateOps {
           .groupBy("word").agg(count(lit(1)).as("exact_cnt"))
           .orderBy(col("exact_cnt").desc, col("word"))
           .limit(10)
-        val sketch = words.agg(expr("approx_top_k(word, 20, 10000)").as("tk"))
+        val sketch = words.agg(expr("approx_top_k(word, 10000, 10000)").as("tk"),
+          count(lit(1)).as("n_total"))
+        val guaranteed = col("exact_cnt") > col("n_total") * 2.0 / 10000.0
         top.join(broadcast(sketch))
           .select(
             col("word"), col("exact_cnt"),
-            exists(col("tk"), e => e("item") === col("word")).as("in_approx"),
-            exists(col("tk"), e =>
-              e("item") === col("word") &&
-                abs(e("count") - col("exact_cnt")) <=
-                  greatest(lit(1.0), col("exact_cnt") * 0.01)).as("cnt_ok"))
+            (!guaranteed ||
+              exists(col("tk"), e => e("item") === col("word"))).as("in_approx"),
+            (!guaranteed ||
+              exists(col("tk"), e =>
+                e("item") === col("word") &&
+                  abs(e("count") - col("exact_cnt")) <=
+                    greatest(lit(1.0),
+                      col("exact_cnt") * 0.01 + col("n_total") / 10000.0))).as("cnt_ok"))
           .orderBy(col("exact_cnt").desc, col("word"))
       },
       """WITH words AS (

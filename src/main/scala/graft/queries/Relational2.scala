@@ -102,18 +102,24 @@ object Relational2 {
         |ORDER BY p_partkey, metric""".stripMargin),
 
     // GROUP BY ALL: grouping keys inferred from the non-aggregate select
-    // list — same inference rules on both engines.
+    // list — same inference rules on both engines. Money discipline
+    // (r13): the sf10 sweep proved ROUND(SUM(double)) here is not even
+    // deterministic WITHIN one engine (DuckDB's own cents flip with its
+    // thread count at 60M rows) — the sum is exact DECIMAL on both
+    // sides, cast to double only after the round.
     "q_group_by_all" -> QDef(
       (s, dir) => {
         t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gba")
         s.sql(
           """SELECT l_returnflag, l_linestatus,
-            |  ROUND(SUM(l_extendedprice), 2) AS rev, COUNT(*) AS n
+            |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS rev,
+            |  COUNT(*) AS n
             |FROM lineitem_gba GROUP BY ALL
             |ORDER BY l_returnflag, l_linestatus""".stripMargin)
       },
       """SELECT l_returnflag, l_linestatus,
-        |  ROUND(SUM(l_extendedprice), 2) AS rev, CAST(COUNT(*) AS BIGINT) AS n
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS rev,
+        |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY ALL
         |ORDER BY l_returnflag, l_linestatus""".stripMargin),
 
