@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -119,6 +120,111 @@ object DomainMixOps {
          |SELECT lang, n_toks, excess_nats,
          |  ROUND(${1.0 - Smooth} * (CAST(term AS DOUBLE) / CAST(denom AS DOUBLE))
          |        + $Smooth / k, 6) AS weight
-         |FROM term CROSS JOIN den ORDER BY lang""".stripMargin)
+         |FROM term CROSS JOIN den ORDER BY lang""".stripMargin),
+
+    // §2 25kc TEMPERATURE-SCALED domain sampling (the multilingual
+    // mixing rule of mC4 / XLM-R / mT5: sample language l with
+    // probability ∝ (n_l/N)^α, α<1 upweighting low-resource domains;
+    // α = 0.5 here). The whole schedule is EXACT: per-domain doc counts
+    // are integers; √n_l quantizes to DECIMAL(26,12) before the
+    // order-free softmax-style denominator sum (the ev_decay_attribution
+    // libm-ulp absorber — IEEE sqrt is correctly rounded, so the
+    // quantized terms are engine-identical); integer quotas come from
+    // LARGEST-REMAINDER apportionment (floor the 6dp-rounded raw quotas,
+    // hand the remainder to the largest fractional parts, ties on lang)
+    // so quotas sum to the budget exactly; membership is the
+    // curate_mixture deterministic md5-hash-rank prefix per domain —
+    // reproducible with no stored sample table. Output pins the actual
+    // selected MEMBERSHIP via the exact per-domain sum of selected
+    // doc_ids, not just counts. 100 TB posture: one count exchange; the
+    // per-domain hash rank rides 16 md5-nibble sub-buckets + a ≤80-row
+    // offset window (the curate_global_index composition) — no
+    // corpus-scale single-partition window; everything after the counts
+    // is |domains|-row arithmetic.
+    "curate_temperature_sample" -> QDef(
+      (s, dir) => {
+        val alpha = 0.5
+        val nl = docs(s, dir).groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        val tot = nl.agg(sum("n_docs").as("nn"))
+        val sh = nl.crossJoin(broadcast(tot))
+          .withColumn("term",
+            round(pow(col("n_docs").cast("double"), alpha), 12)
+              .cast("decimal(26,12)"))
+        val z = sh.agg(sum("term").as("z"))
+        val raw = sh.crossJoin(broadcast(z))
+          .withColumn("t_budget", (floor(col("nn") / 5).cast("long") * 2))
+          .withColumn("raw", round(
+            col("t_budget") * (col("term").cast("double") / col("z").cast("double")),
+            6))
+          .withColumn("base", floor(col("raw")).cast("long"))
+          .withColumn("frac", col("raw") - col("base"))
+        val rem = raw.agg((max("t_budget") - sum("base")).as("rem"))
+        val quota = raw.crossJoin(broadcast(rem))
+          .withColumn("fr", row_number().over(
+            Window.orderBy(col("frac").desc, col("lang"))))
+          .withColumn("quota",
+            col("base") + when(col("fr") <= col("rem"), 1L).otherwise(0L))
+          .withColumn("taken", least(col("quota"), col("n_docs")))
+          .select("lang", "n_docs", "quota", "taken")
+        val keyed = docs(s, dir)
+          .select(col("lang"), col("doc_id"),
+            substring(md5(col("doc_id").cast("string")), 1, 12).as("h"))
+          .withColumn("bk", substring(col("h"), 1, 1))
+        val offs = keyed.groupBy("lang", "bk").agg(count(lit(1)).as("bc"))
+          .withColumn("off", coalesce(sum("bc").over(
+            Window.partitionBy("lang").orderBy("bk")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("lang", "bk", "off")
+        val ranked = keyed.join(broadcast(offs), Seq("lang", "bk"))
+          .withColumn("lrank", col("off") + row_number().over(
+            Window.partitionBy("lang", "bk").orderBy(col("h"), col("doc_id")))
+            .cast("long"))
+        ranked.join(broadcast(quota), "lang")
+          .groupBy("lang")
+          .agg(max("n_docs").as("n_docs"), max("quota").as("quota"),
+            max("taken").as("taken"),
+            sum(when(col("lrank") <= col("taken"), col("doc_id"))
+              .otherwise(0L)).as("sel_docid_sum"))
+          .orderBy("lang")
+      },
+      """WITH nl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |            FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS nn FROM nl),
+        |sh AS (
+        |  SELECT lang, n_docs,
+        |    CAST(ROUND(pow(CAST(n_docs AS DOUBLE), 0.5), 12) AS DECIMAL(26,12))
+        |      AS term, nn
+        |  FROM nl CROSS JOIN tot),
+        |z AS (SELECT SUM(term) AS z FROM sh),
+        |raw AS (
+        |  SELECT lang, n_docs, nn // 5 * 2 AS t_budget,
+        |    ROUND((nn // 5 * 2) * (CAST(term AS DOUBLE) / CAST(z AS DOUBLE)), 6)
+        |      AS raw
+        |  FROM sh CROSS JOIN z),
+        |based AS (
+        |  SELECT lang, n_docs, t_budget, CAST(FLOOR(raw) AS BIGINT) AS base,
+        |    raw - FLOOR(raw) AS frac
+        |  FROM raw),
+        |rem AS (SELECT MAX(t_budget) - SUM(base) AS rem FROM based),
+        |quota AS (
+        |  SELECT lang, n_docs,
+        |    base + CASE WHEN ROW_NUMBER() OVER (ORDER BY frac DESC, lang) <= rem
+        |                THEN 1 ELSE 0 END AS quota
+        |  FROM based CROSS JOIN rem),
+        |q2 AS (SELECT lang, n_docs, quota,
+        |       CASE WHEN quota < n_docs THEN quota ELSE n_docs END AS taken
+        |       FROM quota),
+        |ranked AS (
+        |  SELECT lang, doc_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 12), doc_id)
+        |      AS BIGINT) AS lrank
+        |  FROM documents)
+        |SELECT lang, MAX(n_docs) AS n_docs, MAX(quota) AS quota,
+        |  MAX(taken) AS taken,
+        |  CAST(SUM(CASE WHEN lrank <= taken THEN doc_id ELSE 0 END) AS BIGINT)
+        |    AS sel_docid_sum
+        |FROM ranked JOIN q2 USING (lang)
+        |GROUP BY lang ORDER BY lang""".stripMargin)
   )
 }

@@ -161,6 +161,16 @@ class PlanLintInventorySpec extends SparkSpec {
     // one-row totals/min-max/count broadcasts re-planned per consumer of
     // the lp subtree (the ml_auc class) + the ≤nb bucket-offset window
     "text_ccnet_buckets" -> Map("CARTESIAN_PRODUCT" -> 6, "GLOBAL_WINDOW" -> 1),
+    // KN-scored quartile bands (r13): the same adjudicated classes as
+    // text_ccnet_buckets — one-row broadcasts (bigram-type total,
+    // min/max/count frame) riding crossJoins, and the ≤16-row
+    // bucket-offset window ordered globally (bounded by construction)
+    "text_perplexity_filter" -> Map("CARTESIAN_PRODUCT" -> 6, "GLOBAL_WINDOW" -> 1),
+    // temperature sampling (r13): |domains|-row broadcasts (total,
+    // softmax denominator, remainder) + the ≤5-row largest-remainder
+    // rank window; per-domain hash ranks ride (lang, nibble) partitions
+    "curate_temperature_sample" ->
+      Map("CARTESIAN_PRODUCT" -> 7, "GLOBAL_WINDOW" -> 1),
     "text_inverted_index" -> Map("NON_EQUI_JOIN" -> 1),
     "text_nb_lang" -> Map("CARTESIAN_PRODUCT" -> 2),
     "text_pmi_topk" -> Map("CARTESIAN_PRODUCT" -> 2),
