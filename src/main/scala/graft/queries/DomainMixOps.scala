@@ -225,6 +225,75 @@ object DomainMixOps {
         |  CAST(SUM(CASE WHEN lrank <= taken THEN doc_id ELSE 0 END) AS BIGINT)
         |    AS sel_docid_sum
         |FROM ranked JOIN q2 USING (lang)
-        |GROUP BY lang ORDER BY lang""".stripMargin)
+        |GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // §2 25ke RHO-LOSS data selection (Mindermann et al. 2022,
+    // "Prioritized training on points that are learnable, worth
+    // learning, and not yet learnt"): rank every example by REDUCIBLE
+    // loss — loss under the training model minus loss under a holdout
+    // reference model — and train on the top slice; high excess means
+    // the example is predictable in principle (the reference nails it)
+    // but the current model hasn't learnt it. The model pair here is
+    // the closed-form twin of curate_doremi's: training model = the
+    // corpus-GLOBAL unigram LM, reference = the doc's own DOMAIN (lang)
+    // unigram LM, so per-doc excess = NLL_global − NLL_domain =
+    // [Σ ln c_d(w) − n·ln T_d − Σ ln c_g(w) + n·ln T_g] / n — the
+    // per-document decomposition of the DoReMi domain excess (the
+    // domain mean of these IS 25jm's excess_nats). Top-50 slice by
+    // (excess DESC, doc_id). 100 TB posture: ONE corpus-scale exchange
+    // (the (lang, w) count table, shared helper with curate_doremi /
+    // the streaming monitor); global counts derive from it at
+    // vocabulary scale; the token joins are keyed by (lang, w)/(w);
+    // per-doc sums partial-aggregate; the slice is a bounded ORDER BY
+    // LIMIT top-k (partitions×k exchange), never a global window.
+    // Float discipline: integral counts, ln sums absorbed by the 4dp
+    // round (the ccnetRanked recipe), ties broken on doc_id over the
+    // ROUNDED key on both engines.
+    "curate_rho_loss" -> QDef(
+      (s, dir) => {
+        val tok = docs(s, dir)
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) > 0)
+        val cd = domainCounts(docs(s, dir))
+        val cg = cd.groupBy("w").agg(sum("cd").as("cg"))
+        val td = cd.groupBy("lang").agg(sum("cd").as("td"))
+        val tg = cd.agg(sum("cd").as("tg"))
+        tok.join(cd, Seq("lang", "w"))
+          .join(cg, Seq("w"))
+          .groupBy("doc_id", "lang")
+          .agg(count(lit(1)).as("n_toks"),
+            sum(log(col("cd"))).as("sd"),
+            sum(log(col("cg"))).as("sg"))
+          .join(broadcast(td), Seq("lang"))
+          .crossJoin(broadcast(tg))
+          .select(col("doc_id"), col("lang"), col("n_toks"),
+            round((col("sd") - col("n_toks") * log(col("td"))
+              - col("sg") + col("n_toks") * log(col("tg"))) / col("n_toks"), 4)
+              .as("excess_nats"))
+          .orderBy(col("excess_nats").desc, col("doc_id"))
+          .limit(50)
+      },
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |tok2 AS (SELECT * FROM tok WHERE len(w) > 0),
+        |cd AS MATERIALIZED (
+        |  SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS cd
+        |  FROM tok2 GROUP BY lang, w),
+        |cg AS MATERIALIZED (
+        |  SELECT w, CAST(SUM(cd) AS BIGINT) AS cg FROM cd GROUP BY w),
+        |td AS (SELECT lang, CAST(SUM(cd) AS BIGINT) AS td FROM cd GROUP BY lang),
+        |tg AS (SELECT CAST(SUM(cd) AS BIGINT) AS tg FROM cd),
+        |per AS (
+        |  SELECT doc_id, t.lang, CAST(COUNT(*) AS BIGINT) AS n_toks,
+        |    ROUND((SUM(ln(cd)) - COUNT(*) * ln(td)
+        |           - SUM(ln(cg)) + COUNT(*) * ln(tg)) / COUNT(*), 4)
+        |      AS excess_nats
+        |  FROM tok2 t JOIN cd USING (lang, w) JOIN cg USING (w)
+        |  JOIN td ON td.lang = t.lang CROSS JOIN tg
+        |  GROUP BY doc_id, t.lang, td, tg)
+        |SELECT doc_id, lang, n_toks, excess_nats
+        |FROM per ORDER BY excess_nats DESC, doc_id LIMIT 50""".stripMargin)
   )
 }

@@ -171,6 +171,9 @@ class PlanLintInventorySpec extends SparkSpec {
     // rank window; per-domain hash ranks ride (lang, nibble) partitions
     "curate_temperature_sample" ->
       Map("CARTESIAN_PRODUCT" -> 7, "GLOBAL_WINDOW" -> 1),
+    // rho-loss selection (r13): the one-row T_g total broadcast riding
+    // a crossJoin (the curate_doremi class)
+    "curate_rho_loss" -> Map("CARTESIAN_PRODUCT" -> 1),
     "text_inverted_index" -> Map("NON_EQUI_JOIN" -> 1),
     "text_nb_lang" -> Map("CARTESIAN_PRODUCT" -> 2),
     "text_pmi_topk" -> Map("CARTESIAN_PRODUCT" -> 2),

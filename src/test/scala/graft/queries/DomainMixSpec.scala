@@ -42,6 +42,32 @@ class DomainMixSpec extends SparkSpec {
     }
   }
 
+  test("rho-loss: disjoint-vocabulary domains get the exact closed-form excess") {
+    import spark.implicits._
+    // en and de vocabularies are disjoint, so c_d(w) == c_g(w) for every
+    // token and per-doc excess reduces to ln(Tg/Td) exactly — for EVERY
+    // doc of the domain, matching the domain-level DoReMi constant.
+    val docs = Seq(
+      (0L, "aa bb cc", "en"), (1L, "aa bb", "en"),
+      (2L, "xx yy", "de"))
+      .map { case (id, t, l) => (id, t, l, "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = Files.createTempDirectory("rho").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = DomainMixOps.defs("curate_rho_loss").run(spark, dir).collect()
+    val tg = 7.0
+    val expect = Map("en" -> math.log(tg / 5.0), "de" -> math.log(tg / 2.0))
+    rows.foreach { r =>
+      val want = BigDecimal(expect(r.getString(1)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) == want,
+        s"doc ${r.getLong(0)}: ${r.getDouble(3)} != $want")
+    }
+    // de is the smaller domain -> larger ln(Tg/Td) -> ranks first.
+    assert(rows.head.getString(1) == "de")
+    assert(rows.length == 3)
+  }
+
   test("weight is monotone in excess loss") {
     val rows = run("/root/testdata/sf0.001")
       .map(r => (r.getDouble(2), r.getDouble(3))).sortBy(_._1)
