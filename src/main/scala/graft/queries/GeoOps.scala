@@ -92,25 +92,45 @@ object GeoOps {
         |FROM wcode ORDER BY c_custkey""".stripMargin),
 
     // §2 25ha geohash-cell nearest-supplier join: customers and
-    // suppliers bucket into 32 top-level geohash cells (first char =
-    // top 5 interleaved bits) and join ONLY within a cell — the
-    // spatial analogue of the LSH-bucket join; the supplier side is
-    // dimension-scale, so Catalyst broadcasts it. Nearest supplier per
-    // customer is a struct-min PARTIAL aggregate (map-side state is
-    // one pair per customer); output is the global 20 closest pairs.
-    // Like every grid ANN, cross-cell-boundary neighbors are excluded
-    // by construction — the oracle applies the identical cell rule.
+    // suppliers bucket into geohash cells and join ONLY within a cell —
+    // the spatial analogue of the LSH-bucket join. Cell DEPTH SCALES
+    // with the supplier count (one more geohash char per 32× growth,
+    // the 25ji planesFor discipline): a FIXED 32-cell grid makes the
+    // candidate pair count O(n_cust·n_supp/32) — quadratic under
+    // uniform scale-up; the r13 full-inventory sf10 sweep measured it
+    // as ~4.7 BILLION pairs grinding a single straggler partition.
+    // With depth = 1 + ⌊log32(n_supp/1000)⌋ the per-cell supplier
+    // population is bounded, so pairs stay linear in the customer
+    // count; gate scales keep depth 1, so sub-sf1 results are
+    // unchanged. The supplier side is dimension-scale and is
+    // broadcast EXPLICITLY — at sf10 its ~100k rows silently crossed
+    // the auto-broadcast threshold into a sort-merge join on a
+    // 32-value key (the second half of the same sweep finding).
+    // Nearest supplier per customer is a struct-min PARTIAL aggregate
+    // (map-side state is one pair per customer); output is the global
+    // 20 closest pairs. Like every grid ANN, cross-cell-boundary
+    // neighbors are excluded by construction — the oracle applies the
+    // identical depth rule and cell construction bit-for-bit.
     "q_geo_cell_join" -> QDef(
       (s, dir) => {
-        val cust = custPoints(s, dir)
-          .withColumn("cell", substring(GraftFunctions.geohash6(col("clat"), col("clon")), 1, 1))
-        val supp = suppPoints(s, dir)
-          .withColumn("cell", substring(GraftFunctions.geohash6(col("slat"), col("slon")), 1, 1))
+        val ns = Tables(s, dir, "supplier").agg(count(lit(1)).as("ns"))
+        val depth = greatest(lit(1),
+          (lit(1) + floor(log(col("ns") / 1000.0) / math.log(32.0))).cast("int"))
+        val cust = custPoints(s, dir).crossJoin(broadcast(ns))
+          .withColumn("cell",
+            GraftFunctions.geohash6(col("clat"), col("clon"))
+              .substr(lit(1), depth))
+          .drop("ns")
+        val supp = suppPoints(s, dir).crossJoin(broadcast(ns))
+          .withColumn("cell",
+            GraftFunctions.geohash6(col("slat"), col("slon"))
+              .substr(lit(1), depth))
+          .drop("ns")
         // Rank on dist rounded to 6 dp (like every ANN path here):
         // sin/cos/asin can differ from the oracle's libm by ulps, and an
         // unrounded near-tie could flip the per-customer argmin or the
         // global top-20 cut on one engine only.
-        cust.join(supp, "cell")
+        cust.join(broadcast(supp), "cell")
           .withColumn("dist",
             round(haversineKm(col("clat"), col("clon"), col("slat"), col("slon")), 6))
           .groupBy("c_custkey")
@@ -123,7 +143,11 @@ object GeoOps {
           .select(col("c_custkey"), col("s_suppkey"),
             round(col("dist"), 3).as("dist_km"))
       },
-      """WITH cust AS (
+      """WITH nsup AS (
+        |  SELECT GREATEST(1, 1 + CAST(FLOOR(ln(COUNT(*) / 1000.0) / ln(32.0)) AS INT))
+        |    AS depth
+        |  FROM supplier),
+        |cust AS (
         |  SELECT c_custkey,
         |    (c_custkey * 7919 % 18000) / 100.0 - 90.0 AS clat,
         |    (c_custkey * 104729 % 36000) / 100.0 - 180.0 AS clon
@@ -133,24 +157,50 @@ object GeoOps {
         |    (s_suppkey * 12553 % 18000) / 100.0 - 90.0 AS slat,
         |    (s_suppkey * 30011 % 36000) / 100.0 - 180.0 AS slon
         |  FROM supplier),
-        |cc AS (
-        |  SELECT *, substr('0123456789bcdefghjkmnpqrstuvwxyz',
-        |    CAST(16 * ((CAST(FLOOR((clon + 180.0) / 360.0 * 32768.0) AS BIGINT) >> 14) & 1)
-        |       + 8 * ((CAST(FLOOR((clat + 90.0) / 180.0 * 32768.0) AS BIGINT) >> 14) & 1)
-        |       + 4 * ((CAST(FLOOR((clon + 180.0) / 360.0 * 32768.0) AS BIGINT) >> 13) & 1)
-        |       + 2 * ((CAST(FLOOR((clat + 90.0) / 180.0 * 32768.0) AS BIGINT) >> 13) & 1)
-        |       + 1 * ((CAST(FLOOR((clon + 180.0) / 360.0 * 32768.0) AS BIGINT) >> 12) & 1)
-        |      AS INT) + 1, 1) AS cell
+        |cq AS (
+        |  SELECT c_custkey, clat, clon,
+        |    GREATEST(0, LEAST(32767,
+        |      CAST(FLOOR((clat + 90.0) / 180.0 * 32768.0) AS BIGINT))) AS latq,
+        |    GREATEST(0, LEAST(32767,
+        |      CAST(FLOOR((clon + 180.0) / 360.0 * 32768.0) AS BIGINT))) AS lonq
         |  FROM cust),
-        |sc AS (
-        |  SELECT *, substr('0123456789bcdefghjkmnpqrstuvwxyz',
-        |    CAST(16 * ((CAST(FLOOR((slon + 180.0) / 360.0 * 32768.0) AS BIGINT) >> 14) & 1)
-        |       + 8 * ((CAST(FLOOR((slat + 90.0) / 180.0 * 32768.0) AS BIGINT) >> 14) & 1)
-        |       + 4 * ((CAST(FLOOR((slon + 180.0) / 360.0 * 32768.0) AS BIGINT) >> 13) & 1)
-        |       + 2 * ((CAST(FLOOR((slat + 90.0) / 180.0 * 32768.0) AS BIGINT) >> 13) & 1)
-        |       + 1 * ((CAST(FLOOR((slon + 180.0) / 360.0 * 32768.0) AS BIGINT) >> 12) & 1)
-        |      AS INT) + 1, 1) AS cell
+        |ccode AS (
+        |  SELECT c_custkey, clat, clon,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, 15)),
+        |      (acc, i) -> acc
+        |        + ((lonq >> CAST(14 - i AS INT)) & 1) * (CAST(1 AS BIGINT) << CAST(29 - 2 * i AS INT))
+        |        + ((latq >> CAST(14 - i AS INT)) & 1) * (CAST(1 AS BIGINT) << CAST(28 - 2 * i AS INT)))
+        |      AS code
+        |  FROM cq),
+        |cc AS (
+        |  SELECT c_custkey, clat, clon,
+        |    array_to_string(list_transform(range(0, depth),
+        |      j -> substr('0123456789bcdefghjkmnpqrstuvwxyz',
+        |                  CAST((code >> CAST(25 - 5 * j AS INT)) & 31 AS INT) + 1, 1)), '')
+        |      AS cell
+        |  FROM ccode CROSS JOIN nsup),
+        |sq AS (
+        |  SELECT s_suppkey, slat, slon,
+        |    GREATEST(0, LEAST(32767,
+        |      CAST(FLOOR((slat + 90.0) / 180.0 * 32768.0) AS BIGINT))) AS latq,
+        |    GREATEST(0, LEAST(32767,
+        |      CAST(FLOOR((slon + 180.0) / 360.0 * 32768.0) AS BIGINT))) AS lonq
         |  FROM supp),
+        |scode AS (
+        |  SELECT s_suppkey, slat, slon,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, 15)),
+        |      (acc, i) -> acc
+        |        + ((lonq >> CAST(14 - i AS INT)) & 1) * (CAST(1 AS BIGINT) << CAST(29 - 2 * i AS INT))
+        |        + ((latq >> CAST(14 - i AS INT)) & 1) * (CAST(1 AS BIGINT) << CAST(28 - 2 * i AS INT)))
+        |      AS code
+        |  FROM sq),
+        |sc AS (
+        |  SELECT s_suppkey, slat, slon,
+        |    array_to_string(list_transform(range(0, depth),
+        |      j -> substr('0123456789bcdefghjkmnpqrstuvwxyz',
+        |                  CAST((code >> CAST(25 - 5 * j AS INT)) & 31 AS INT) + 1, 1)), '')
+        |      AS cell
+        |  FROM scode CROSS JOIN nsup),
         |pairs AS (
         |  SELECT c_custkey, s_suppkey,
         |    ROUND(12742.0 * ASIN(SQRT(
