@@ -39,6 +39,17 @@ object GeoOps {
       lat(col("s_suppkey"), 12553L).as("slat"),
       lon(col("s_suppkey"), 30011L).as("slon"))
 
+  /** Geohash-cell depth for the cell join: one more character (32×
+    * more cells) per 32× supplier growth, so per-cell population — and
+    * with it the candidate pair count per customer — stays bounded at
+    * any corpus size (the 25ji planesFor discipline; the r13 sf10
+    * sweep measured the fixed-depth variant at ~4.7B pairs).
+    * GeoOpsSpec pins the scaling table.
+    */
+  private[queries] def cellDepth(nSupp: Column): Column =
+    greatest(lit(1),
+      (lit(1) + floor(log(nSupp / 1000.0) / math.log(32.0))).cast("int"))
+
   /** Haversine great-circle distance in km, one fixed operand order. */
   private def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
     val dlat = radians(lat2 - lat1) / 2.0
@@ -114,8 +125,7 @@ object GeoOps {
     "q_geo_cell_join" -> QDef(
       (s, dir) => {
         val ns = Tables(s, dir, "supplier").agg(count(lit(1)).as("ns"))
-        val depth = greatest(lit(1),
-          (lit(1) + floor(log(col("ns") / 1000.0) / math.log(32.0))).cast("int"))
+        val depth = cellDepth(col("ns"))
         val cust = custPoints(s, dir).crossJoin(broadcast(ns))
           .withColumn("cell",
             GraftFunctions.geohash6(col("clat"), col("clon"))

@@ -53,6 +53,22 @@ class GeoOpsSpec extends SparkSpec {
       GeohashKernel.encode(89.999999, 179.999999).toString)
   }
 
+  test("cell depth scales one geohash char per 32x supplier growth") {
+    import spark.implicits._
+    // The r13 sf10 sweep finding: fixed depth makes the cell join
+    // quadratic. Pin the scaling table so a regression to fixed
+    // geometry fails here, not at 100x scale.
+    val rows = Seq(10L, 100L, 1000L, 10000L, 31999L, 32000L, 100000L,
+        1024000L, 32768000L)
+      .toDF("ns").select(col("ns"), GeoOps.cellDepth(col("ns")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows(10L) == 1 && rows(100L) == 1 && rows(1000L) == 1)
+    assert(rows(10000L) == 1 && rows(31999L) == 1)
+    assert(rows(32000L) == 2, "first 32x boundary")
+    assert(rows(100000L) == 2, "the sf10 supplier count")
+    assert(rows(1024000L) == 3 && rows(32768000L) == 4)
+  }
+
   test("cell join: every reported pair shares a cell and is cell-locally nearest") {
     val out = GeoOps.defs("q_geo_cell_join").run(spark, dir).collect()
     assert(out.nonEmpty)
