@@ -90,6 +90,13 @@ def main():
     mem = os.environ.get("DUCKDB_MEMORY_LIMIT")
     if mem:
         con.execute(f"SET memory_limit='{mem}'")
+    # Per-process spill dir: concurrent compares sharing one cwd would
+    # otherwise all write .tmp/duckdb_temp_storage-N.tmp and clobber
+    # each other's spill (observed in the r13 sf10 sweep as IO errors,
+    # aborts and one GPF once several oracles spilled at once).
+    tmp = f".tmp/duckdb_{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmp}'")
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(path):
