@@ -174,6 +174,9 @@ class PlanLintInventorySpec extends SparkSpec {
     // rho-loss selection (r13): the one-row T_g total broadcast riding
     // a crossJoin (the curate_doremi class)
     "curate_rho_loss" -> Map("CARTESIAN_PRODUCT" -> 1),
+    // r13 cell-depth scaling: the one-row supplier-count frame
+    // broadcast onto both join sides (bounded one-row class)
+    "q_geo_cell_join" -> Map("NON_EQUI_JOIN" -> 2),
     "text_inverted_index" -> Map("NON_EQUI_JOIN" -> 1),
     "text_nb_lang" -> Map("CARTESIAN_PRODUCT" -> 2),
     "text_pmi_topk" -> Map("CARTESIAN_PRODUCT" -> 2),
