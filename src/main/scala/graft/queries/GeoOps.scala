@@ -44,11 +44,20 @@ object GeoOps {
     * with it the candidate pair count per customer — stays bounded at
     * any corpus size (the 25ji planesFor discipline; the r13 sf10
     * sweep measured the fixed-depth variant at ~4.7B pairs).
-    * GeoOpsSpec pins the scaling table.
+    * Integer threshold comparisons (1000·32^k), NOT
+    * floor(ln(ns/1000)/ln 32): the float log ratio can differ by an
+    * ulp between engines at exact boundary counts (e.g. ns=32000),
+    * which would silently flip every cell assignment corpus-wide.
+    * Capped at 6 — a geohash6 has six characters.
+    * GeoOpsSpec pins the scaling table including the boundaries.
     */
   private[queries] def cellDepth(nSupp: Column): Column =
-    greatest(lit(1),
-      (lit(1) + floor(log(nSupp / 1000.0) / math.log(32.0))).cast("int"))
+    (lit(1) +
+      when(nSupp >= 32000L, 1).otherwise(0) +
+      when(nSupp >= 1024000L, 1).otherwise(0) +
+      when(nSupp >= 32768000L, 1).otherwise(0) +
+      when(nSupp >= 1048576000L, 1).otherwise(0) +
+      when(nSupp >= 33554432000L, 1).otherwise(0)).cast("int")
 
   /** Haversine great-circle distance in km, one fixed operand order. */
   private def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
@@ -154,8 +163,11 @@ object GeoOps {
             round(col("dist"), 3).as("dist_km"))
       },
       """WITH nsup AS (
-        |  SELECT GREATEST(1, 1 + CAST(FLOOR(ln(COUNT(*) / 1000.0) / ln(32.0)) AS INT))
-        |    AS depth
+        |  SELECT 1 + CAST(COUNT(*) >= 32000 AS INT)
+        |       + CAST(COUNT(*) >= 1024000 AS INT)
+        |       + CAST(COUNT(*) >= 32768000 AS INT)
+        |       + CAST(COUNT(*) >= 1048576000 AS INT)
+        |       + CAST(COUNT(*) >= 33554432000 AS INT) AS depth
         |  FROM supplier),
         |cust AS (
         |  SELECT c_custkey,

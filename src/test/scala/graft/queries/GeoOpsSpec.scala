@@ -59,14 +59,19 @@ class GeoOpsSpec extends SparkSpec {
     // quadratic. Pin the scaling table so a regression to fixed
     // geometry fails here, not at 100x scale.
     val rows = Seq(10L, 100L, 1000L, 10000L, 31999L, 32000L, 100000L,
-        1024000L, 32768000L)
+        1023999L, 1024000L, 32768000L, 1048576000L, 33554432000L,
+        999999999999L)
       .toDF("ns").select(col("ns"), GeoOps.cellDepth(col("ns")).as("d"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(rows(10L) == 1 && rows(100L) == 1 && rows(1000L) == 1)
     assert(rows(10000L) == 1 && rows(31999L) == 1)
-    assert(rows(32000L) == 2, "first 32x boundary")
+    assert(rows(32000L) == 2, "first 32x boundary — exact (integer " +
+      "thresholds, not a float log that could be off by an ulp)")
     assert(rows(100000L) == 2, "the sf10 supplier count")
-    assert(rows(1024000L) == 3 && rows(32768000L) == 4)
+    assert(rows(1023999L) == 2 && rows(1024000L) == 3)
+    assert(rows(32768000L) == 4 && rows(1048576000L) == 5)
+    assert(rows(33554432000L) == 6 && rows(999999999999L) == 6,
+      "depth caps at 6 — a geohash6 has six characters")
   }
 
   test("cell join: every reported pair shares a cell and is cell-locally nearest") {

@@ -14,9 +14,11 @@ byte-for-byte replica of the driver's gate and stays boring; parity of
 this file against it is proven by running both over the full sf0.01
 inventory (see SURVEY §6) before any sweep trusts the fast path.
 """
+import atexit
 import json
 import math
 import os
+import shutil
 import sys
 
 import duckdb
@@ -94,8 +96,11 @@ def main():
     # otherwise all write .tmp/duckdb_temp_storage-N.tmp and clobber
     # each other's spill (observed in the r13 sf10 sweep as IO errors,
     # aborts and one GPF once several oracles spilled at once).
+    # Removed on exit so repeated sweeps don't accumulate stale spill
+    # dirs under .tmp/ (crash leftovers included — rmtree, not rmdir).
     tmp = f".tmp/duckdb_{os.getpid()}"
     os.makedirs(tmp, exist_ok=True)
+    atexit.register(shutil.rmtree, tmp, True)
     con.execute(f"SET temp_directory='{tmp}'")
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"

@@ -31,9 +31,15 @@ Usage:
             MORE replicas of the best base rows, so the sfB slice is
             not a replica-prefix of sfA's — check 1 weakens to
             "every normalized sfB row appears among sfA's rows"
-            (base-tuple subset), checks 2-3 unchanged.
+            (base-tuple subset), and check 3 (replica isomorphism) is
+            SKIPPED: a top-k cut landing mid tie-group gives unequal
+            per-replica counts even for a correct operator, so
+            isomorphism is not an invariant of the sliced output.
+            The factorB positional is REQUIRED (enforced) — the slice
+            need not surface every replica, so inferring the factor
+            from MAX(id)//OFF would bias the --scaled ratio.
 
-Exit 0 iff all three checks hold.
+Exit 0 iff all checks hold.
 """
 import sys
 
@@ -66,6 +72,12 @@ def main():
         if argv[i] == "--scaled":
             c, p = argv[i + 1].split(":")
             scaled[c] = float(p)
+    if key is None or ids is None:
+        sys.exit("usage error: --key and --ids are required")
+    if topk and len(args) < 4:
+        sys.exit("usage error: --topk requires the explicit factorB "
+                 "positional (a sliced output need not surface every "
+                 "replica, so it cannot be inferred)")
     con = duckdb.connect()
     con.execute("SET memory_limit='8GB'; SET threads=4")
     pa = f"'{out_a}/{key}/*.parquet'"
@@ -98,6 +110,10 @@ def main():
 
     # 1. prefix equality (normalized rows, sfB replicas 0..a-1 vs sfA);
     #    with --topk, base-tuple subset instead (see module doc).
+    #    MULTISET semantics: compare (row, COUNT(*)) pairs, not row
+    #    sets — equal counts with equal row SETS could hide
+    #    compensating multiplicity differences for outputs whose rows
+    #    aren't key-unique (X twice + Y once vs X once + Y twice).
     if topk:
         na, nb_, d1 = con.execute(f"""
           WITH sa AS (SELECT {rowa} AS r FROM {pa}),
@@ -112,11 +128,13 @@ def main():
     else:
         pred = " AND ".join(f"{c} < {factor_a}*{OFF}" for c in ids)
         na, nb_, d1, d2 = con.execute(f"""
-          WITH sa AS (SELECT {rowa} AS r FROM {pa}),
-               sb AS (SELECT {rowb} AS r FROM {pb} WHERE {pred})
-          SELECT (SELECT COUNT(*) FROM sa), (SELECT COUNT(*) FROM sb),
-            (SELECT COUNT(*) FROM (SELECT r FROM sb EXCEPT SELECT r FROM sa)),
-            (SELECT COUNT(*) FROM (SELECT r FROM sa EXCEPT SELECT r FROM sb))
+          WITH sa AS (SELECT {rowa} AS r, COUNT(*) AS n FROM {pa} GROUP BY 1),
+               sb AS (SELECT {rowb} AS r, COUNT(*) AS n
+                      FROM {pb} WHERE {pred} GROUP BY 1)
+          SELECT (SELECT COALESCE(SUM(n), 0) FROM sa),
+                 (SELECT COALESCE(SUM(n), 0) FROM sb),
+            (SELECT COUNT(*) FROM (SELECT r, n FROM sb EXCEPT SELECT r, n FROM sa)),
+            (SELECT COUNT(*) FROM (SELECT r, n FROM sa EXCEPT SELECT r, n FROM sb))
         """).fetchone()
         if not (na == nb_ and d1 == 0 and d2 == 0):
             ok = False
@@ -131,18 +149,22 @@ def main():
             ok = False
             print(f"FAIL {key}: {leak} cross-replica rows")
 
-    # 3. replica isomorphism
-    reps, dn, dh = con.execute(f"""
-      WITH per AS (
-        SELECT {ids[0]} // {OFF} AS r, COUNT(*) AS n,
-               md5(string_agg({rowb}, ',' ORDER BY {rowb})) AS h
-        FROM {pb} GROUP BY 1)
-      SELECT COUNT(*), COUNT(DISTINCT n), COUNT(DISTINCT h) FROM per
-    """).fetchone()
-    if not (dn == 1 and dh == 1):
-        ok = False
-        print(f"FAIL {key}: replicas={reps} distinct_counts={dn} "
-              f"distinct_structures={dh}")
+    # 3. replica isomorphism — NOT an invariant under --topk (a top-k
+    #    cut landing mid tie-group gives unequal per-replica counts
+    #    even for a correct operator), so skip it there.
+    reps = "skipped(topk)"
+    if not topk:
+        reps, dn, dh = con.execute(f"""
+          WITH per AS (
+            SELECT {ids[0]} // {OFF} AS r, COUNT(*) AS n,
+                   md5(string_agg({rowb}, ',' ORDER BY {rowb})) AS h
+            FROM {pb} GROUP BY 1)
+          SELECT COUNT(*), COUNT(DISTINCT n), COUNT(DISTINCT h) FROM per
+        """).fetchone()
+        if not (dn == 1 and dh == 1):
+            ok = False
+            print(f"FAIL {key}: replicas={reps} distinct_counts={dn} "
+                  f"distinct_structures={dh}")
 
     if ok:
         print(f"PASS {key} (prefix={na} rows, replicas={reps}, ratio={ratio:g})")
