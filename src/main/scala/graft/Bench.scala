@@ -22,6 +22,13 @@ object Bench {
       }
       rm(localDir)
     }
+    // NOTE on llm_curate_e2e_v2: the fused in-memory stage mode
+    // (-Dgraft.e2e2.fused=1, see Dag's `materialize` doc) was built and
+    // A/B-measured here at sf0.1 — fused 9.0/9.1s vs materializing
+    // 8.9/9.1s. The r13 "job-COUNT-bound" hypothesis is REFUTED: the
+    // chain is compute-bound (BPE training alone is ~5s of the ~9s;
+    // text_bpe_encode measures it standalone), so the bench stays on
+    // the materializing path — the same path the oracle verifies.
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.local.dir", localDir.getAbsolutePath)

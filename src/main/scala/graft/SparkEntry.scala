@@ -80,7 +80,8 @@ object SparkEntry {
       graft.queries.PipelineE2E2.defs ++
       graft.queries.UnigramLmOps.defs ++
       graft.queries.LineDedupOps.defs ++
-      graft.queries.DomainMixOps.defs
+      graft.queries.DomainMixOps.defs ++
+      graft.queries.KnModifiedOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -47,6 +47,38 @@ object CCNetOps {
       .select(col("doc_id"), col("n_toks"),
         round((col("slc") - col("n_toks") * log(col("t"))) / col("n_toks"), 4)
           .as("avg_logprob"))
+    rankFromLp(lp)
+  }
+
+  /** Per-doc (doc_id, w, c) term counts — the maintained state shape of
+    * the streaming anneal twin ([[graft.streaming.AnnealStream]]): the
+    * tokenization is done ONCE per arriving doc, and every global
+    * quantity (word frequencies, scores, terciles, budgets) derives
+    * from this table, so history is never re-tokenized.
+    */
+  private[graft] def docWord(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+
+  /** ccnetRanked recomputed from a docWord table: identical integer
+    * counts; the score's ln-sum runs over TYPES (c·ln cw) instead of
+    * tokens — same value up to float associativity, absorbed by the
+    * established 4-dp round exactly like partition-order noise.
+    */
+  private[graft] def ccnetRankedFromDocWord(dw: DataFrame): DataFrame = {
+    val cw = dw.groupBy("w").agg(sum("c").as("cw"))
+    val tot = cw.agg(sum("cw").as("t"))
+    val lp = dw.join(cw, "w")
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_toks"), sum(col("c") * log(col("cw"))).as("slc"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n_toks"),
+        round((col("slc") - col("n_toks") * log(col("t"))) / col("n_toks"), 4)
+          .as("avg_logprob"))
+    rankFromLp(lp)
+  }
+
+  private def rankFromLp(lp: DataFrame): DataFrame = {
     val mm = lp.agg(min("avg_logprob").as("lo"), max("avg_logprob").as("hi"),
       count(lit(1)).as("nd"))
     // Head = highest score, so bucket by distance below the max.
@@ -67,6 +99,62 @@ object CCNetOps {
         when(floor(lit(3) * (col("rank") - 1) / col("nd")) === 0, "head")
           .when(floor(lit(3) * (col("rank") - 1) / col("nd")) === 1, "middle")
           .otherwise("tail").as("bucket"))
+  }
+
+  /** The 25jv two-phase curriculum from a tercile-ranked frame (see
+    * the `curate_anneal_schedule` QDef doc below for the full recipe
+    * and scale posture) — shared by the batch operator and the
+    * streaming twin [[graft.streaming.AnnealStream]], which re-runs
+    * it per micro-batch over the maintained docWord state.
+    */
+  private[graft] def annealScheduleFromRanked(rankedIn: DataFrame): DataFrame = {
+    val ranked = rankedIn
+      .select(col("doc_id"), col("n_toks"), col("bucket"),
+        substring(md5(col("doc_id").cast("string")), 1, 12).as("h"))
+      .cache()
+    val bud = ranked.agg(sum("n_toks").as("total"))
+      .withColumn("t_budget", floor(col("total") * 2 / 5))
+      .withColumn("m_budget", floor(col("t_budget") * 4 / 5))
+      .withColumn("a_budget", col("t_budget") - col("m_budget"))
+      .withColumn("qm_head", floor(col("m_budget") * 40 / 100))
+      .withColumn("qm_middle", floor(col("m_budget") * 35 / 100))
+      .withColumn("qm_tail", col("m_budget") - col("qm_head") - col("qm_middle"))
+      .withColumn("qa_head", floor(col("a_budget") * 70 / 100))
+      .withColumn("qa_middle", floor(col("a_budget") * 25 / 100))
+      .withColumn("qa_tail", col("a_budget") - col("qa_head") - col("qa_middle"))
+    // Sub-bucketed prefix sum: sb is h's first hex char, so ordering
+    // by h within (bucket, sb) composes with the sb-ordered offsets
+    // into the exact per-tercile h-order running sum.
+    val sub = ranked.withColumn("sb", substring(col("h"), 1, 1))
+    val offs = sub.groupBy("bucket", "sb").agg(sum("n_toks").as("st"))
+      .withColumn("toff", coalesce(sum("st").over(
+        Window.partitionBy("bucket").orderBy("sb")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "sb", "toff")
+    val cum = sub.join(broadcast(offs), Seq("bucket", "sb"))
+      .withColumn("prev", col("toff") + coalesce(sum("n_toks").over(
+        Window.partitionBy("bucket", "sb").orderBy("h", "doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(bud))
+      .withColumn("qm", when(col("bucket") === "head", col("qm_head"))
+        .when(col("bucket") === "middle", col("qm_middle"))
+        .otherwise(col("qm_tail")))
+      .withColumn("qa", when(col("bucket") === "head", col("qa_head"))
+        .when(col("bucket") === "middle", col("qa_middle"))
+        .otherwise(col("qa_tail")))
+      .withColumn("is_main", col("prev") < col("qm"))
+      .cache()
+    val mt = cum.groupBy("bucket")
+      .agg(sum(when(col("is_main"), col("n_toks")).otherwise(lit(0L))).as("mt"))
+    cum.join(broadcast(mt), "bucket")
+      .withColumn("phase", when(col("is_main"), "main")
+        .when(col("prev") - col("mt") < col("qa"), "anneal"))
+      .filter(col("phase").isNotNull)
+      .select(col("phase"), col("bucket"), col("doc_id"), col("n_toks"),
+        when(col("is_main"), col("qm")).otherwise(col("qa")).as("quota_toks"),
+        (col("prev") - when(col("is_main"), lit(0L)).otherwise(col("mt")))
+          .as("phase_cum_before"))
+      .orderBy("phase", "bucket", "doc_id")
   }
 
   def defs: Map[String, QDef] = Map(
@@ -114,55 +202,7 @@ object CCNetOps {
     // window); budgets are a 1-row broadcast; main-phase token totals a
     // 3-row broadcast. All counts integral → exact cross-engine hash.
     "curate_anneal_schedule" -> QDef(
-      (s, dir) => {
-        val ranked = ccnetRanked(s, dir)
-          .select(col("doc_id"), col("n_toks"), col("bucket"),
-            substring(md5(col("doc_id").cast("string")), 1, 12).as("h"))
-          .cache()
-        val bud = ranked.agg(sum("n_toks").as("total"))
-          .withColumn("t_budget", floor(col("total") * 2 / 5))
-          .withColumn("m_budget", floor(col("t_budget") * 4 / 5))
-          .withColumn("a_budget", col("t_budget") - col("m_budget"))
-          .withColumn("qm_head", floor(col("m_budget") * 40 / 100))
-          .withColumn("qm_middle", floor(col("m_budget") * 35 / 100))
-          .withColumn("qm_tail", col("m_budget") - col("qm_head") - col("qm_middle"))
-          .withColumn("qa_head", floor(col("a_budget") * 70 / 100))
-          .withColumn("qa_middle", floor(col("a_budget") * 25 / 100))
-          .withColumn("qa_tail", col("a_budget") - col("qa_head") - col("qa_middle"))
-        // Sub-bucketed prefix sum: sb is h's first hex char, so ordering
-        // by h within (bucket, sb) composes with the sb-ordered offsets
-        // into the exact per-tercile h-order running sum.
-        val sub = ranked.withColumn("sb", substring(col("h"), 1, 1))
-        val offs = sub.groupBy("bucket", "sb").agg(sum("n_toks").as("st"))
-          .withColumn("toff", coalesce(sum("st").over(
-            Window.partitionBy("bucket").orderBy("sb")
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select("bucket", "sb", "toff")
-        val cum = sub.join(broadcast(offs), Seq("bucket", "sb"))
-          .withColumn("prev", col("toff") + coalesce(sum("n_toks").over(
-            Window.partitionBy("bucket", "sb").orderBy("h", "doc_id")
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .crossJoin(broadcast(bud))
-          .withColumn("qm", when(col("bucket") === "head", col("qm_head"))
-            .when(col("bucket") === "middle", col("qm_middle"))
-            .otherwise(col("qm_tail")))
-          .withColumn("qa", when(col("bucket") === "head", col("qa_head"))
-            .when(col("bucket") === "middle", col("qa_middle"))
-            .otherwise(col("qa_tail")))
-          .withColumn("is_main", col("prev") < col("qm"))
-          .cache()
-        val mt = cum.groupBy("bucket")
-          .agg(sum(when(col("is_main"), col("n_toks")).otherwise(lit(0L))).as("mt"))
-        cum.join(broadcast(mt), "bucket")
-          .withColumn("phase", when(col("is_main"), "main")
-            .when(col("prev") - col("mt") < col("qa"), "anneal"))
-          .filter(col("phase").isNotNull)
-          .select(col("phase"), col("bucket"), col("doc_id"), col("n_toks"),
-            when(col("is_main"), col("qm")).otherwise(col("qa")).as("quota_toks"),
-            (col("prev") - when(col("is_main"), lit(0L)).otherwise(col("mt")))
-              .as("phase_cum_before"))
-          .orderBy("phase", "bucket", "doc_id")
-      },
+      (s, dir) => annealScheduleFromRanked(ccnetRanked(s, dir)),
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |cw AS (SELECT w, COUNT(*) AS cw FROM tok GROUP BY w),

@@ -236,52 +236,74 @@ object GraphAnnOps {
     BeamResult(top, hopCounts.toSeq, pool.toSeq.map { case ((q, id), s) => (q, id, s) })
   }
 
-  /** Graph ANN top-10 for the 10 probe queries over the embeddings
-    * table — build + search.
+  /** A built two-layer NSW index, ready to search (or persist):
+    * dedup-group representatives + membership, the layer-0 edge list,
+    * and the ~√n HNSW entry layer with its own edge list.
     */
-  def graphTopK(s: SparkSession, dir: String): DataFrame = {
-    val eAll = Eval.barrier(Eval.fanOut(
-      emb(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v")))).cache()
-    // VERBATIM-DUPLICATE groups collapse to ONE graph node before the
-    // build: an NSW graph over duplicated vectors degenerates into
-    // disjoint cliques of copies — every degree slot is taken by a
-    // cosine-1.0 twin, so the walk has no edge OUT of its entry clique.
-    // The r12 sf1 sweep measured exactly that on the 10×-replicated
-    // corpus: visited stuck at 360 and recall 0 regardless of hop/beam
-    // budget. Production ANN indexes dedupe before building for this
-    // reason; representatives keep the navigable property, and the
-    // final top-k re-expands to group members (identical cosine,
-    // id-ascending ties — the exact baseline's own order). gid is an
-    // 8-byte value hash, so the group tables join on a narrow key,
-    // never on raw vectors.
+  final case class GraphIndex(
+      reps: DataFrame,     // (gid, vec_id, v) — one node per dup group
+      members: DataFrame,  // (gid, vec_id) — every corpus member
+      graph: DataFrame,    // (vec_id, nbr) — layer-0 bounded-degree edges
+      layer1: DataFrame,   // (vec_id, v) — md5-least ~√n sample
+      graph1: DataFrame,   // (vec_id, nbr) — entry-layer edges
+      nReps: Long, l1n: Int)
+
+  /** Build the two-layer index over a (vec_id, v) corpus frame.
+    *
+    * VERBATIM-DUPLICATE groups collapse to ONE graph node before the
+    * build: an NSW graph over duplicated vectors degenerates into
+    * disjoint cliques of copies — every degree slot is taken by a
+    * cosine-1.0 twin, so the walk has no edge OUT of its entry clique.
+    * The r12 sf1 sweep measured exactly that on the 10×-replicated
+    * corpus: visited stuck at 360 and recall 0 regardless of hop/beam
+    * budget. Production ANN indexes dedupe before building for this
+    * reason; representatives keep the navigable property, and the
+    * final top-k re-expands to group members (identical cosine,
+    * id-ascending ties — the exact baseline's own order). gid is an
+    * 8-byte value hash, so the group tables join on a narrow key,
+    * never on raw vectors.
+    *
+    * HNSW ENTRY LAYER (r13; single-layer NSW needs ~log_degree(n) hops
+    * to cross the graph — the r12 budget grew +1 hop per 8× corpus
+    * growth, i.e. +1 corpus scan per 8×. A sampled upper layer restores
+    * a CONSTANT layer-0 budget): layer 1 is the md5-least ~√n
+    * representatives (deterministic, the trainSample discipline) with
+    * its own bounded-degree graph; the walk first navigates layer 1 —
+    * whose per-hop jobs touch only the √n-row sample, so even its
+    * log(√n) budget costs no corpus scans — and hands each query its
+    * top `Entries` layer-1 nodes as layer-0 entry points. Entering
+    * layer 0 already inside the query's neighborhood, the corpus-scan
+    * hop budget stays the constant `Hops` at every n (pinned by
+    * GraphAnnSpec; recall re-proven at sf1/sf10 by the scale sweeps).
+    */
+  def buildIndex(eAll: DataFrame): GraphIndex = {
     val keyed = eAll.select(col("vec_id"), col("v"), xxhash64(col("v")).as("gid"))
     val reps = keyed.groupBy("gid")
       .agg(min("vec_id").as("vec_id"), min_by(col("v"), col("vec_id")).as("v"))
       .cache()
     val nReps = reps.count()
     val graph = buildGraph(reps.select("vec_id", "v"), nHint = nReps).cache()
-    val qs = eAll.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    // HNSW ENTRY LAYER (r13; single-layer NSW needs ~log_degree(n) hops
-    // to cross the graph — the r12 budget grew +1 hop per 8× corpus
-    // growth, i.e. +1 corpus scan per 8×. A sampled upper layer restores
-    // a CONSTANT layer-0 budget): layer 1 is the md5-least ~√n
-    // representatives (deterministic, the trainSample discipline) with
-    // its own bounded-degree graph; the walk first navigates layer 1 —
-    // whose per-hop jobs touch only the √n-row sample, so even its
-    // log(√n) budget costs no corpus scans — and hands each query its
-    // top `Entries` layer-1 nodes as layer-0 entry points. Entering
-    // layer 0 already inside the query's neighborhood, the corpus-scan
-    // hop budget stays the constant `Hops` at every n (pinned by
-    // GraphAnnSpec; recall re-proven at sf1/sf10 by the scale sweeps).
     val l1n = math.max(32, math.ceil(math.sqrt(nReps.toDouble)).toInt)
     val layer1 = reps.select("vec_id", "v")
       .sort(md5(col("vec_id").cast("string")), col("vec_id")).limit(l1n)
       .cache()
     val graph1 = buildGraph(layer1, nHint = l1n)
+    GraphIndex(reps.select("gid", "vec_id", "v"),
+      keyed.select("gid", "vec_id"), graph, layer1, graph1, nReps, l1n)
+  }
+
+  /** Search a built (or loaded) index: layer-1 navigation seeds the
+    * layer-0 walk; representatives re-expand to duplicate-group
+    * members, re-ranked by the baseline's own (cosine DESC, id ASC)
+    * order with the query itself excluded. Deterministic for a given
+    * index CONTENT (every ranking is a total (score DESC, id ASC)
+    * order and the pool is keyed by (q, id)), so a persisted-then-
+    * loaded index returns bit-identical results — GraphAnnSpec pins it.
+    */
+  def searchIndex(idx: GraphIndex, qs: DataFrame, k: Int = 10): DataFrame = {
     val hops1 = math.max(Hops,
-      math.ceil(math.log(l1n.toDouble) / math.log(Degree)).toInt)
-    val l1 = fusedBeamSearch(layer1, graph1, qs,
+      math.ceil(math.log(idx.l1n.toDouble) / math.log(Degree)).toInt)
+    val l1 = fusedBeamSearch(idx.layer1, idx.graph1, qs,
       k = Entries, hops = hops1, excludeSelf = false)
     val seeds: Map[Long, Seq[Long]] = l1.pool
       .groupBy(_._1).map { case (q, rows) =>
@@ -292,22 +314,105 @@ object GraphAnnOps {
     // (its group carries the query's verbatim twins), but when the
     // query's group is a SINGLETON the expansion filter consumes that
     // slot without producing a row — one spare rep keeps the final
-    // top-10 full in both regimes.
-    val repTop = fusedBeamSearch(reps.select("vec_id", "v"), graph, qs,
-      k = 11, hops = Hops, excludeSelf = false, seeds = Some(seeds)).top
-    // Re-expand representatives to their duplicate-group members: two
-    // map-side broadcasts (the 10×k rep hits against the rep scan for
-    // gid, then against the member table), re-ranked by the baseline's
-    // own (cosine DESC, id ASC) order with the query itself excluded.
-    val repHits = reps.join(
+    // top-k full in both regimes.
+    val repTop = fusedBeamSearch(idx.reps.select("vec_id", "v"), idx.graph, qs,
+      k = k + 1, hops = Hops, excludeSelf = false, seeds = Some(seeds)).top
+    // Two map-side broadcasts (the q×k rep hits against the rep scan
+    // for gid, then against the member table).
+    val repHits = idx.reps.join(
         broadcast(repTop.select(col("q_id"), col("neighbor_id"), col("cosine"))),
-        reps("vec_id") === col("neighbor_id"))
+        idx.reps("vec_id") === col("neighbor_id"))
       .select(col("q_id"), col("gid"), col("cosine"))
-    val expanded = keyed.select(col("gid"), col("vec_id").as("neighbor_id"))
+    val expanded = idx.members.select(col("gid"), col("vec_id").as("neighbor_id"))
       .join(broadcast(repHits), "gid")
       .filter(col("neighbor_id") =!= col("q_id"))
       .select(col("q_id"), col("neighbor_id"), col("cosine"))
-    VectorOps.topKPerQuery(expanded, "cosine", 10)
+    VectorOps.topKPerQuery(expanded, "cosine", k)
+  }
+
+  /** Order/partitioning-independent corpus fingerprint: (row count,
+    * XOR of per-row xxhash64(vec_id, v)). A persisted index is only
+    * valid for the exact corpus it was built from — loadIndex verifies
+    * this, the staleness contract every production ANN store ships.
+    */
+  def corpusFingerprint(e: DataFrame): (Long, Long) = {
+    val r = e.select(xxhash64(col("vec_id"), col("v")).as("h"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x")).collect()(0)
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Persist an index: the four distributed halves as parquet, then
+    * model.json LAST as the commit marker (the IvfPqOps.persistIndex
+    * discipline at IvfPqOps.scala:150 — a die mid-persist leaves no
+    * readable index, never a mismatched edge-list/entry-layer pair).
+    * At production scale the build — LSH-banded candidate generation +
+    * bounded-degree selection over the whole corpus — is the expensive
+    * half; search after load runs fusedBeamSearch UNCHANGED.
+    */
+  def persistIndex(s: SparkSession, indexDir: String, idx: GraphIndex,
+      fingerprint: (Long, Long)): Unit = {
+    idx.reps.write.mode("overwrite").parquet(s"$indexDir/reps")
+    idx.members.write.mode("overwrite").parquet(s"$indexDir/members")
+    idx.graph.write.mode("overwrite").parquet(s"$indexDir/graph")
+    idx.layer1.write.mode("overwrite").parquet(s"$indexDir/layer1")
+    idx.graph1.write.mode("overwrite").parquet(s"$indexDir/graph1")
+    val json = graft.api.Json.write(Map(
+      "corpus_n" -> fingerprint._1, "corpus_hash" -> fingerprint._2,
+      "n_reps" -> idx.nReps, "l1n" -> idx.l1n, "degree" -> Degree))
+    val (fs, root) = graft.streaming.SnapshotStore.fsOf(s, indexDir)
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, "model.json"), true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Load a persisted index for the given corpus, refusing a stale or
+    * uncommitted one.
+    */
+  def loadIndex(s: SparkSession, indexDir: String, e: DataFrame): GraphIndex = {
+    val (fs, root) = graft.streaming.SnapshotStore.fsOf(s, indexDir)
+    val mp = new org.apache.hadoop.fs.Path(root, "model.json")
+    if (!fs.exists(mp))
+      throw graft.api.GraftError.QueryError(
+        s"no committed graph-ANN index at $indexDir (model.json absent)")
+    val bytes = {
+      val in = fs.open(mp)
+      try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    }
+    val obj = graft.api.Json.parse(new String(bytes, "UTF-8"))
+      .asInstanceOf[Map[String, Any]]
+    def l(v: Any): Long = v match {
+      case x: Long => x
+      case x: BigInt => x.toLong
+      case x => x.toString.toLong
+    }
+    val (n, h) = corpusFingerprint(e)
+    if (l(obj("corpus_n")) != n || l(obj("corpus_hash")) != h)
+      throw graft.api.GraftError.QueryError(
+        s"graph-ANN index at $indexDir is stale: built for corpus " +
+          s"(n=${l(obj("corpus_n"))}, hash=${l(obj("corpus_hash"))}), " +
+          s"current corpus is (n=$n, hash=$h)")
+    GraphIndex(
+      s.read.parquet(s"$indexDir/reps"),
+      s.read.parquet(s"$indexDir/members"),
+      s.read.parquet(s"$indexDir/graph"),
+      s.read.parquet(s"$indexDir/layer1"),
+      s.read.parquet(s"$indexDir/graph1"),
+      l(obj("n_reps")), l(obj("l1n")).toInt)
+  }
+
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    Eval.barrier(Eval.fanOut(
+      emb(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v")))).cache()
+
+  private def probeQueries(eAll: DataFrame): DataFrame =
+    eAll.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+
+  /** Graph ANN top-10 for the 10 probe queries over the embeddings
+    * table — build + search.
+    */
+  def graphTopK(s: SparkSession, dir: String): DataFrame = {
+    val eAll = corpus(s, dir)
+    searchIndex(buildIndex(eAll), probeQueries(eAll))
   }
 
   def defs: Map[String, QDef] = Map(
@@ -334,6 +439,42 @@ object GraphAnnOps {
       },
       """SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 10)
         |  * LEAST(10, (SELECT COUNT(*) FROM embeddings) - 1) AS BIGINT) AS n_exact,
-        |  true AS k_ok, true AS recall_ok""".stripMargin)
+        |  true AS k_ok, true AS recall_ok""".stripMargin),
+
+    // §2 25kf graph-ANN index persistence (r13 verdict task 2): build
+    // once, persist (edge lists + entry layer + dup-group tables as
+    // parquet, model.json commit marker carrying the corpus
+    // fingerprint), load back against the SAME corpus, and search both
+    // ways. The driver-checkable contract: the loaded-index search
+    // equals the built-index search EXACTLY (bit-for-bit multiset
+    // equality via exceptAll both ways — search is deterministic in
+    // index content, so persistence must be invisible), plus the k
+    // shape. Stale-corpus rejection and the mid-persist-crash
+    // (no-model.json) refusal are spec-gated in GraphAnnSpec.
+    "ann_graph_persist" -> QDef(
+      (s, dir) => {
+        val eAll = corpus(s, dir)
+        val qs = probeQueries(eAll)
+        val idx = buildIndex(eAll)
+        val built = searchIndex(idx, qs)
+          .select("q_id", "neighbor_id", "cosine", "rank").cache()
+        val indexDir = graft.sources.SourceOps.scratch("annidx", dir)
+        persistIndex(s, indexDir, idx, corpusFingerprint(eAll))
+        val reloaded = searchIndex(loadIndex(s, indexDir, eAll), qs)
+          .select("q_id", "neighbor_id", "cosine", "rank").cache()
+        val diff = built.exceptAll(reloaded)
+          .unionByName(reloaded.exceptAll(built))
+          .agg(count(lit(1)).as("n_diff"))
+        val shape = built.groupBy("q_id").agg(count(lit(1)).as("k"))
+          .agg(min("k").as("kmin"), max("k").as("kmax"),
+            count(lit(1)).as("nq"))
+        diff.crossJoin(shape).select(
+          (col("n_diff") === 0).as("persist_match"),
+          (col("kmin") === 10 && col("kmax") === 10).as("k_ok"),
+          col("nq").cast("long").as("n_queries"))
+      },
+      """SELECT true AS persist_match, true AS k_ok,
+        |  CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) AS BIGINT)
+        |    AS n_queries""".stripMargin)
   )
 }

@@ -35,7 +35,7 @@ object SourceOps {
       }))
   }
 
-  private[sources] def scratch(op: String, dir: String): String = {
+  private[graft] def scratch(op: String, dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val path = s"${sys.props("java.io.tmpdir")}/graft_${op}_${tag}_p${ProcessHandle.current().pid()}"
     scratchDirs.synchronized { scratchDirs += path }

@@ -50,6 +50,11 @@ class PlanLintInventorySpec extends SparkSpec {
     // vec_id =!= q_id / visited-pool guards — the broadcast-bounded
     // candidate class (per-hop rows ≤ q×beam×degree, spec-pinned)
     "ann_graph_topk" -> Map("CARTESIAN_PRODUCT" -> 2, "NON_EQUI_JOIN" -> 2),
+    // persist twin: the built-vs-reloaded parity check crossJoins the
+    // ONE-ROW diff count with the one-row shape aggregate (constant
+    // frames; the fused searches run eagerly before the lint sees the
+    // final plan, so only the parity tail is flagged)
+    "ann_graph_persist" -> Map("CARTESIAN_PRODUCT" -> 1),
     // recall sweep: 5 sweep points × (one-row hits + one-row shape +
     // one-row n_exact) aggregate broadcasts riding along; the window is
     // the lag over the 5-row curve itself (bounded by construction)
@@ -69,6 +74,10 @@ class PlanLintInventorySpec extends SparkSpec {
     "text_kn_bigram" -> Map("CARTESIAN_PRODUCT" -> 1),
     // same class one level up: the one-row mid-level type total B
     "text_kn_trigram" -> Map("CARTESIAN_PRODUCT" -> 1),
+    // modified KN: THREE one-row discount-set broadcasts (per-level
+    // count-of-counts aggregates) instead of the single B broadcast —
+    // same adjudicated constant-frame class as text_kn_bigram/trigram
+    "text_kn_modified" -> Map("CARTESIAN_PRODUCT" -> 3),
     // the one-row (ns, nt) corpus-total aggregate broadcast into the
     // 256-row bucket ratio table — the same adjudicated one-row class
     "curate_dsir_weights" -> Map("CARTESIAN_PRODUCT" -> 1),

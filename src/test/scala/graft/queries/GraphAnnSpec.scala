@@ -76,6 +76,49 @@ class GraphAnnSpec extends SparkSpec {
     assert(run("3") == run("17"))
   }
 
+  test("persisted index search == rebuilt-index search bit-for-bit") {
+    val e = corpus
+    val idx = GraphAnnOps.buildIndex(e)
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val built = GraphAnnOps.searchIndex(idx, qs)
+      .select("q_id", "neighbor_id", "cosine", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sorted.toSeq
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-annidx-").toString
+    GraphAnnOps.persistIndex(spark, dir2, idx, GraphAnnOps.corpusFingerprint(e))
+    val loaded = GraphAnnOps.loadIndex(spark, dir2, e)
+    // The loaded index re-enters fusedBeamSearch UNCHANGED; scores run
+    // through the same Catalyst cosine kernel, so parity is exact.
+    val re = GraphAnnOps.searchIndex(loaded, qs)
+      .select("q_id", "neighbor_id", "cosine", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sorted.toSeq
+    assert(re == built, "persisted-index search diverged from built-index search")
+  }
+
+  test("loadIndex refuses a stale corpus and an uncommitted index") {
+    val e = corpus
+    val idx = GraphAnnOps.buildIndex(e)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-annidx-").toString
+    GraphAnnOps.persistIndex(spark, dir2, idx, GraphAnnOps.corpusFingerprint(e))
+    // Stale: same ids, mutated vectors — fingerprint must differ.
+    val mutated = e.withColumn("v",
+      transform(col("v"), x => x * lit(2.0)))
+    val ex = intercept[graft.api.GraftError.QueryError] {
+      GraphAnnOps.loadIndex(spark, dir2, mutated)
+    }
+    assert(ex.getMessage.contains("stale"))
+    // Mid-persist crash: parquet halves present, model.json absent —
+    // the commit-marker discipline must refuse, never half-load.
+    val dir3 = java.nio.file.Files.createTempDirectory("graft-annidx-").toString
+    idx.graph.write.mode("overwrite").parquet(s"$dir3/graph")
+    val ex2 = intercept[graft.api.GraftError.QueryError] {
+      GraphAnnOps.loadIndex(spark, dir3, e)
+    }
+    assert(ex2.getMessage.contains("model.json absent"))
+  }
+
   test("recall beats IVF-PQ at a lower candidate budget") {
     val e = corpus
     val brute = VectorOps.bruteTopK(spark, dir)

@@ -46,6 +46,24 @@ class PipelineE2E2Spec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("fused (view) stage mode produces the materialized path's exact output") {
+    // The bench measures the fused mode (Bench sets graft.e2e2.fused);
+    // the oracle gate always runs the materializing path. This pin is
+    // what licenses benching one and verifying the other.
+    def rows(materialize: Boolean) = {
+      val gs = PipelineE2E2.runChainSession(spark, dir, materialize = materialize)
+      gs.spark.table("packed")
+        .select("lang", "bin", "n_docs", "bin_tokens", "first_doc", "last_doc", "merges")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getString(6)))
+        .sorted.toSeq
+    }
+    val mat = rows(materialize = true)
+    val fus = rows(materialize = false)
+    assert(mat.nonEmpty && fus == mat, "fused chain diverged from materialized chain")
+  }
+
   test("a failed stage blocks its dependents instead of producing output (engine semantics)") {
     val gs = new graft.engine.SessionManager(spark).create()
     import graft.engine.{Dag, DagTable}
