@@ -65,7 +65,9 @@ object ScaleGen {
     val pos = {
       val drop = args.indexOf("--zipf")
       args.zipWithIndex.collect {
-        case (a, i) if i != drop && i != drop + 1 => a
+        // drop == -1 must keep EVERY arg (otherwise drop+1 == 0 would
+        // silently eat the src positional).
+        case (a, i) if drop == -1 || (i != drop && i != drop + 1) => a
       }
     }
     val (src, dst, factor) =

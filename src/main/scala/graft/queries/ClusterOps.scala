@@ -75,13 +75,28 @@ object ClusterOps {
     // canonical = min doc_id per component, singletons cluster alone.
     "dedup_clusters" -> QDef(
       (s, dir) => {
-        val pairs = TextOps.minhashPairs(s, dir).select("doc_a", "doc_b")
-        val labels = connectedComponents(pairs)
-        val sizes = labels.groupBy("label").agg(count(lit(1)).as("sz"))
+        // Components run on the REP graph (r14, the skewed-sweep
+        // hot-cluster fix — see TextOps.collapseByContent): a verbatim-
+        // duplicate group is ONE node, so a 100-copy clique never enters
+        // the iteration (it would contribute C(100,2) edges per round);
+        // members inherit their rep's component label afterwards. The
+        // labels are identical to doc-level CC: within a group every doc
+        // is pairwise-connected (Jaccard 1.0 ≥ τ), so the group is
+        // always one component, and its min doc_id IS the rep id.
+        val (repPairs, members) = TextOps.minhashRepPairs(s, dir)
+        val labels = connectedComponents(
+          repPairs.select(col("ra").as("doc_a"), col("rb").as("doc_b")))
+        val memberLabel = members
+          .join(labels, members("rep") === labels("id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("label"), col("rep")).as("cluster_id"))
+        val sizes = memberLabel.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+          .withColumnRenamed("cluster_id", "sz_cluster")
         Tables(s, dir, "documents").select(col("doc_id"))
-          .join(labels, col("doc_id") === labels("id"), "left")
-          .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
-          .join(sizes, col("cluster_id") === sizes("label"), "left")
+          .join(memberLabel.withColumnRenamed("cluster_id", "ml_cluster"),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("ml_cluster"), col("doc_id")).as("cluster_id"))
+          .join(sizes, col("cluster_id") === col("sz_cluster"), "left")
           .select(
             col("doc_id"), col("cluster_id"),
             coalesce(col("sz"), lit(1L)).as("cluster_size"),

@@ -69,17 +69,48 @@ object SemDedupOps {
     // identical bucket arithmetic + greedy rule.
     "curate_semdedup" -> QDef(
       (s, dir) => {
-        val e = bucketed(
-          Tables(s, dir, "embeddings")
-            .select(col("vec_id"), asDouble(col("embedding")).as("v")))
+        // VALUE-GROUP COLLAPSE first (r14, the skewed-sweep hot-cluster
+        // fix — the TextOps.collapseByContent discipline for vectors):
+        // verbatim-duplicate vectors share bucket AND pairwise cosine
+        // exactly 1.0, so raw within-bucket pairing is quadratic in the
+        // duplicate-group size. The cosine kernel runs once per
+        // DISTINCT-value pair; the greedy min-id witness rule then
+        // reconstructs EXACTLY from rep-level pairs + membership:
+        //   - a non-rep member is always dropped (its rep is a
+        //     smaller-id identical twin, cosine 1.0 — both engines'
+        //     6-dp round of a self-cosine);
+        //   - a rep rm qualifies against group B iff cos(rep_B, rm) ≥ τ
+        //     and rep_B < id (rep_B is B's min member, so "some member
+        //     of B below id" ⟺ rep_B < id, and that member IS rep_B —
+        //     the minimal witness candidate from B);
+        //   - the reported witness is the min (ida, c) struct over both
+        //     sources, as before.
+        val withRep = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+          .withColumn("rep", min("vec_id").over(
+            org.apache.spark.sql.expressions.Window.partitionBy("v")))
+          .cache()
+        val members = withRep.select(col("rep"), col("vec_id"))
+        val reps = withRep.filter(col("vec_id") === col("rep"))
+          .select(col("vec_id"), col("v"))
+        val e = bucketed(reps)
         val a = e.select(col("bucket"), col("vec_id").as("ida"), col("v").as("va"))
         val b = e.select(col("bucket"), col("vec_id").as("idb"), col("v").as("vb"))
-        a.join(b, Seq("bucket"))
+        val repPairs = a.join(b, Seq("bucket"))
           .filter(col("ida") < col("idb"))
-          .select(col("idb"), col("ida"),
+          .select(col("ida"), col("idb"),
             round(graft.functions.GraftFunctions.cosineSim(col("va"), col("vb")), 6).as("c"))
           .filter(col("c") >= Tau)
-          .groupBy(col("idb").as("dropped_id"))
+        val sym = repPairs.select(col("ida").as("rm"), col("idb").as("rw"), col("c"))
+          .unionByName(repPairs.select(col("idb").as("rm"), col("ida").as("rw"), col("c")))
+        val cross = members.join(sym, members("rep") === sym("rm"))
+          .filter(col("rw") < col("vec_id"))
+          .select(col("vec_id").as("dropped_id"), col("rw").as("ida"), col("c"))
+        val intra = members.filter(col("vec_id") =!= col("rep"))
+          .select(col("vec_id").as("dropped_id"), col("rep").as("ida"),
+            lit(1.0).as("c"))
+        intra.unionByName(cross)
+          .groupBy("dropped_id")
           .agg(min(struct(col("ida"), col("c"))).as("w"))
           .select(col("dropped_id"), col("w.ida").as("witness_id"),
             col("w.c").as("cosine"))

@@ -121,14 +121,72 @@ object TextOps {
        |  WHERE len(list_intersect(ta.sh, tb.sh)) * 1.0 / len(list_distinct(list_concat(ta.sh, tb.sh))) >= 0.5)""".stripMargin
   }
 
-  def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+  /** CONTENT-GROUP COLLAPSE for the pairwise near-dup tier (r14, found
+    * by the Zipf-skew sweep): one node per DISTINCT shingle set before
+    * any candidate generation. Raw-doc pair generation is quadratic in
+    * duplicate-cluster size — a 100-copy cluster (the skewed tier's hot
+    * bucket; real corpora have far worse boilerplate clusters) puts all
+    * copies in the same LSH buckets / inverted-index entries, and each
+    * of its C(100,2) candidate pairs pays a full sorted-merge kernel
+    * call: measured >20 min grinding at skewed-sf10 where the collapsed
+    * form runs the kernel once per DISTINCT-content pair. Identical
+    * sets have identical signatures/prefixes, so the rep-level pair set
+    * is exactly the distinct-content projection of the original output;
+    * expansion back to doc pairs is map-side fan-out (each row constant
+    * work) and within-group pairs score exactly 1.0 with NO kernel call
+    * — output bit-identical to the per-doc formulation. (The same
+    * discipline the r12 ANN fix applied to vectors: production dedups
+    * verbatim content before pairwise anything.)
+    *
+    * Returns (reps, members): reps = the min-doc_id row per distinct
+    * [lang ×] shingle set; members = (rep, doc_id) for every doc. One
+    * corpus-scale exchange keyed by the set itself.
+    */
+  private[queries] def collapseByContent(d: DataFrame, langBlocked: Boolean): (DataFrame, DataFrame) = {
+    val parts = if (langBlocked) Seq(col("lang"), col("hs")) else Seq(col("hs"))
+    val withRep = d.withColumn("rep",
+      min("doc_id").over(Window.partitionBy(parts: _*))).cache()
+    val members = withRep.select(col("rep"), col("doc_id"))
+    val reps = withRep.filter(col("doc_id") === col("rep")).drop("rep")
+    (reps, members)
+  }
+
+  /** Expand rep-level pairs to doc-level pairs (unordered contract:
+    * doc_a < doc_b), carrying the rep pair's score — identical sets, so
+    * every member pair's exact score IS the rep pair's.
+    */
+  private[queries] def expandPairs(repPairs: DataFrame, members: DataFrame, score: String): DataFrame =
+    repPairs
+      .join(members.select(col("rep").as("ra"), col("doc_id").as("da")), "ra")
+      .join(members.select(col("rep").as("rb"), col("doc_id").as("db")), "rb")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col(score))
+
+  /** All within-group doc pairs: identical shingle sets, so the exact
+    * Jaccard is 1.0 by construction — no kernel call.
+    */
+  private[queries] def intraPairs(members: DataFrame, score: String): DataFrame =
+    members.as("x").join(members.as("y"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(1.0).as(score))
+
+  /** Rep-level verified MinHash/LSH near-dup pairs + the member table —
+    * the collapsed core shared by `dedup_minhash_lsh` (which expands to
+    * doc pairs) and [[ClusterOps]] (which runs connected components on
+    * the REP graph — a duplicate group is one node, so cliques of
+    * copies never enter the iteration).
+    */
+  def minhashRepPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val k = 32; val bands = 16; val rows = 2
     // Hashed sorted shingles are reused by the signature, the banding
     // explode AND the pair verification join → cache once; strings
     // never leave the first projection.
-    val d = Eval.barrier(
+    val dAll = Eval.barrier(
       tokenized(s, dir).select(col("doc_id"),
-        array_sort(shingleHashes(shinglesFromToks(col("toks")))).as("hs"))).cache()
+        array_sort(shingleHashes(shinglesFromToks(col("toks")))).as("hs")))
+    val (reps, members) = collapseByContent(dAll, langBlocked = false)
+    val d = reps.cache()
     val sig = d.select(col("doc_id"), minhashSignature(col("hs"), k).as("sig"))
     val banded = sig.select(
       col("doc_id"), posexplode(bandHashes(col("sig"), bands, rows)).as(Seq("band", "bhash")))
@@ -137,12 +195,19 @@ object TextOps {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    cand
+    val repPairs = cand
       .join(d.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
       .join(d.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         round(graft.functions.GraftFunctions.jaccardSortedLong(col("hs_a"), col("hs_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a").as("ra"), col("doc_b").as("rb"), col("jaccard"))
+    (repPairs, members)
+  }
+
+  def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val (repPairs, members) = minhashRepPairs(s, dir)
+    intraPairs(members, "jaccard").unionByName(expandPairs(repPairs, members, "jaccard"))
   }
 
   /** Exact n-gram Jaccard near-dup pairs at τ=0.5, blocked by language,
@@ -159,11 +224,16 @@ object TextOps {
     * (graftbridge.JaccardSortedLong) per surviving pair.
     */
   def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val d = Eval.barrier(
+    // Content-group collapse first (see collapseByContent — the skewed
+    // sweep's hot-cluster fix); prefix-filter candidates + the exact
+    // merge-count kernel run on DISTINCT (lang, shingle-set) reps only.
+    val dAll = Eval.barrier(
       tokenized(s, dir)
         .select(col("doc_id"), col("lang"),
           array_sort(shingleHashes(shinglesFromToks(col("toks")))).as("hs"))
-        .withColumn("nsh", size(col("hs")))).cache()
+        .withColumn("nsh", size(col("hs"))))
+    val (reps, members) = collapseByContent(dAll, langBlocked = true)
+    val d = reps.cache()
     val prefix = d.select(col("doc_id"), col("lang"), col("nsh"),
       explode(slice(col("hs"), lit(1), (col("nsh") / 2).cast("int") + 1)).as("ph"))
     // Lossless size bound: J(A,B) >= 0.5 implies max(|A|,|B|) <= 2*min.
@@ -173,12 +243,14 @@ object TextOps {
           greatest(col("a.nsh"), col("b.nsh")) <= least(col("a.nsh"), col("b.nsh")) * 2)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    cand
+    val repPairs = cand
       .join(d.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
       .join(d.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         round(graft.functions.GraftFunctions.jaccardSortedLong(col("hs_a"), col("hs_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a").as("ra"), col("doc_b").as("rb"), col("jaccard"))
+    intraPairs(members, "jaccard").unionByName(expandPairs(repPairs, members, "jaccard"))
   }
 
   private val stop = Map(

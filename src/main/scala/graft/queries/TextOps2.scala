@@ -407,10 +407,18 @@ object TextOps2 {
     // kernel on candidates only.
     "text_containment" -> QDef(
       (s, dir) => {
-        val d = Eval.barrier(
+        // Content-group collapse first (TextOps.collapseByContent — the
+        // r14 skewed-sweep hot-cluster fix): candidates and the exact
+        // merge-count kernel run on DISTINCT shingle sets; member pairs
+        // fan out afterwards, DIRECTIONALLY (containment is asymmetric)
+        // and with within-group ordered pairs at containment 1.0 (the
+        // per-doc formulation emits both directions for identical sets).
+        val dAll = Eval.barrier(
           tokd(s, dir).select(col("doc_id"),
             array_sort(TextOps.shingleHashes(TextOps.shinglesFromToks(col("toks")))).as("hs"))
-            .withColumn("nsh", size(col("hs")))).cache()
+            .withColumn("nsh", size(col("hs"))))
+        val (reps, members) = TextOps.collapseByContent(dAll, langBlocked = false)
+        val d = reps.cache()
         // Contained side exposes only its prefix (1 - τ share + 1);
         // container side indexes ALL shingles.
         val prefix = d.select(col("doc_id"), col("nsh"),
@@ -428,16 +436,24 @@ object TextOps2 {
         // τ = 0.8 as the exact integer inequality 5·|A∩B| >= 4·|A| —
         // no float threshold at the filter boundary on either engine;
         // the rounded ratio is display-only.
-        cand
+        val repPairs = cand
           .join(d.select(col("doc_id").as("doc_in"), col("hs").as("hs_a"),
             col("nsh").as("n_in")), "doc_in")
           .join(d.select(col("doc_id").as("doc_out"), col("hs").as("hs_b")), "doc_out")
           .select(col("doc_in"), col("doc_out"), col("n_in"),
             graft.functions.GraftFunctions.intersectSortedLong(col("hs_a"), col("hs_b")).as("inter"))
           .filter(col("inter") * 5L >= col("n_in") * 4L)
-          .select(col("doc_in"), col("doc_out"),
+          .select(col("doc_in").as("ra"), col("doc_out").as("rb"),
             round(col("inter") / col("n_in").cast("double"), 4).as("containment"))
-          .orderBy("doc_in", "doc_out")
+        val cross = repPairs
+          .join(members.select(col("rep").as("ra"), col("doc_id").as("da")), "ra")
+          .join(members.select(col("rep").as("rb"), col("doc_id").as("db")), "rb")
+          .select(col("da").as("doc_in"), col("db").as("doc_out"), col("containment"))
+        val intra = members.as("x").join(members.as("y"),
+            col("x.rep") === col("y.rep") && col("x.doc_id") =!= col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_in"), col("y.doc_id").as("doc_out"),
+            lit(1.0).as("containment"))
+        intra.unionByName(cross).orderBy("doc_in", "doc_out")
       },
       // Same prefix-filter argument as the Jaccard oracles, asymmetric
       // form: the contained side exposes floor(0.2n)+1 sorted shingles,

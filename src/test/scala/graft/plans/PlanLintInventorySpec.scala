@@ -84,7 +84,11 @@ class PlanLintInventorySpec extends SparkSpec {
     "curate_global_index" -> Map("CARTESIAN_PRODUCT" -> 2, "GLOBAL_WINDOW" -> 1),
     "curate_weighted_sample" -> Map("GLOBAL_WINDOW" -> 1),
     "curate_winsorize" -> Map("CARTESIAN_PRODUCT" -> 4, "GLOBAL_WINDOW" -> 1, "NON_EQUI_JOIN" -> 1),
-    "dedup_clusters" -> Map("SMALL_SIDE_NOT_BROADCAST" -> 1),
+    // r14 rep-graph CC: the member→label and cluster-size joins are
+    // corpus-/cluster-scale at real SF (toy-stats artifacts here), so
+    // shuffling both sides is the correct plan — same adjudicated
+    // class as the rule doc above; count 1→3 with the collapse.
+    "dedup_clusters" -> Map("SMALL_SIDE_NOT_BROADCAST" -> 3),
     "dedup_embedding" -> Map("NON_EQUI_JOIN" -> 1),
     // one-row query-vector broadcasts; the rank windows run AFTER
     // orderBy().limit(10) — constant 10-row frames (the rrf class)
