@@ -359,6 +359,53 @@ object TextOps {
         |SELECT doc_a, doc_b, jaccard FROM p
         |ORDER BY doc_a, doc_b""".stripMargin),
 
+    // §2 25kk GROUP-granularity near-dup artifact (r14): the rep-level
+    // near-dup relation with duplicate-group masses — one row per
+    // DISTINCT-CONTENT pair, never per doc pair. This is the output a
+    // 100 TB pipeline actually stores: the doc-pair contract
+    // (dedup_minhash_lsh above) is quadratic in cluster size BY
+    // DEFINITION (a million-copy boilerplate cluster is 5·10^11 pairs
+    // nobody materializes), while this table is linear — membership
+    // joins recover any doc-level view on demand. Comes straight from
+    // minhashRepPairs (compute already cluster-linear after the r14
+    // collapse); n_doc_pairs carries the implied doc-pair mass so
+    // downstream takedown accounting needs no expansion. The oracle
+    // replays the identical group collapse (min-doc_id rep per distinct
+    // shingle set) through the exact-Jaccard prefix-filter CTE.
+    "dedup_minhash_groups" -> QDef(
+      (s, dir) => {
+        val (repPairs, members) = minhashRepPairs(s, dir)
+        val sizes = members.groupBy("rep").agg(count(lit(1)).as("sz"))
+        repPairs
+          .join(sizes.select(col("rep").as("ra"), col("sz").as("size_a")), "ra")
+          .join(sizes.select(col("rep").as("rb"), col("sz").as("size_b")), "rb")
+          .select(col("ra").as("rep_a"), col("rb").as("rep_b"), col("jaccard"),
+            col("size_a"), col("size_b"),
+            (col("size_a") * col("size_b")).as("n_doc_pairs"))
+          .orderBy("rep_a", "rep_b")
+      },
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_sort(list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))) AS sh
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |g AS (SELECT sh, MIN(doc_id) AS rep, COUNT(*) AS sz FROM t GROUP BY sh),
+        |x AS (SELECT rep, len(sh) AS n, UNNEST(sh[1 : len(sh)//2 + 1]) AS s1 FROM g),
+        |cand AS (
+        |  SELECT DISTINCT a.rep AS ra, b.rep AS rb
+        |  FROM x a JOIN x b ON a.s1 = b.s1 AND a.rep < b.rep
+        |  WHERE GREATEST(a.n, b.n) <= 2 * LEAST(a.n, b.n)),
+        |p AS (
+        |  SELECT ra AS rep_a, rb AS rep_b,
+        |    ROUND(len(list_intersect(ga.sh, gb.sh)) * 1.0 / len(list_distinct(list_concat(ga.sh, gb.sh))), 4) AS jaccard,
+        |    ga.sz AS size_a, gb.sz AS size_b
+        |  FROM cand JOIN g ga ON ga.rep = ra JOIN g gb ON gb.rep = rb
+        |  WHERE len(list_intersect(ga.sh, gb.sh)) * 1.0 / len(list_distinct(list_concat(ga.sh, gb.sh))) >= 0.5)
+        |SELECT rep_a, rep_b, jaccard,
+        |  CAST(size_a AS BIGINT) AS size_a, CAST(size_b AS BIGINT) AS size_b,
+        |  CAST(size_a * size_b AS BIGINT) AS n_doc_pairs
+        |FROM p ORDER BY rep_a, rep_b""".stripMargin),
+
     // §2.3#38 SimHash near-dup fingerprints (Hamming-space path). The
     // fingerprints themselves have no DuckDB equivalent (xxhash64), so
     // the DRIVER-CHECKABLE gate asserts SimHash's semantic contract on
