@@ -208,16 +208,48 @@ final class GraftRpc(root: SparkSession, backend: graft.engine.ExecutorMode = gr
       DirectoryCatalog.listTablesIn(rootOf(params), req(params, "project").toString, req(params, "dataset").toString)
 
     case "bq.loadParquetDirectory" =>
+      // Result shape = reference LoadParquetDirectoryResult
+      // (rpc/types.rs:456): success + tablesLoaded rows with rowCount.
       val s = session(params)
-      catalogRoot.put(s.id, req(params, "path").toString)
-      DirectoryCatalog.loadParquetDirectory(s, req(params, "path").toString)
+      val path = req(params, "path").toString
+      catalogRoot.put(s.id, path)
+      Map(
+        "success" -> true,
+        "tablesLoaded" -> DirectoryCatalog.loadParquetDirectoryInfo(s, path)
+          .map { case (d, n) => GraftRpc.parquetTableInfo(d, n) })
 
-    case "bq.loadSqlDirectory" | "bq.loadDagFromDirectory" =>
+    case "bq.loadSqlDirectory" =>
+      // Reference load_sql_directory (manager.rs:282-312): ONLY the
+      // discovered .sql files register, as derived DAG tables; parquet
+      // files are untouched — no source views, no loads. Result shape =
+      // LoadSqlDirectoryResult (methods.rs:331-343, rpc/types.rs:433).
       val s = session(params)
-      catalogRoot.put(s.id, req(params, "path").toString)
-      val dag = DirectoryCatalog.loadDag(s, req(params, "path").toString)
+      val path = req(params, "path").toString
+      catalogRoot.put(s.id, path)
+      val (dag, sqlInfos) = DirectoryCatalog.loadSqlDag(s, path)
       dags.put(s.id, dag)
-      dag.getTables.map(_._1)
+      Map(
+        "success" -> true,
+        "tablesLoaded" -> sqlInfos.map(GraftRpc.sqlTableInfo))
+
+    case "bq.loadDagFromDirectory" =>
+      // Reference load_dag_from_directory (manager.rs:368-400): parquet
+      // files parallel-load as sources AND .sql files register as the
+      // DAG. Result shape = LoadDagFromDirectoryResult (rpc/types.rs:481):
+      // sourceTables (with rowCount), computedTables, dagInfo (the
+      // register_dag return — computed tables only, with dependencies).
+      val s = session(params)
+      val path = req(params, "path").toString
+      catalogRoot.put(s.id, path)
+      val (dag, srcInfos, sqlInfos) = DirectoryCatalog.loadDagFrom(s, path)
+      dags.put(s.id, dag)
+      Map(
+        "success" -> true,
+        "sourceTables" -> srcInfos.map { case (d, n) => GraftRpc.parquetTableInfo(d, n) },
+        "computedTables" -> sqlInfos.map(GraftRpc.sqlTableInfo),
+        "dagInfo" -> dag.getTables.collect { case (name, _, false, deps) =>
+          Map("name" -> name, "dependencies" -> deps)
+        })
 
     // Matches reference methods.rs:56; the transport turns this exact
     // shape into a -32601 method-not-found response (handler.rs:66).
@@ -273,6 +305,14 @@ object GraftRpc {
   private def schemaParam(params: Map[String, Any]): Seq[(String, String)] =
     params("schema").asInstanceOf[Seq[Map[String, Any]]]
       .map(c => c("name").toString -> c("type").toString)
+
+  /** Reference SqlTableInfo (rpc/types.rs:440). */
+  private def sqlTableInfo(d: DirectoryCatalog.Discovered): Map[String, Any] =
+    Map("project" -> d.project, "dataset" -> d.dataset, "table" -> d.table, "path" -> d.path)
+
+  /** Reference ParquetTableInfo (rpc/types.rs:463). */
+  private def parquetTableInfo(d: DirectoryCatalog.Discovered, rowCount: Long): Map[String, Any] =
+    sqlTableInfo(d) + ("rowCount" -> rowCount)
 
   private def dagTableParam(m: Map[String, Any]): DagTable =
     DagTable(

@@ -87,29 +87,68 @@ object DirectoryCatalog {
   }
 
   /** Register every parquet table as a view in the session. */
-  def loadParquetDirectory(session: GraftSession, root: String): Seq[String] = {
+  def loadParquetDirectory(session: GraftSession, root: String): Seq[String] =
+    loadParquetDirectoryInfo(session, root).map(_._1.fullName)
+
+  /** Same registration, but returns the discovered entry plus its row
+    * count — the payload the RPC layer needs for the reference's
+    * ParquetTableInfo result rows (reference: rpc/types.rs:463; its
+    * loader also reports the loaded row count per table). The count is a
+    * parquet-footer-metadata job, not a full scan.
+    */
+  def loadParquetDirectoryInfo(session: GraftSession, root: String): Seq[(Discovered, Long)] = {
     val pq = discover(root).filterNot(_.isSql)
-    pq.foreach(d => readTable(session, d).createOrReplaceTempView(d.fullName))
+    val counted = pq.map { d =>
+      val df = readTable(session, d)
+      df.createOrReplaceTempView(d.fullName)
+      (d, df.count())
+    }
     // Bare-name aliases for unambiguous tables.
     pq.groupBy(_.table).collect { case (t, Seq(only)) =>
       readTable(session, only).createOrReplaceTempView(t)
     }
-    pq.map(_.fullName)
+    counted
+  }
+
+  /** SQL-ONLY DAG registration (reference: manager.rs:282-312
+    * load_sql_directory): the discovered .sql files become derived DAG
+    * tables; parquet files are NOT loaded and no source views are
+    * created. Sources are expected to exist in the session already (e.g.
+    * a prior loadParquetDirectory call) — exactly the reference's
+    * side-effect contract, which differs from [[loadDagFrom]].
+    */
+  def loadSqlDag(session: GraftSession, root: String, workDir: Option[Path] = None): (Dag, Seq[Discovered]) = {
+    val sql = discover(root).filter(_.isSql)
+    val dag = new Dag(session, workDir)
+    dag.register(sql.map(d => DagTable.derived(d.table, Files.readString(Paths.get(d.path)))))
+    (dag, sql)
   }
 
   /** Build a Dag: parquet files as source views, .sql files as derived
     * tables (dependency-ordered, materialized on run()).
     */
-  def loadDag(session: GraftSession, root: String, workDir: Option[Path] = None): Dag = {
+  def loadDag(session: GraftSession, root: String, workDir: Option[Path] = None): Dag =
+    loadDagFrom(session, root, workDir)._1
+
+  /** [[loadDag]] plus the per-file info the RPC layer serializes into the
+    * reference's LoadDagFromDirectoryResult (rpc/types.rs:481): parquet
+    * sources with row counts, and the .sql computed tables.
+    */
+  def loadDagFrom(session: GraftSession, root: String, workDir: Option[Path] = None)
+      : (Dag, Seq[(Discovered, Long)], Seq[Discovered]) = {
     val discovered = discover(root)
     val dag = new Dag(session, workDir)
-    val sources = discovered.filterNot(_.isSql).map { d =>
+    val srcInfo = discovered.filterNot(_.isSql).map { d =>
+      (d, readTable(session, d).count())
+    }
+    val sources = srcInfo.map { case (d, _) =>
       DagTable.view(d.table, readTable(session, d))
     }
-    val derived = discovered.filter(_.isSql).map { d =>
+    val sql = discovered.filter(_.isSql)
+    val derived = sql.map { d =>
       DagTable.derived(d.table, Files.readString(Paths.get(d.path)))
     }
     dag.register(sources ++ derived)
-    dag
+    (dag, srcInfo, sql)
   }
 }

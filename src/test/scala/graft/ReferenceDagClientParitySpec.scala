@@ -245,6 +245,83 @@ class ReferenceDagClientParitySpec extends SparkSpec {
     assert(q(s, "SELECT * FROM top_user") == Seq(Map("user_id" -> 1L, "total_value" -> 102.0)))
   }
 
+  // ---- directory loaders (no reference deftest exercises these; the
+  // contract is the server source itself: manager.rs:282-312
+  // load_sql_directory vs manager.rs:368-400 load_dag_from_directory,
+  // result shapes rpc/types.rs:433/456/481). The two methods differ in
+  // BOTH side effects and response shape — asserted separately here. ----
+
+  private def catalogTree(): java.nio.file.Path = {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("loadercat")
+    val ds = root.resolve("proj/mart")
+    java.nio.file.Files.createDirectories(ds)
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "amount")
+      .write.mode("overwrite").parquet(ds.resolve("facts.parquet").toString)
+    java.nio.file.Files.writeString(ds.resolve("report.sql"),
+      "SELECT COUNT(*) AS cnt, SUM(amount) AS total FROM facts")
+    root
+  }
+
+  test("bq.loadSqlDirectory registers ONLY .sql files; LoadSqlDirectoryResult shape") {
+    val s = newSession()
+    val root = catalogTree()
+    val resp = call("bq.loadSqlDirectory", s, "path" -> root.toString)
+      .asInstanceOf[Map[String, Any]]
+    assert(resp("success") == true)
+    val loaded = resp("tablesLoaded").asInstanceOf[Seq[Map[String, Any]]]
+    // Only the .sql file — the sibling parquet is NOT loaded (reference
+    // load_sql_directory discovers sql files only).
+    assert(loaded.map(_("table")) == Seq("report"))
+    assert(loaded.head("project") == "proj" && loaded.head("dataset") == "mart")
+    assert(loaded.head("path").toString.endsWith("report.sql"))
+    assert(!loaded.head.contains("rowCount"))
+    // Side effect check: no parquet view exists in the session.
+    intercept[Exception] { q(s, "SELECT * FROM facts") }
+    // The DAG holds the sql table as derived-only.
+    val dagTables = call("bq.getDag", s).asInstanceOf[Map[String, Any]]("tables")
+      .asInstanceOf[Seq[Map[String, Any]]]
+    assert(dagTables.map(_("name")) == Seq("report"))
+    assert(dagTables.head("isSource") == false)
+    // Once the sources are loaded separately, the DAG runs.
+    call("bq.loadParquetDirectory", s, "path" -> root.toString)
+    val run = call("bq.runDag", s).asInstanceOf[Map[String, Any]]
+    assert(run("success") == true)
+    assert(q(s, "SELECT * FROM report") == Seq(Map("cnt" -> 3L, "total" -> 60.0)))
+  }
+
+  test("bq.loadDagFromDirectory loads parquet AND sql; LoadDagFromDirectoryResult shape") {
+    val s = newSession()
+    val root = catalogTree()
+    val resp = call("bq.loadDagFromDirectory", s, "path" -> root.toString)
+      .asInstanceOf[Map[String, Any]]
+    assert(resp("success") == true)
+    val sources = resp("sourceTables").asInstanceOf[Seq[Map[String, Any]]]
+    assert(sources.map(_("table")) == Seq("facts"))
+    assert(sources.head("rowCount") == 3L)
+    val computed = resp("computedTables").asInstanceOf[Seq[Map[String, Any]]]
+    assert(computed.map(_("table")) == Seq("report"))
+    assert(!computed.head.contains("rowCount"))
+    val dagInfo = resp("dagInfo").asInstanceOf[Seq[Map[String, Any]]]
+    // dagInfo = the register_dag return for the COMPUTED tables only.
+    assert(dagInfo == Seq(Map("name" -> "report", "dependencies" -> Seq("facts"))))
+    val run = call("bq.runDag", s).asInstanceOf[Map[String, Any]]
+    assert(run("success") == true)
+    assert(q(s, "SELECT * FROM report") == Seq(Map("cnt" -> 3L, "total" -> 60.0)))
+  }
+
+  test("bq.loadParquetDirectory LoadParquetDirectoryResult shape") {
+    val s = newSession()
+    val root = catalogTree()
+    val resp = call("bq.loadParquetDirectory", s, "path" -> root.toString)
+      .asInstanceOf[Map[String, Any]]
+    assert(resp("success") == true)
+    val loaded = resp("tablesLoaded").asInstanceOf[Seq[Map[String, Any]]]
+    assert(loaded.map(_("table")) == Seq("facts"))
+    assert(loaded.head("rowCount") == 3L)
+    assert(q(s, "SELECT COUNT(*) AS n FROM facts") == Seq(Map("n" -> 3L)))
+  }
+
   // ---- client_test.clj ----
 
   test("client_test.clj test-ping") {
