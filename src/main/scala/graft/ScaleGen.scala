@@ -92,6 +92,17 @@ object ScaleGen {
                   hotCols: Seq[String] = Nil, expand: Boolean = false,
                   saltText: Boolean = false): Unit = {
       val base = Tables(spark, src, name)
+      // Copy-key disjointness is load-bearing, not assumed: copies
+      // offset by c·CopyOff, so a base corpus whose keys reach CopyOff
+      // (e.g. sf1 orderkeys up to 6M) would silently collide copy keys
+      // and corrupt uniqueness + the l_orderkey referential link. Fail
+      // loudly instead (one cheap max() agg per copy-keyed column).
+      if (expand && zipfS > 1) copyCols.foreach { k =>
+        val mx = base.agg(max(col(k))).collect()(0).getLong(0)
+        require(mx < CopyOff,
+          s"--zipf needs every base $name.$k < $CopyOff for copy-key " +
+            s"disjointness; found max $mx — use a smaller base corpus")
+      }
       val rep = base
         .withColumn("__r", explode(sequence(lit(0), lit(factor - 1))))
       val copied =

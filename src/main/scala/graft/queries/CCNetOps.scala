@@ -107,7 +107,19 @@ object CCNetOps {
     * streaming twin [[graft.streaming.AnnealStream]], which re-runs
     * it per micro-batch over the maintained docWord state.
     */
-  private[graft] def annealScheduleFromRanked(rankedIn: DataFrame): DataFrame = {
+  private[graft] def annealScheduleFromRanked(rankedIn: DataFrame): DataFrame =
+    annealScheduleFromRankedReleasable(rankedIn)._1
+
+  /** [[annealScheduleFromRanked]] plus a release handle that unpersists
+    * the two frames the computation caches. One-shot batch callers can
+    * ignore it (Verify/Bench clear the cache per query), but long-lived
+    * callers — the streaming twin re-runs the schedule on every
+    * micro-batch — must invoke it once the schedule is materialized, or
+    * the cached blocks of every past batch accumulate in the block
+    * manager for the lifetime of the stream.
+    */
+  private[graft] def annealScheduleFromRankedReleasable(
+      rankedIn: DataFrame): (DataFrame, () => Unit) = {
     val ranked = rankedIn
       .select(col("doc_id"), col("n_toks"), col("bucket"),
         substring(md5(col("doc_id").cast("string")), 1, 12).as("h"))
@@ -146,7 +158,7 @@ object CCNetOps {
       .cache()
     val mt = cum.groupBy("bucket")
       .agg(sum(when(col("is_main"), col("n_toks")).otherwise(lit(0L))).as("mt"))
-    cum.join(broadcast(mt), "bucket")
+    val schedule = cum.join(broadcast(mt), "bucket")
       .withColumn("phase", when(col("is_main"), "main")
         .when(col("prev") - col("mt") < col("qa"), "anneal"))
       .filter(col("phase").isNotNull)
@@ -155,6 +167,7 @@ object CCNetOps {
         (col("prev") - when(col("is_main"), lit(0L)).otherwise(col("mt")))
           .as("phase_cum_before"))
       .orderBy("phase", "bucket", "doc_id")
+    (schedule, () => { ranked.unpersist(false); cum.unpersist(false); () })
   }
 
   def defs: Map[String, QDef] = Map(

@@ -336,8 +336,11 @@ object GraphAnnOps {
     * this, the staleness contract every production ANN store ships.
     */
   def corpusFingerprint(e: DataFrame): (Long, Long) = {
+    // bit_xor over zero rows aggregates to NULL — coalesce to 0 so an
+    // empty corpus fingerprints as (0, 0) instead of throwing an opaque
+    // NPE out of getLong.
     val r = e.select(xxhash64(col("vec_id"), col("v")).as("h"))
-      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x")).collect()(0)
+      .agg(count(lit(1)).as("n"), expr("coalesce(bit_xor(h), 0L)").as("x")).collect()(0)
     (r.getLong(0), r.getLong(1))
   }
 
