@@ -107,6 +107,7 @@ object Bench {
     // across back-to-back invocations, the drift is machine state outside
     // the JVM (page cache, tmp churn, sibling load). Samples go to stderr
     // as they happen and as one summary line at the end.
+    val gcByQuery = scala.collection.mutable.Map[String, Long]()
     val canaryFn = SparkEntry.queries.get("q_tpch_q6")
     val canarySamples = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
     var timedIdx = 0
@@ -130,21 +131,28 @@ object Bench {
       // throughput. Sub-half-second queries get one run (a GC pause there
       // is visible noise, not a grading hazard) to keep total wall time
       // bounded as the inventory grows.
-      def timedRun(): Double = {
+      // Per-run GC attribution (r14 verdict task 1): a 2.5× run-to-run
+      // spread on a byte-identical plan is scheduler/GC sensitivity, not
+      // a plan regression — record the JVM-wide GC time spent DURING the
+      // run so a driver-vs-builder timing gap is mechanically explainable
+      // from the artifact instead of re-adjudicated by hand each round.
+      def timedRun(): (Double, Long) = {
+        val g0 = totalGcMs()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
         val dt = (System.nanoTime() - t0) / 1e9
+        val gd = totalGcMs() - g0
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
         System.gc()
-        System.err.println(f"[bench] timed $name $dt%.1fs")
-        dt
+        System.err.println(f"[bench] timed $name $dt%.1fs gc ${gd}ms")
+        (dt, gd)
       }
       val w = warmup.getOrElse(name, 1.0)
       val runs = if (w < 0.5) 1 else 2
-      var best = (1 to runs).map(_ => timedRun()).min
+      var (best, bestGc) = (1 to runs).map(_ => timedRun()).minBy(_._1)
       // Session-noise guard: a machine-load window can swallow BOTH timed
       // runs (r03: dedup_clusters recorded 25.2s where isolated truth was
       // 3.56s). The warmup pass minutes earlier is an independent
@@ -153,21 +161,26 @@ object Bench {
       var extra = 0
       while (best > 3 * w && best > 1.0 && extra < 2) {
         extra += 1
-        val t = timedRun()
+        val (t, g) = timedRun()
         System.err.println(
           f"[bench] noise-guard $name: timed $best%.1fs vs warmup $w%.1fs; re-measured $t%.1fs")
-        best = math.min(best, t)
+        if (t < best) { best = t; bestGc = g }
       }
+      gcByQuery(name) = bestGc
       name -> best
     }
     canary()
     System.err.println("[bench] canary summary: " +
       canarySamples.map { case (i, d) => f"$i:$d%.2f" }.mkString(" "))
     val rid = runId(results.toMap)
+    val env = envFingerprint()
     // Full per-query record first (may be long; also mirrored on stderr):
-    // carries shuffle_bytes for EVERY query.
+    // carries shuffle_bytes AND per-query GC ms for EVERY query, plus the
+    // machine/JVM fingerprint — the provenance that makes a
+    // driver-vs-builder environment gap attributable from artifacts.
     val fullLine = renderLine(results.toSeq.sortBy(_._1), results.toMap, sfDir,
-      shuffle = shuffleBytes.toSeq.sortBy(_._1), runId = rid)
+      shuffle = shuffleBytes.toSeq.sortBy(_._1), runId = rid,
+      gc = gcByQuery.toSeq.sortBy(_._1), env = env)
     println(fullLine)
     // The driver keeps only the LAST 2000 chars of output, so the short
     // line below folds the tail into "_other_total" — which left the
@@ -176,14 +189,46 @@ object Bench {
     // the gate can merge: tools/bench_gate.py trusts it iff its "run" id
     // (a hash over every name:seconds pair) matches the one embedded in
     // the driver-captured short line — binding file and artifact to the
-    // same physical run.
+    // same physical run. SUBSET runs (SPARK_GRAFT_BENCH_ONLY pin/iterate
+    // runs) go to BENCH_SUBSET.json instead: they used to clobber
+    // BENCH_FULL.json, leaving a dirty artifact of record after every
+    // local pin run (r14 verdict task 8).
+    val outFile = if (only.isEmpty) "BENCH_FULL.json" else "BENCH_SUBSET.json"
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), fullLine + "\n")
+      java.nio.file.Paths.get(outFile), fullLine + "\n")
     catch { case e: Throwable =>
-      System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
+      System.err.println(s"[bench] $outFile write failed: ${e.getMessage}")
     }
     spark.stop()
-    println(shortLine(results.toMap, sfDir, shuffleBytes.toMap, runId = rid))
+    println(shortLine(results.toMap, sfDir, shuffleBytes.toMap, runId = rid, env = env))
+  }
+
+  /** Cumulative JVM GC time across all collectors, ms. */
+  private def totalGcMs(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).filter(_ >= 0).sum
+  }
+
+  /** Machine/JVM provenance for the artifact: CPU model, logical cores,
+    * 1-min load average at run end, JVM version, heap max. The r14
+    * driver-vs-builder 1.22× spread on byte-identical plans was only
+    * "likely environment drift" because no artifact recorded what either
+    * machine looked like — this closes that.
+    */
+  def envFingerprint(): Map[String, String] = {
+    val cpu =
+      try scala.io.Source.fromFile("/proc/cpuinfo").getLines()
+        .collectFirst { case l if l.startsWith("model name") => l.split(":").last.trim }
+        .getOrElse("unknown")
+      catch { case _: Throwable => "unknown" }
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    Map(
+      "cpu" -> cpu,
+      "cores" -> Runtime.getRuntime.availableProcessors().toString,
+      "load1m" -> f"${os.getSystemLoadAverage}%.1f",
+      "jvm" -> System.getProperty("java.vm.version", "unknown"),
+      "heap_max_mb" -> (Runtime.getRuntime.maxMemory() / 1024 / 1024).toString)
   }
 
   /** Deterministic id binding BENCH_FULL.json to the driver-captured
@@ -201,16 +246,21 @@ object Bench {
   private def fmt(v: Double) = f"$v%.3f"
 
   private def renderLine(es: Seq[(String, Double)], all: Map[String, Double], sfDir: String,
-      rest: Double = 0.0, shuffle: Seq[(String, Long)] = Nil, runId: String = ""): String = {
+      rest: Double = 0.0, shuffle: Seq[(String, Long)] = Nil, runId: String = "",
+      gc: Seq[(String, Long)] = Nil, env: Map[String, String] = Map.empty): String = {
     val total = if (all.nonEmpty) all.values.sum else 0.0
     val entries = es.map { case (k, v) => "\"" + k + "\":" + fmt(v) } ++
       (if (rest > 0) Seq("\"_other_total\":" + fmt(rest)) else Nil)
-    val shufPart =
-      if (shuffle.isEmpty) ""
-      else ""","shuffle_bytes":""" +
-        shuffle.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def longMap(key: String, m: Seq[(String, Long)]): String =
+      if (m.isEmpty) ""
+      else s""","$key":""" + m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val envPart =
+      if (env.isEmpty) ""
+      else ""","env":""" + env.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":\"" + v.replace("\"", "'") + "\"" }
+        .mkString("{", ",", "}")
     val runPart = if (runId.isEmpty) "" else s""","run":"$runId""""
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${entries.mkString("{", ",", "}")}$shufPart$runPart,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${entries.mkString("{", ",", "}")}${longMap("shuffle_bytes", shuffle)}${longMap("gc_ms", gc)}$envPart$runPart,"sf":"$sfDir"}"""
   }
 
   /** The FINAL stdout line. The round driver parses a JSON line out of
@@ -222,18 +272,19 @@ object Bench {
     * main). Invariants spec-tested in BenchLineSpec.
     */
   def shortLine(results: Map[String, Double], sfDir: String,
-      shuffle: Map[String, Long] = Map.empty, runId: String = ""): String = {
+      shuffle: Map[String, Long] = Map.empty, runId: String = "",
+      env: Map[String, String] = Map.empty): String = {
     val bySlowest = results.toSeq.sortBy { case (k, v) => (-v, k) }
     val topShuffle = shuffle.toSeq.sortBy { case (k, v) => (-v, k) }.take(8)
     // Length-driven, not count-driven: drop the cheapest entries into
     // "_other_total" until the line fits (long query names would
     // otherwise defeat a fixed top-N cap).
     var keep = bySlowest.length
-    var line = renderLine(bySlowest, results, sfDir, shuffle = topShuffle, runId = runId)
+    var line = renderLine(bySlowest, results, sfDir, shuffle = topShuffle, runId = runId, env = env)
     while (line.length > 1500 && keep > 0) {
       keep = math.max(0, keep - math.max(1, (line.length - 1500) / 30))
       line = renderLine(bySlowest.take(keep), results, sfDir,
-        rest = bySlowest.drop(keep).map(_._2).sum, shuffle = topShuffle, runId = runId)
+        rest = bySlowest.drop(keep).map(_._2).sum, shuffle = topShuffle, runId = runId, env = env)
     }
     line
   }
