@@ -85,14 +85,21 @@ object SemDedupOps {
         //     the minimal witness candidate from B);
         //   - the reported witness is the min (ida, c) struct over both
         //     sources, as before.
-        val withRep = Tables(s, dir, "embeddings")
+        // Group-by collapse with a precomputed 8-byte xxhash64 leading
+        // the key (not a window partitioned by the raw vector): copies
+        // collapse map-side before the exchange and full-array
+        // hash/compare work only runs on 64-bit-equal candidates, while
+        // the exact vector stays in the GROUP key so collisions split,
+        // never merge (the TextOps.collapseByContent discipline, r14
+        // verdict item).
+        val grouped = Tables(s, dir, "embeddings")
           .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-          .withColumn("rep", min("vec_id").over(
-            org.apache.spark.sql.expressions.Window.partitionBy("v")))
+          .withColumn("__h", xxhash64(col("v")))
+          .groupBy("__h", "v")
+          .agg(min("vec_id").as("rep"), collect_list("vec_id").as("ids"))
           .cache()
-        val members = withRep.select(col("rep"), col("vec_id"))
-        val reps = withRep.filter(col("vec_id") === col("rep"))
-          .select(col("vec_id"), col("v"))
+        val members = grouped.select(col("rep"), explode(col("ids")).as("vec_id"))
+        val reps = grouped.select(col("rep").as("vec_id"), col("v"))
         val e = bucketed(reps)
         val a = e.select(col("bucket"), col("vec_id").as("ida"), col("v").as("va"))
         val b = e.select(col("bucket"), col("vec_id").as("idb"), col("v").as("vb"))

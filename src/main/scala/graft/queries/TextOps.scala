@@ -143,11 +143,33 @@ object TextOps {
     * corpus-scale exchange keyed by the set itself.
     */
   private[queries] def collapseByContent(d: DataFrame, langBlocked: Boolean): (DataFrame, DataFrame) = {
-    val parts = if (langBlocked) Seq(col("lang"), col("hs")) else Seq(col("hs"))
-    val withRep = d.withColumn("rep",
-      min("doc_id").over(Window.partitionBy(parts: _*))).cache()
-    val members = withRep.select(col("rep"), col("doc_id"))
-    val reps = withRep.filter(col("doc_id") === col("rep")).drop("rep")
+    // AGGREGATION, not a window, over the content key (r14 verdict: the
+    // window form shuffled EVERY row partitioned by the full
+    // hashed-shingle array — kilobytes of key material per row at real
+    // document sizes, plus a WindowExec sort that compares whole
+    // arrays). The group-by plans partial → exchange → final: copies of
+    // hot content collapse map-side BEFORE the exchange, so shuffle
+    // volume scales with DISTINCT contents per input partition, never
+    // corpus rows — the reason this beats repartition(xxhash64)-then-
+    // aggregate, which would pin the exchange key to 8 bytes but forfeit
+    // the map-side combine and ship every raw row. The precomputed
+    // __h leads the group key so hash/compare work on the array only
+    // runs on 64-bit-equal candidates; exactness is preserved because
+    // the full column set stays in the key (a collision splits into two
+    // groups, it never merges distinct contents). Non-key columns of
+    // `d` (e.g. nsh = size(hs)) are functions of the content key, so
+    // grouping by every non-doc_id column is the identity partition of
+    // the old per-content window. Plan + volume pinned in
+    // CollapseByContentSpec.
+    val hashCols = if (langBlocked) Seq(col("lang"), col("hs")) else Seq(col("hs"))
+    val keyCols = d.columns.filterNot(_ == "doc_id").toSeq.map(col)
+    val grouped = d
+      .withColumn("__h", xxhash64(hashCols: _*))
+      .groupBy(col("__h") +: keyCols: _*)
+      .agg(min("doc_id").as("rep"), collect_list("doc_id").as("ids"))
+      .cache()
+    val members = grouped.select(col("rep"), explode(col("ids")).as("doc_id"))
+    val reps = grouped.select(col("rep").as("doc_id") +: keyCols: _*)
     (reps, members)
   }
 
