@@ -45,17 +45,22 @@ object EventOps {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     // §2.4#48 sessionization: 30-minute inactivity gap splits sessions;
-    // classic lag + cumulative-sum-of-boundaries formulation.
+    // classic lag + cumulative-sum-of-boundaries formulation — r15:
+    // computed through [[SubShard]] (user × time-bucket sub-shards with
+    // boundary stitching), so a ~100k-event hot user parallelizes
+    // across buckets instead of serializing one task; at gate scale the
+    // adaptive width keeps one bucket per user and the plan degenerates
+    // to the original single window. Output identical for any width
+    // (SubShardSpec pins the equality + per-partition row bound).
     "ev_sessionize" -> QDef(
       (s, dir) => {
-        val byUser = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
-        val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ev(s, dir)
+        val base = ev(s, dir)
           .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("ts_s"))
-          .withColumn("prev_ts", lag("ts_s", 1).over(byUser))
+        val flagged = SubShard.withPrev(base, Seq("ts_s"))
           .withColumn("is_new",
-            when(col("prev_ts").isNull || col("ts_s") - col("prev_ts") > 1800, 1L).otherwise(0L))
-          .withColumn("session_idx", sum("is_new").over(cum))
+            when(col("prev_ts_s").isNull || col("ts_s") - col("prev_ts_s") > 1800, 1L)
+              .otherwise(0L))
+        SubShard.chainedCumsum(flagged, "is_new", "session_idx")
           .groupBy("user_id", "session_idx")
           .agg(
             count(lit(1)).as("n_events"),
@@ -159,6 +164,38 @@ object EventOps {
         | AND e.day >= strftime(CAST(d.day AS DATE) - INTERVAL 6 DAY, '%Y-%m-%d')
         |GROUP BY d.day ORDER BY d.day""".stripMargin),
 
+    // §2 25kn OPERATOR-ONLY twin of ev_rolling_distinct (r14 verdict
+    // task 3): the gated key recomputes the EXACT rolling distinct
+    // in-band as its 5%+1 anchor — a day-spine × week-of-raw-events
+    // join that dominates the wall at scale (~100% of the sf11 entry,
+    // SURVEY §6q), so its bench entry times the ground truth, not the
+    // sketch path. This twin is the production path alone: per-day HLL
+    // sketches, calendar-bounded rolling union, estimate — with a
+    // sanity contract the oracle states without the anchor (one row per
+    // day; estimate within [1, 1.05·total+1]). The 5%+1 accuracy stays
+    // gated by ev_rolling_distinct.
+    "ev_rolling_distinct_op" -> QDef(
+      (s, dir) => {
+        val evDay = ev(s, dir)
+          .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+        val daily = evDay.groupBy("day").agg(
+          expr("hll_sketch_agg(user_id, 14)").as("sk"))
+        val w = Window.orderBy("day_num").rangeBetween(-6, 0)
+        val est = daily
+          .withColumn("day_num", datediff(to_date(col("day")), lit("1970-01-01")))
+          .withColumn("roll_sk", expr("hll_union_agg(sk)").over(w))
+          .select(col("day"),
+            expr("CAST(hll_sketch_estimate(roll_sk) AS BIGINT)").as("est_roll"))
+        val total = evDay.agg(countDistinct("user_id").as("total_users"))
+        est.crossJoin(broadcast(total))
+          .select(col("day"),
+            (col("est_roll") >= 1 &&
+              col("est_roll") <= col("total_users") * 1.05 + 1).as("est_bounded"))
+          .orderBy("day")
+      },
+      """SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, true AS est_bounded
+        |FROM events ORDER BY day""".stripMargin),
+
     // First-order Markov transition matrix over per-user event
     // sequences: P(next event_type | current) from lag pairs. The lag
     // window partitions by user (high-cardinality, no skew); pair counts
@@ -168,12 +205,19 @@ object EventOps {
     // Probability is one exact-rounded division of two integers.
     "ev_transition_matrix" -> QDef(
       (s, dir) => {
-        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        val pairs = ev(s, dir)
-          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
-          .withColumn("next_type", lead("event_type", 1).over(byUser))
-          .filter(col("next_type").isNotNull)
-          .groupBy(col("event_type").as("cur"), col("next_type").as("nxt"))
+        // r15: lead(event_type) per user re-expressed as the PREV of
+        // each event through [[SubShard]] — an adjacent pair (cur→nxt)
+        // is exactly (prev_event_type→event_type) on the rows where
+        // prev exists, so the hot-user sub-sharding applies unchanged.
+        // Ordering ticks are epoch-MICROS: the original window ordered
+        // by the raw microsecond timestamp, and second-truncation could
+        // reorder same-second pairs against the oracle.
+        val base = ev(s, dir)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_s"), col("event_type"))
+        val pairs = SubShard.withPrev(base, Seq("event_type"), tick = 1000000L)
+          .filter(col("prev_event_type").isNotNull)
+          .groupBy(col("prev_event_type").as("cur"), col("event_type").as("nxt"))
           .agg(count(lit(1)).as("n"))
         val outd = pairs.groupBy("cur").agg(sum("n").as("tot"))
         pairs.join(broadcast(outd), "cur")

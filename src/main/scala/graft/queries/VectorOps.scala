@@ -199,6 +199,25 @@ object VectorOps {
       },
       """SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 10)
         |  * LEAST(10, (SELECT COUNT(*) FROM embeddings) - 1) AS BIGINT) AS n_exact,
-        |  true AS recall_ok""".stripMargin)
+        |  true AS recall_ok""".stripMargin),
+
+    // §2 25kl OPERATOR-ONLY twin of ann_lsh_topk (r14 verdict task 3):
+    // the gated key above runs the full brute-force exact baseline
+    // IN-BAND for its recall contract, so its bench entry times the
+    // ground truth, not the operator — pins drift with verification
+    // cost and gate noise reads as operator regressions. This twin runs
+    // ONLY the production path (bucket assignment → candidate join →
+    // bounded top-k) with a shape contract the oracle can state without
+    // recomputing the neighbors: every probe query surfaces, and no
+    // query exceeds k. Recall itself stays gated by ann_lsh_topk.
+    "ann_lsh_topk_op" -> QDef(
+      (s, dir) => {
+        val lsh = lshTopK(s, dir)
+        lsh.agg(
+            countDistinct("q_id").cast("long").as("n_queries"),
+            (max("rank") <= 10).as("k_bounded"))
+      },
+      """SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 10)
+        |  AS BIGINT) AS n_queries, true AS k_bounded""".stripMargin)
   )
 }
