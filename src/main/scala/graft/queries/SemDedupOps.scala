@@ -10,8 +10,11 @@ import graft.Tables
   * ball of near-identical vectors) — here in its fully DETERMINISTIC,
   * oracle-checkable form:
   *
-  *  - clusters are 16 Hadamard-sign buckets: bucket = Σ_i 2^i·[w_i·v>0]
-  *    with w_i[d] = ±1 by bit i of the dimension index — per-term
+  *  - clusters are 2^p sign buckets, p = [[planesFor]](distinct-vector
+  *    count) — 4 planes at gate scale, +1 per 2× distinct growth (r15:
+  *    the fixed-16-bucket variant was the q_geo_cell_join bug class):
+  *    bucket = Σ_i 2^i·[w_i·v>0] with w_i[d] = ±1 from bit i of the
+  *    dimension index (i<6) or a bit_count parity (i≥6) — per-term
   *    products are EXACT double negations quantized to DECIMAL(26,12)
   *    before the sum, so the bucket id is bit-identical on any engine
   *    and any partitioning (a k-means variant trades this replicability
@@ -34,28 +37,70 @@ object SemDedupOps {
   import VectorOps.asDouble
 
   private val Tau = 0.45
-  private val Planes = 4
 
-  /** Add the Hadamard-sign `bucket` column: per hyperplane i, w_i[d] =
-    * +1 when bit i of the dimension index is 0 else −1; each term is an
-    * exact double negation quantized to 12-dp DECIMAL, and the per-plane
-    * sums run as REAL decimal aggregates over a posexplode (exact and
-    * order-independent — a Catalyst array fold would widen the decimal
-    * scale away on every step), so the sign (and with it the bucket) is
-    * engine- and partitioning-exact.
+  /** Base plane count and ceiling for [[planesFor]]. 4 planes (16
+    * buckets) below 16k distinct vectors; +1 plane per 2× growth, so
+    * per-bucket population stays ≤ ~1000 distinct vectors (pair work
+    * ≤ ~500k per bucket) up to 4M distinct vectors at the 12-plane cap.
     */
-  private def bucketed(e: DataFrame): DataFrame = {
-    val planeAggs = (0 until Planes).map { i =>
-      sum(round(col("x") *
-          (lit(1) - lit(2) * (shiftright(col("pos"), i) % 2)), 12)
+  private val BasePlanes = 4
+  private val MaxPlanes = 12
+
+  /** Scale-adaptive plane count from the DISTINCT-vector count (r14
+    * verdict item 5 — the q_geo_cell_join bug class: 16 FIXED buckets
+    * make per-bucket population linear in corpus size, so within-bucket
+    * pairing reverts to quadratic exactly when it hurts). Integer
+    * threshold comparisons, never a float log (the GeoOps.cellDepth
+    * discipline: a log ratio can differ by an ulp between engines at an
+    * exact boundary count and silently flip every bucket corpus-wide).
+    * SemDedupSpec pins the table including the boundaries.
+    */
+  private[queries] def planesFor(nDistinct: Column): Column =
+    (lit(BasePlanes) +
+      (0 until (MaxPlanes - BasePlanes)).map { j =>
+        when(nDistinct >= 16000L * (1L << j), 1).otherwise(0)
+      }.reduce(_ + _)).cast("int")
+
+  /** ±1 weight of hyperplane `i` at dimension index `pos` (a Column).
+    * Planes 0–5 are the bit-of-dimension-index Hadamard family
+    * (w_i[d] = +1 iff bit i of d is 0 — on 64-dim vectors the family is
+    * exhausted at 6 planes: bit 6 of d < 64 is constantly 0, so every
+    * further "plane" would be the same all-ones direction). Planes ≥ 6
+    * switch to a seeded parity family: w_i[d] = +1 iff
+    * bit_count((d+1)·(2i+1)) is even — pure integer arithmetic, so the
+    * weight is engine-exact like the bit family, and distinct odd
+    * multipliers give distinct sign patterns (non-degeneracy pinned in
+    * SemDedupSpec).
+    */
+  private[queries] def planeWeight(i: Int, pos: Column): Column =
+    if (i < 6) lit(1) - lit(2) * (shiftright(pos, i) % 2)
+    else lit(1) - lit(2) * (bit_count((pos + 1) * lit(2 * i + 1)) % 2).cast("int")
+
+  /** Add the sign-bucket column at a plane count that SCALES with the
+    * distinct-vector count (`nd`, a 1-row broadcast frame with column
+    * `nv`): per hyperplane i, each term is an exact double negation
+    * quantized to 12-dp DECIMAL, and the per-plane sums run as REAL
+    * decimal aggregates over a posexplode (exact and order-independent
+    * — a Catalyst array fold would widen the decimal scale away on
+    * every step), so the sign (and with it the bucket) is engine- and
+    * partitioning-exact. All MaxPlanes sums are computed (bounded,
+    * vector-width work); the bucket folds in only the first
+    * planesFor(nv) of them.
+    */
+  private[queries] def bucketed(e: DataFrame, nd: DataFrame): DataFrame = {
+    val planeAggs = (0 until MaxPlanes).map { i =>
+      sum(round(col("x") * planeWeight(i, col("pos")), 12)
         .cast("decimal(26,12)")).as(s"p$i")
     }
     val sums = e.select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy("vec_id")
       .agg(planeAggs.head, planeAggs.tail: _*)
+      .crossJoin(broadcast(nd))
+      .withColumn("np", planesFor(col("nv")))
       .withColumn("bucket",
-        (0 until Planes)
-          .map(i => (col(s"p$i") > 0).cast("int") * lit(1 << i))
+        (0 until MaxPlanes)
+          .map(i => when(lit(i) < col("np"),
+            (col(s"p$i") > 0).cast("int") * lit(1 << i)).otherwise(0))
           .reduce(_ + _))
       .select("vec_id", "bucket")
     e.join(sums, "vec_id")
@@ -100,7 +145,11 @@ object SemDedupOps {
           .cache()
         val members = grouped.select(col("rep"), explode(col("ids")).as("vec_id"))
         val reps = grouped.select(col("rep").as("vec_id"), col("v"))
-        val e = bucketed(reps)
+        // Distinct-vector count drives the plane count (planesFor) — a
+        // 1-row aggregate broadcast into the bucket fold, the
+        // q_geo_cell_join nSupp pattern; never a driver collect.
+        val nd = grouped.agg(count(lit(1)).as("nv"))
+        val e = bucketed(reps, nd)
         val a = e.select(col("bucket"), col("vec_id").as("ida"), col("v").as("va"))
         val b = e.select(col("bucket"), col("vec_id").as("idb"), col("v").as("vb"))
         val repPairs = a.join(b, Seq("bucket"))
@@ -126,19 +175,29 @@ object SemDedupOps {
       s"""WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
+        |nv AS (SELECT COUNT(*) AS nv FROM (SELECT DISTINCT v FROM e)),
+        |np AS (
+        |  SELECT CAST($BasePlanes +
+        |    ${(0 until (MaxPlanes - BasePlanes)).map(j =>
+             s"(CASE WHEN nv >= ${16000L * (1L << j)} THEN 1 ELSE 0 END)")
+             .mkString(" +\n    ")} AS INT) AS np
+        |  FROM nv),
         |ex AS (
         |  SELECT vec_id, UNNEST(v) AS x, UNNEST(range(0, len(v))) AS d FROM e),
         |bsum AS (
         |  SELECT vec_id,
-        |    ${(0 until Planes).map(i =>
-             s"""SUM(CAST(ROUND(x * (1 - 2 * ((d >> $i) & 1)), 12) AS DECIMAL(26,12))) AS p$i""")
-             .mkString(",\n    ")}
+        |    ${(0 until MaxPlanes).map { i =>
+             val w =
+               if (i < 6) s"(1 - 2 * ((d >> $i) & 1))"
+               else s"(1 - 2 * (bit_count((d + 1) * ${2 * i + 1}) % 2))"
+             s"""SUM(CAST(ROUND(x * $w, 12) AS DECIMAL(26,12))) AS p$i"""
+           }.mkString(",\n    ")}
         |  FROM ex GROUP BY vec_id),
         |b AS (
         |  SELECT e.vec_id, e.v,
-        |    ${(0 until Planes).map(i =>
-             s"(CASE WHEN p$i > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")} AS bucket
-        |  FROM e JOIN bsum ON e.vec_id = bsum.vec_id),
+        |    ${(0 until MaxPlanes).map(i =>
+             s"(CASE WHEN $i < np AND p$i > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")} AS bucket
+        |  FROM e JOIN bsum ON e.vec_id = bsum.vec_id CROSS JOIN np),
         |pairs AS (
         |  SELECT y.vec_id AS dropped_id, x.vec_id AS ida,
         |    ROUND(list_cosine_similarity(x.v, y.v), 6) AS c
