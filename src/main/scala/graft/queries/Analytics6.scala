@@ -23,13 +23,24 @@ object Analytics6 {
     // (count DESC, path ASC).
     "ev_funnel_paths" -> QDef(
       (s, dir) => {
-        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        Tables(s, dir, "events")
-          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-          .withColumn("e2", lead("event_type", 1).over(w))
-          .withColumn("e3", lead("event_type", 2).over(w))
-          .filter(col("e3").isNotNull)
-          .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+        // r15: the lead-1/lead-2 trigram re-expressed through TWO
+        // SubShard.withPrev passes — a consecutive triple is
+        // (prev_prev, prev, cur) on rows where both exist, the same
+        // multiset as (cur, lead1, lead2) — so a hot user's history
+        // sub-shards instead of serializing one task (micro ticks: the
+        // original window ordered by the raw timestamp).
+        val base = Tables(s, dir, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_s"),
+            col("event_id"), col("event_type"))
+        // The max-per-user count is computed once and threaded through
+        // both passes; pass 2 reuses pass 1's __bkt when hot.
+        val mx = SubShard.maxPerUser(base)
+        val p1 = SubShard.withPrev(base, Seq("event_type"), tick = 1000000L, mx = mx)
+          .drop("__rn")
+        val p2 = SubShard.withPrev(p1, Seq("prev_event_type"), tick = 1000000L, mx = mx)
+        p2.filter(col("prev_prev_event_type").isNotNull)
+          .select(concat_ws(">", col("prev_prev_event_type"),
+            col("prev_event_type"), col("event_type")).as("path"))
           .groupBy("path").agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("path").asc)
           .limit(20)

@@ -56,11 +56,12 @@ object EventOps {
       (s, dir) => {
         val base = ev(s, dir)
           .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("ts_s"))
-        val flagged = SubShard.withPrev(base, Seq("ts_s"))
+        val mx = SubShard.maxPerUser(base)
+        val flagged = SubShard.withPrev(base, Seq("ts_s"), mx = mx)
           .withColumn("is_new",
             when(col("prev_ts_s").isNull || col("ts_s") - col("prev_ts_s") > 1800, 1L)
               .otherwise(0L))
-        SubShard.chainedCumsum(flagged, "is_new", "session_idx")
+        SubShard.chainedCumsum(flagged, "is_new", "session_idx", mx = mx)
           .groupBy("user_id", "session_idx")
           .agg(
             count(lit(1)).as("n_events"),
@@ -243,15 +244,17 @@ object EventOps {
     // epoch-second integers: exact on both engines.
     "ev_attribution" -> QDef(
       (s, dir) => {
-        val byUser = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        ev(s, dir)
+        // r15: the running min/max ride [[SubShard.chainedRunningAgg]]
+        // (user × time-bucket sub-shards, within-shard running agg ⊕
+        // whole-earlier-shard agg) so a hot user's history no longer
+        // serializes one task; output identical to the plain window.
+        val base = ev(s, dir)
           .select(col("user_id"), col("event_id"), col("event_type"),
             unix_timestamp(col("ts")).as("ts_s"))
-          .withColumn("first_click",
-            min(when(col("event_type") === "click", col("ts_s"))).over(byUser))
-          .withColumn("last_click",
-            max(when(col("event_type") === "click", col("ts_s"))).over(byUser))
+          .withColumn("click_ts",
+            when(col("event_type") === "click", col("ts_s")))
+        SubShard.chainedRunningAgg(base,
+            Seq(("click_ts", "min", "first_click"), ("click_ts", "max", "last_click")))
           .filter(col("event_type") === "purchase" && col("first_click").isNotNull)
           .select(col("user_id"), col("event_id"), col("ts_s"),
             col("first_click"), col("last_click"))

@@ -28,19 +28,23 @@ object EventOps2 {
     // per-user analytic; nothing global.
     "ev_interval_merge" -> QDef(
       (s, dir) => {
-        val byUser = Window.partitionBy("user_id").orderBy("st", "event_id")
-        val prevEnd = max("en").over(byUser.rowsBetween(Window.unboundedPreceding, -1))
-        val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ev(s, dir)
+        // r15: running max(en) and the island cumsum ride SubShard
+        // (chainedRunningAgg + chainedCumsum over user × time-bucket
+        // sub-shards) so a hot user's intervals parallelize; output
+        // identical to the plain window for any bucket width. The
+        // ordering column is the interval start (`st` aliased ts_s).
+        val base = ev(s, dir)
           .select(col("user_id"), col("event_id"),
-            unix_timestamp(col("ts")).as("st"),
+            unix_timestamp(col("ts")).as("ts_s"),
             (unix_timestamp(col("ts")) + 300L).as("en"))
-          .withColumn("prev_end", prevEnd)
+        val mx = SubShard.maxPerUser(base)
+        val flagged = SubShard.chainedRunningAgg(base,
+            Seq(("en", "max", "prev_end")), mx = mx)
           .withColumn("is_new",
-            when(col("prev_end").isNull || col("st") > col("prev_end"), 1L).otherwise(0L))
-          .withColumn("island", sum("is_new").over(cum))
+            when(col("prev_end").isNull || col("ts_s") > col("prev_end"), 1L).otherwise(0L))
+        SubShard.chainedCumsum(flagged, "is_new", "island", mx = mx)
           .groupBy("user_id", "island")
-          .agg(min("st").as("ist"), max("en").as("ien"))
+          .agg(min("ts_s").as("ist"), max("en").as("ien"))
           .groupBy("user_id")
           .agg(
             count(lit(1)).as("n_islands"),

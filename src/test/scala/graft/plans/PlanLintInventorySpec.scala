@@ -96,6 +96,20 @@ class PlanLintInventorySpec extends SparkSpec {
     "emb_mrl_recall" -> Map("CARTESIAN_PRODUCT" -> 2, "GLOBAL_WINDOW" -> 1),
     "emb_scalar_quant" -> Map("CARTESIAN_PRODUCT" -> 1),
     "ev_anomaly_mad" -> Map("CARTESIAN_PRODUCT" -> 3),
+    // r15 SubShard conversions (25ko) lint CLEAN at gate scale: the
+    // adaptive dispatch reads the max per-user count as one bounded
+    // driver-side long and emits the ORIGINAL single-window plan below
+    // the hot threshold — the sub-sharded plan (whose summary joins are
+    // the q_geo_cell_join bounded-one-row class) only exists on hot
+    // tiers, which the lint's sf0.001 fixture never is.
+    //
+    // r15 operator-only twin: same calendar-bounded global window +
+    // one-row total broadcast as the gated ev_rolling_distinct.
+    "ev_rolling_distinct_op" -> Map("CARTESIAN_PRODUCT" -> 1, "GLOBAL_WINDOW" -> 1),
+    // r15 adaptive semdedup (25kp): the one-row distinct-vector-count
+    // broadcast (planesFor input) onto the plane-sum subtrees — the
+    // same bounded-one-row class as q_geo_cell_join's nSupp.
+    "curate_semdedup" -> Map("NON_EQUI_JOIN" -> 4),
     "ev_cusum_changepoint" -> Map("CARTESIAN_PRODUCT" -> 1, "GLOBAL_WINDOW" -> 1),
     "ev_daily_anomaly" -> Map("GLOBAL_WINDOW" -> 1),
     "ev_ewma" -> Map("CARTESIAN_PRODUCT" -> 1, "GLOBAL_WINDOW" -> 1, "NON_EQUI_JOIN" -> 2),

@@ -27,24 +27,33 @@ class SubShardSpec extends SparkSpec {
       .toDF("event_id", "user_id", "ts_s", "event_type")
   }
 
-  test("bucketTicksFor width table") {
-    import spark.implicits._
-    val rows = Seq(1L, 7999L, 8000L, 63999L, 64000L, 511999L, 512000L, 10000000L)
-      .toDF("n")
-      .select(col("n"), SubShard.bucketTicksFor(col("n"), 1L).as("w"),
-        SubShard.bucketTicksFor(col("n"), 1000000L).as("wus"))
-      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
-    val got = rows.toMap
+  test("widthTicks table with exact thresholds") {
     val single = Long.MaxValue / 4
     val exp = Map(1L -> single, 7999L -> single, 8000L -> 86400L,
       63999L -> 86400L, 64000L -> 3600L, 511999L -> 3600L,
       512000L -> 900L, 10000000L -> 900L)
     exp.foreach { case (n, w) =>
-      assert(got(n)._1 == w, s"width($n) = ${got(n)._1}, expected $w")
+      assert(SubShard.widthTicks(n, 1L) == w, s"width($n) != $w")
       // Micro-tick widths scale by 1e6 except the single-bucket sentinel.
       val expUs = if (w == single) single else w * 1000000L
-      assert(got(n)._2 == expUs, s"widthUs($n) = ${got(n)._2}, expected $expUs")
+      assert(SubShard.widthTicks(n, 1000000L) == expUs, s"widthUs($n) != $expUs")
     }
+  }
+
+  test("cold corpus takes the plain-window plan: constant bucket, exact output") {
+    import spark.implicits._
+    // 60 users × 100 events — max per user far below the 8k threshold.
+    val d = (for (u <- 0 until 60; i <- 0 until 100)
+      yield (u * 1000L + i, u.toLong, i.toLong * 300L, s"t${i % 4}"))
+      .toDF("event_id", "user_id", "ts_s", "event_type")
+    assert(SubShard.maxPerUser(d) == 100L)
+    val got = SubShard.withPrev(d, Seq("event_type"))
+    assert(got.select("__bkt").distinct().count() == 1, "cold path must not shard")
+    val plain = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    val expect = d.withColumn("p", lag("event_type", 1).over(plain))
+      .select("event_id", "p").collect().map(_.toSeq).toSet
+    assert(got.select(col("event_id"), col("prev_event_type").as("p"))
+      .collect().map(_.toSeq).toSet == expect)
   }
 
   test("withPrev equals the plain user window, including boundary rows and ties") {
