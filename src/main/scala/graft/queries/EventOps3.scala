@@ -30,23 +30,45 @@ object EventOps3 {
       (s, dir) => {
         def q12(c: Column): Column = round(c, 12).cast("decimal(26,12)")
         val e = ev(s, dir)
+        // MULTIPLICITY COLLAPSE first (r15 — the 4th copy-quadratic the
+        // Z-big sweep caught, at 230 s: the per-user purchase × touch
+        // join pays the FULL copy fan, 100×100 pairs per base pair on a
+        // duplicated tier, while every copy-pair shares the exact same
+        // weight — w depends only on the two timestamps). Events
+        // collapse to distinct (user, ts[, touch]) with multiplicities;
+        // pair work runs once per DISTINCT pair and the copy mass
+        // multiplies back in EXACTLY: n_touches = Σ m_p·m_t (integers),
+        // credit = Σ m_p·m_t·q12(w/sw) (an integer times a 12-dp
+        // DECIMAL is exact), and the per-purchase normalizer sw =
+        // Σ m_t·w is identical for every copy of a purchase, so the
+        // original per-copy grouping by p_id collapses losslessly.
         val purchases = e.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+          .groupBy(col("user_id"), col("ts").as("p_ts"))
+          .agg(count(lit(1)).as("m_p"))
         val touches = e.filter(col("event_type") =!= "purchase")
-          .select(col("user_id"), col("event_id").as("t_id"),
-            col("ts").as("t_ts"), col("event_type").as("touch"))
+          .groupBy(col("user_id"), col("ts").as("t_ts"),
+            col("event_type").as("touch"))
+          .agg(count(lit(1)).as("m_t"))
         val pairs = purchases.join(touches, "user_id")
           .filter(col("t_ts") < col("p_ts") &&
             col("t_ts") >= col("p_ts") - expr("INTERVAL 72 HOURS"))
           .withColumn("w", q12(exp(
             (col("t_ts").cast("double") - col("p_ts").cast("double")) / 86400.0)))
-        val norm = pairs.groupBy("p_id").agg(sum("w").as("sw"))
-        pairs.join(norm, "p_id")
-          .select(col("touch"),
-            q12(col("w").cast("double") / col("sw").cast("double")).as("share"))
+        // sw of one purchase COPY = Σ over touch copies = Σ m_t·w. The
+        // multiplicities multiply as DECIMAL(10,0): a DECIMAL(26,12) ×
+        // BIGINT product would exceed Spark's 38-digit cap and silently
+        // TRUNCATE the 12-dp scale (observed as a 1-ulp credit drift at
+        // the 4-dp round); 26+10+1 = 37 digits keeps the grid exact.
+        def m10(c: Column): Column = c.cast("decimal(10,0)")
+        val norm = pairs.groupBy("user_id", "p_ts")
+          .agg(sum(col("w") * m10(col("m_t"))).as("sw"))
+        pairs.join(norm, Seq("user_id", "p_ts"))
+          .select(col("touch"), (col("m_p") * col("m_t")).as("mm"),
+            (q12(col("w").cast("double") / col("sw").cast("double"))
+              * m10(col("m_p") * col("m_t"))).as("cr"))
           .groupBy("touch")
-          .agg(count(lit(1)).as("n_touches"),
-            round(sum("share").cast("double"), 4).as("credit"))
+          .agg(sum("mm").as("n_touches"),
+            round(sum(col("cr")).cast("double"), 4).as("credit"))
           .orderBy("touch")
       },
       """WITH purchases AS (
@@ -77,13 +99,15 @@ object EventOps3 {
     // chain's row-normalized probabilities are exact-integer ratios.
     "ev_markov_stationary" -> QDef(
       (s, dir) => {
-        val byUser = org.apache.spark.sql.expressions.Window
-          .partitionBy("user_id").orderBy("ts", "event_id")
-        val pairs = ev(s, dir)
-          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
-          .withColumn("nxt", lead("event_type", 1).over(byUser))
-          .filter(col("nxt").isNotNull)
-          .groupBy(col("event_type").as("cur"), col("nxt"))
+        // r15: lead re-expressed as SubShard.withPrev (an adjacent pair
+        // is (prev_event_type → event_type) on rows with a prev) — the
+        // ev_transition_matrix hot-user sub-sharding, micro ticks.
+        val base = ev(s, dir)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_s"), col("event_type"))
+        val pairs = SubShard.withPrev(base, Seq("event_type"), tick = 1000000L)
+          .filter(col("prev_event_type").isNotNull)
+          .groupBy(col("prev_event_type").as("cur"), col("event_type").as("nxt"))
           .agg(count(lit(1)).as("n"))
         val outd = pairs.groupBy("cur").agg(sum("n").as("tot"))
         // |types|²-row transition matrix, referenced by all three steps.
@@ -147,14 +171,13 @@ object EventOps3 {
     // windows only; the histogram partial-aggregates to ≤64 rows.
     "ev_gap_histogram" -> QDef(
       (s, dir) => {
-        val byUser = org.apache.spark.sql.expressions.Window
-          .partitionBy("user_id").orderBy("ts", "event_id")
-        Tables(s, dir, "events")
-          .select(col("user_id"), col("event_id"), col("ts"))
-          .withColumn("prev", lag("ts", 1).over(byUser))
-          .filter(col("prev").isNotNull)
-          .select(expr(
-            "div(unix_micros(ts) - unix_micros(prev), 1000000)").as("gap_s"))
+        // r15: the lag rides SubShard.withPrev (micro ticks — the
+        // original window ordered by the raw microsecond timestamp).
+        val base = Tables(s, dir, "events")
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_s"))
+        SubShard.withPrev(base, Seq("ts_s"), tick = 1000000L)
+          .filter(col("prev_ts_s").isNotNull)
+          .select(expr("div(ts_s - prev_ts_s, 1000000)").as("gap_s"))
           .filter(col("gap_s") > 0)
           .select(length(bin(col("gap_s"))).as("bucket"))
           .groupBy("bucket").agg(count(lit(1)).as("n"))
