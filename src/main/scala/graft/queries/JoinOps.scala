@@ -44,14 +44,51 @@ object JoinOps {
           .unionByName(clicks.select(col("user_id"), col("ts_s"), col("event_id"),
             lit(null).cast("double").as("purch_value"), lit(0).as("is_b")))
         // At equal ts the purchase sorts first (is_b desc) — ts >= match.
-        val w = Window.partitionBy("user_id")
-          .orderBy(col("ts_s").asc, col("is_b").desc, col("event_id").asc_nulls_first)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        tagged
-          .withColumn("last_purch_ts",
-            last(when(col("is_b") === 1, col("ts_s")), ignoreNulls = true).over(w))
-          .withColumn("last_purch_value",
-            last(when(col("is_b") === 1, col("purch_value")), ignoreNulls = true).over(w))
+        // r15: skew-dispatched like the SubShard family — below the hot
+        // threshold this is the original single window; above it, the
+        // last-non-null decomposes over (user, time-bucket) sub-shards:
+        // within-bucket running last purchase ⊕ the MAX-ts purchase of
+        // all EARLIER buckets (a struct max over the per-bucket summary
+        // — bucketing is by ts alone, so the is_b/event_id tie-break
+        // never crosses a boundary and earlier buckets are strictly
+        // earlier in time). Output identical for any width.
+        // Dispatch off the RAW events frame — an upper bound on tagged's
+        // per-user count (conservative: may shard a user whose tagged
+        // rows are fewer; output is width-invariant so that's free), and
+        // the counting pass is one scan+agg instead of re-evaluating the
+        // union + purchase pre-aggregation twice.
+        val mx = SubShard.maxPerUser(e.select(col("user_id")))
+        val result =
+          if (mx < 8000L) {
+            val w = Window.partitionBy("user_id")
+              .orderBy(col("ts_s").asc, col("is_b").desc, col("event_id").asc_nulls_first)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            tagged
+              .withColumn("last_purch_ts",
+                last(when(col("is_b") === 1, col("ts_s")), ignoreNulls = true).over(w))
+              .withColumn("last_purch_value",
+                last(when(col("is_b") === 1, col("purch_value")), ignoreNulls = true).over(w))
+          } else {
+            val pStruct = when(col("is_b") === 1,
+              struct(col("ts_s").as("pt"), col("purch_value").as("pv")))
+            val d = tagged.withColumn("__bkt",
+              floor(col("ts_s") / lit(SubShard.widthTicks(mx, 1L))))
+            val wb = Window.partitionBy("user_id", "__bkt")
+              .orderBy(col("ts_s").asc, col("is_b").desc, col("event_id").asc_nulls_first)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            val summary = d.groupBy("user_id", "__bkt")
+              .agg(max(pStruct).as("__bl"))
+              .withColumn("__prior", max(col("__bl")).over(
+                Window.partitionBy("user_id").orderBy("__bkt")
+                  .rowsBetween(Window.unboundedPreceding, -1)))
+              .select(col("user_id"), col("__bkt"), col("__prior"))
+            d.withColumn("__s", last(pStruct, ignoreNulls = true).over(wb))
+              .join(summary, Seq("user_id", "__bkt"), "left")
+              .withColumn("__r", coalesce(col("__s"), col("__prior")))
+              .withColumn("last_purch_ts", col("__r.pt"))
+              .withColumn("last_purch_value", col("__r.pv"))
+          }
+        result
           .filter(col("is_b") === 0)
           .select(col("user_id"), col("event_id"), col("ts_s"),
             col("last_purch_ts"), col("last_purch_value"))
