@@ -98,7 +98,10 @@ object ScaleGen {
       // and corrupt uniqueness + the l_orderkey referential link. Fail
       // loudly instead (one cheap max() agg per copy-keyed column).
       if (expand && zipfS > 1) copyCols.foreach { k =>
-        val mx = base.agg(max(col(k))).collect()(0).getLong(0)
+        // coalesce+cast so an empty base table or an int-typed key still
+        // reaches the require's diagnostic (not an NPE/ClassCast).
+        val mx = base.agg(coalesce(max(col(k)).cast("long"), lit(-1L)))
+          .collect()(0).getLong(0)
         require(mx < CopyOff,
           s"--zipf needs every base $name.$k < $CopyOff for copy-key " +
             s"disjointness; found max $mx — use a smaller base corpus")

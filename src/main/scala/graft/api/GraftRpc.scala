@@ -211,7 +211,7 @@ final class GraftRpc(root: SparkSession, backend: graft.engine.ExecutorMode = gr
       // Result shape = reference LoadParquetDirectoryResult
       // (rpc/types.rs:456): success + tablesLoaded rows with rowCount.
       val s = session(params)
-      val path = req(params, "path").toString
+      val path = reqRoot(params)
       catalogRoot.put(s.id, path)
       Map(
         "success" -> true,
@@ -224,7 +224,7 @@ final class GraftRpc(root: SparkSession, backend: graft.engine.ExecutorMode = gr
       // files are untouched — no source views, no loads. Result shape =
       // LoadSqlDirectoryResult (methods.rs:331-343, rpc/types.rs:433).
       val s = session(params)
-      val path = req(params, "path").toString
+      val path = reqRoot(params)
       catalogRoot.put(s.id, path)
       val (dag, sqlInfos) = DirectoryCatalog.loadSqlDag(s, path)
       dags.put(s.id, dag)
@@ -239,7 +239,7 @@ final class GraftRpc(root: SparkSession, backend: graft.engine.ExecutorMode = gr
       // sourceTables (with rowCount), computedTables, dagInfo (the
       // register_dag return — computed tables only, with dependencies).
       val s = session(params)
-      val path = req(params, "path").toString
+      val path = reqRoot(params)
       catalogRoot.put(s.id, path)
       val (dag, srcInfos, sqlInfos) = DirectoryCatalog.loadDagFrom(s, path)
       dags.put(s.id, dag)
@@ -257,9 +257,18 @@ final class GraftRpc(root: SparkSession, backend: graft.engine.ExecutorMode = gr
   }
 
   private def rootOf(params: Map[String, Any]): String =
-    params.get("path").map(_.toString)
+    params.get("rootPath").orElse(params.get("path")).map(_.toString)
       .orElse(Option(catalogRoot.get(session(params).id)))
       .getOrElse(throw GraftError.LoaderError("No catalog root loaded for session"))
+
+  /** Directory-loader root param. The reference deserializes the wire
+    * key `rootPath` (rpc/types.rs:428/451/476 serde rename) for all
+    * three bq.load*Directory methods; `path` stays accepted for
+    * clients of this engine's earlier rounds.
+    */
+  private def reqRoot(params: Map[String, Any]): String =
+    params.get("rootPath").orElse(params.get("path")).map(_.toString)
+      .getOrElse(throw GraftError.InvalidParams("Missing required param: rootPath"))
 }
 
 object GraftRpc {

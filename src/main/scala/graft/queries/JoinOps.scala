@@ -24,6 +24,51 @@ object JoinOps {
 
   private def ev(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "events")
 
+  /** The as-of "most recent purchase at or before each row" carry over
+    * the tagged click∪purchase union (user_id, ts_s, event_id,
+    * purch_value, is_b). Cold corpora (mx below the SubShard threshold)
+    * get the single user-partitioned window; hot ones decompose over
+    * (user, time-bucket) sub-shards: within-bucket running last purchase
+    * ⊕ the MAX-(ts, event_id) purchase of all EARLIER buckets (a struct
+    * max over the per-bucket summary — bucketing is by ts alone, so
+    * earlier buckets are strictly earlier in time). event_id rides in
+    * the struct so the cross-bucket winner matches the window's `last`
+    * under equal-ts purchase ties (r15 verdict item 2); output is
+    * identical for any bucket width — SubShardSpec pins the equality on
+    * a fixture with same-ts purchase pairs at bucket boundaries.
+    */
+  private[queries] def asofCarry(tagged: DataFrame, mx: Long): DataFrame = {
+    val ord = Seq(col("ts_s").asc, col("is_b").desc, col("event_id").asc_nulls_first)
+    if (mx < SubShard.HotThreshold) {
+      val w = Window.partitionBy("user_id").orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("last_purch_ts",
+          last(when(col("is_b") === 1, col("ts_s")), ignoreNulls = true).over(w))
+        .withColumn("last_purch_value",
+          last(when(col("is_b") === 1, col("purch_value")), ignoreNulls = true).over(w))
+    } else {
+      val pStruct = when(col("is_b") === 1,
+        struct(col("ts_s").as("pt"), col("event_id").as("eid"),
+          col("purch_value").as("pv")))
+      val d = tagged.withColumn("__bkt",
+        floor(col("ts_s") / lit(SubShard.widthTicks(mx, 1L))))
+      val wb = Window.partitionBy("user_id", "__bkt").orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val summary = d.groupBy("user_id", "__bkt")
+        .agg(max(pStruct).as("__bl"))
+        .withColumn("__prior", max(col("__bl")).over(
+          Window.partitionBy("user_id").orderBy("__bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)))
+        .select(col("user_id"), col("__bkt"), col("__prior"))
+      d.withColumn("__s", last(pStruct, ignoreNulls = true).over(wb))
+        .join(summary, Seq("user_id", "__bkt"), "left")
+        .withColumn("__r", coalesce(col("__s"), col("__prior")))
+        .withColumn("last_purch_ts", col("__r.pt"))
+        .withColumn("last_purch_value", col("__r.pv"))
+    }
+  }
+
   val defs: Map[String, QDef] = Map(
 
     // §2.1c as-of join: each click joined to the user's most recent
@@ -35,60 +80,27 @@ object JoinOps {
           col("event_id"), col("user_id"),
           unix_timestamp(col("ts")).as("ts_s"), col("event_type"), col("value"))
         val clicks = e.filter(col("event_type") === "click")
+        // Pre-aggregated per (user, sec) so pt is unique per user; the
+        // representative event_id (max over the collapsed group) rides
+        // along so the window tie-break — and the hot path's struct max
+        // — stays deterministic even if the pre-agg is ever relaxed.
         val purch = e.filter(col("event_type") === "purchase")
           .groupBy("user_id", "ts_s")
-          .agg(round(max("value"), 2).as("purch_value"))
+          .agg(round(max("value"), 2).as("purch_value"),
+            max("event_id").as("p_eid"))
         val tagged = purch
           .select(col("user_id"), col("ts_s"),
-            lit(null).cast("long").as("event_id"), col("purch_value"), lit(1).as("is_b"))
+            col("p_eid").as("event_id"), col("purch_value"), lit(1).as("is_b"))
           .unionByName(clicks.select(col("user_id"), col("ts_s"), col("event_id"),
             lit(null).cast("double").as("purch_value"), lit(0).as("is_b")))
         // At equal ts the purchase sorts first (is_b desc) — ts >= match.
-        // r15: skew-dispatched like the SubShard family — below the hot
-        // threshold this is the original single window; above it, the
-        // last-non-null decomposes over (user, time-bucket) sub-shards:
-        // within-bucket running last purchase ⊕ the MAX-ts purchase of
-        // all EARLIER buckets (a struct max over the per-bucket summary
-        // — bucketing is by ts alone, so the is_b/event_id tie-break
-        // never crosses a boundary and earlier buckets are strictly
-        // earlier in time). Output identical for any width.
-        // Dispatch off the RAW events frame — an upper bound on tagged's
-        // per-user count (conservative: may shard a user whose tagged
-        // rows are fewer; output is width-invariant so that's free), and
-        // the counting pass is one scan+agg instead of re-evaluating the
-        // union + purchase pre-aggregation twice.
+        // Skew dispatch off the RAW events frame — an upper bound on
+        // tagged's per-user count (conservative: may shard a user whose
+        // tagged rows are fewer; output is width-invariant so that's
+        // free), and the counting pass is one scan+agg instead of
+        // re-evaluating the union + purchase pre-aggregation twice.
         val mx = SubShard.maxPerUser(e.select(col("user_id")))
-        val result =
-          if (mx < 8000L) {
-            val w = Window.partitionBy("user_id")
-              .orderBy(col("ts_s").asc, col("is_b").desc, col("event_id").asc_nulls_first)
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            tagged
-              .withColumn("last_purch_ts",
-                last(when(col("is_b") === 1, col("ts_s")), ignoreNulls = true).over(w))
-              .withColumn("last_purch_value",
-                last(when(col("is_b") === 1, col("purch_value")), ignoreNulls = true).over(w))
-          } else {
-            val pStruct = when(col("is_b") === 1,
-              struct(col("ts_s").as("pt"), col("purch_value").as("pv")))
-            val d = tagged.withColumn("__bkt",
-              floor(col("ts_s") / lit(SubShard.widthTicks(mx, 1L))))
-            val wb = Window.partitionBy("user_id", "__bkt")
-              .orderBy(col("ts_s").asc, col("is_b").desc, col("event_id").asc_nulls_first)
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            val summary = d.groupBy("user_id", "__bkt")
-              .agg(max(pStruct).as("__bl"))
-              .withColumn("__prior", max(col("__bl")).over(
-                Window.partitionBy("user_id").orderBy("__bkt")
-                  .rowsBetween(Window.unboundedPreceding, -1)))
-              .select(col("user_id"), col("__bkt"), col("__prior"))
-            d.withColumn("__s", last(pStruct, ignoreNulls = true).over(wb))
-              .join(summary, Seq("user_id", "__bkt"), "left")
-              .withColumn("__r", coalesce(col("__s"), col("__prior")))
-              .withColumn("last_purch_ts", col("__r.pt"))
-              .withColumn("last_purch_value", col("__r.pv"))
-          }
-        result
+        asofCarry(tagged, mx)
           .filter(col("is_b") === 0)
           .select(col("user_id"), col("event_id"), col("ts_s"),
             col("last_purch_ts"), col("last_purch_value"))

@@ -322,6 +322,30 @@ class ReferenceDagClientParitySpec extends SparkSpec {
     assert(q(s, "SELECT COUNT(*) AS n FROM facts") == Seq(Map("n" -> 3L)))
   }
 
+  test("directory loaders accept the reference wire key rootPath (rpc/types.rs serde rename)") {
+    // The reference deserializes `rootPath` for all three directory
+    // loaders (rpc/types.rs:428/451/476); `path` stays accepted for
+    // earlier-round clients of this engine.
+    val s = newSession()
+    val root = catalogTree()
+    val pq = call("bq.loadParquetDirectory", s, "rootPath" -> root.toString)
+      .asInstanceOf[Map[String, Any]]
+    assert(pq("success") == true)
+    assert(pq("tablesLoaded").asInstanceOf[Seq[Map[String, Any]]].map(_("table")) == Seq("facts"))
+    val sq = call("bq.loadSqlDirectory", s, "rootPath" -> root.toString)
+      .asInstanceOf[Map[String, Any]]
+    assert(sq("tablesLoaded").asInstanceOf[Seq[Map[String, Any]]].map(_("table")) == Seq("report"))
+    val s2 = newSession()
+    val dg = call("bq.loadDagFromDirectory", s2, "rootPath" -> root.toString)
+      .asInstanceOf[Map[String, Any]]
+    assert(dg("sourceTables").asInstanceOf[Seq[Map[String, Any]]].map(_("table")) == Seq("facts"))
+    // Missing both keys is a loud InvalidParams naming the wire key.
+    val err = intercept[graft.api.GraftError.InvalidParams] {
+      call("bq.loadSqlDirectory", newSession())
+    }
+    assert(err.getMessage.contains("rootPath"))
+  }
+
   // ---- client_test.clj ----
 
   test("client_test.clj test-ping") {

@@ -89,6 +89,76 @@ class SubShardSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("chainedRunningAgg hot path equals the plain window (min+max, all-null prefix)") {
+    // The hot (sub-sharded) branch of chainedRunningAgg — used by
+    // ev_attribution / ev_interval_merge — against the plain
+    // rowsBetween(unboundedPreceding, -1) window it replaces. The value
+    // column is null for the whole first day-bucket of the hot user
+    // (ts < 100000 spans bucket 0 entirely), so the least/greatest
+    // boundary stitch is exercised through null bucket totals and an
+    // all-null prefix, not just dense data.
+    val d = fixture().withColumn("v",
+      when(col("ts_s") < 100000L, lit(null).cast("double"))
+        .otherwise(pmod(col("event_id"), lit(997)).cast("double") - lit(300.0)))
+    val w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expect = d
+      .withColumn("mn", min("v").over(w)).withColumn("mx", max("v").over(w))
+      .select("user_id", "event_id", "mn", "mx").collect().map(_.toSeq).toSet
+    val got = SubShard.chainedRunningAgg(d, Seq(("v", "min", "mn"), ("v", "max", "mx")))
+    assert(got.filter(col("user_id") === 0L).select("__bkt").distinct().count() > 1,
+      "hot user stayed in one bucket — the sub-sharded branch was not exercised")
+    assert(got.select("user_id", "event_id", "mn", "mx")
+      .collect().map(_.toSeq).toSet == expect)
+  }
+
+  test("asofCarry hot path equals the plain window, incl. same-ts purchase ties at bucket boundaries") {
+    import spark.implicits._
+    // Tagged click∪purchase union straight into JoinOps.asofCarry so
+    // both dispatch branches run on the SAME frame. The fixture breaks
+    // the production pre-aggregation invariant on purpose: duplicate
+    // (user, ts) purchase pairs with DIFFERENT values and event_ids —
+    // the higher event_id carries the SMALLER value, so a cross-bucket
+    // struct max that tie-broke by value instead of event_id would pick
+    // a different row than the window's `last`. Pairs also sit exactly
+    // ON day-bucket boundaries next to an equal-ts click.
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, java.lang.Long, java.lang.Double, Int)]
+    for (i <- 0 until 9000) {
+      val ts = i.toLong * 60L
+      rows += ((0L, ts, java.lang.Long.valueOf(i.toLong), null, 0))
+      if (i % 10 == 7) {
+        rows += ((0L, ts, java.lang.Long.valueOf(100000L + i), java.lang.Double.valueOf((i % 7).toDouble + 1.0), 1))
+        if (i % 100 == 7)
+          rows += ((0L, ts, java.lang.Long.valueOf(200000L + i), java.lang.Double.valueOf(0.5), 1))
+      }
+    }
+    for (k <- 1 to 6) { // exactly on the 86400-wide bucket boundary
+      val ts = 86400L * k
+      rows += ((0L, ts, java.lang.Long.valueOf(300000L + k), null, 0))
+      rows += ((0L, ts, java.lang.Long.valueOf(400000L + k), java.lang.Double.valueOf(9.0), 1))
+      rows += ((0L, ts, java.lang.Long.valueOf(450000L + k), java.lang.Double.valueOf(2.0), 1))
+    }
+    // A purchase-free user: the carry must stay null on both paths.
+    for (i <- 0 until 100)
+      rows += ((5L, i.toLong * 900L, java.lang.Long.valueOf(500000L + i), null, 0))
+    val tagged = spark.sparkContext.parallelize(rows.toSeq, 8)
+      .toDF("user_id", "ts_s", "event_id", "purch_value", "is_b")
+    val out = Seq("user_id", "event_id", "ts_s", "last_purch_ts", "last_purch_value")
+    val cold = JoinOps.asofCarry(tagged, 0L).filter(col("is_b") === 0)
+      .select(out.map(col): _*).collect().map(_.toSeq).toSet
+    val hotDf = JoinOps.asofCarry(tagged, 9000L)
+    assert(hotDf.filter(col("user_id") === 0L).select("__bkt").distinct().count() > 1,
+      "hot user stayed in one bucket — the decomposed branch was not exercised")
+    val hot = hotDf.filter(col("is_b") === 0)
+      .select(out.map(col): _*).collect().map(_.toSeq).toSet
+    assert(hot == cold)
+    // The boundary tie really resolved to the higher-event_id (smaller
+    // value) purchase — pin the semantics, not just path agreement.
+    val bClick = hotDf.filter(col("event_id") === 300001L)
+      .select("last_purch_ts", "last_purch_value").collect()(0)
+    assert(bClick.getLong(0) == 86400L && bClick.getDouble(1) == 2.0)
+  }
+
   test("per-partition row bound: no (user, bucket) holds the whole hot history") {
     val d = fixture()
     val perBucket = SubShard.withPrev(d, Seq("ts_s"))

@@ -6,6 +6,15 @@ by hand; BASELINE.json now carries a pinned per-query seconds table
 and this script grades any later BENCH_rN.json against it.
 
 Usage: python3 tools/bench_gate.py BENCH_r09.json [BASELINE.json]
+       python3 tools/bench_gate.py --skew BENCH_SKEW_r15.json [BASELINE.json]
+
+--skew grades a skew-sweep artifact (JSONL, one line per sweep batch;
+keys unioned with min-per-key) against BASELINE.json's `skew_queries`
+pin table (provenance in `skew_pinned_from`). Skew pins are COARSE —
+single-run fast-mode times under concurrent sweep load — so the bar is
+2x AND +30 s absolute per key, no total bar: it exists to fail the
+NEXT copy-quadratic mechanically (the four found so far ran 4-50x
+their post-fix times at the Z tier) rather than to police noise.
 
 Rules:
   - per query: FAIL if t > 2x pinned AND t > pinned + 1.5 s — the
@@ -92,7 +101,58 @@ def expand_folded(path, d):
     return q
 
 
+def load_skew_union(path):
+    """A skew-sweep artifact is JSONL — one Bench record per sweep
+    batch, each covering a key subset (batches may re-run keys after a
+    fix: ev_decay_attribution appears at both 230 s pre-fix and 4.8 s
+    post-fix in r15). Union with min-per-key."""
+    mins = {}
+    for line in open(path):
+        line = line.strip()
+        if not line:
+            continue
+        d = json.loads(line)
+        if "parsed" in d and isinstance(d["parsed"], dict):
+            d = d["parsed"]
+        for k, v in d.get("queries", {}).items():
+            if k != "_other_total":
+                mins[k] = min(mins.get(k, float("inf")), v)
+    if not mins:
+        raise SystemExit(f"{path}: no per-query seconds found in any line")
+    return mins
+
+
+def skew_main(bench_path, base_path):
+    bench = load_skew_union(bench_path)
+    base_doc = json.load(open(base_path))
+    base = base_doc.get("skew_queries")
+    if not base:
+        raise SystemExit(f"{base_path}: no skew_queries pin table")
+    shared = sorted(set(bench) & set(base))
+    new = sorted(set(bench) - set(base))
+    if not shared:
+        raise SystemExit(f"FAIL: no shared keys with the skew pin table")
+    fails = []
+    for k in shared:
+        t, p = bench[k], base[k]
+        if t > 2.0 * p and t > p + 30.0:
+            fails.append((k, t, p))
+            print(f"FAIL {k}: {t:.1f}s vs skew pin {p:.1f}s ({t / p:.1f}x)")
+    tot_b = sum(bench[k] for k in shared)
+    tot_p = sum(base[k] for k in shared)
+    print(f"skew total over {len(shared)} shared: {tot_b:.1f}s vs pinned "
+          f"{tot_p:.1f}s ({tot_b / tot_p:.2f}x) [informational — no total bar]")
+    if new:
+        print(f"ungated (no skew pin): {', '.join(new)}")
+    if fails:
+        sys.exit(1)
+    print(f"PASS: {len(shared)} shared keys within the coarse skew gate")
+
+
 def main():
+    if sys.argv[1] == "--skew":
+        skew_main(sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else "BASELINE.json")
+        return
     bench_path = sys.argv[1]
     base_path = sys.argv[2] if len(sys.argv) > 2 else "BASELINE.json"
     bench = load_queries(bench_path)
