@@ -104,8 +104,21 @@ final class BigQueryResolver(
     // fake provider (BigQueryFakeSpec) without shadowing the real short
     // name — the typed connector-absent failure paths stay exercised by
     // the default.
-    connectorFormat: String = "bigquery")
+    connectorFormat: String = "bigquery",
+    // Emulator/alternate-endpoint override: when set, every read/query/
+    // write carries the PUBLIC connector options bigQueryHttpEndpoint +
+    // bigQueryStorageGrpcEndpoint (spark-bigquery-connector README),
+    // pointing jobs AND Storage API traffic at e.g. a local BigQuery
+    // emulator. BigQueryEmulatorSpec drives this opt-in via
+    // -Dgraft.bq.emulator=<host:port>; the option contract itself is
+    // asserted unconditionally.
+    endpoint: Option[String] = None)
     extends TableResolver {
+
+  private def endpointOptions: Map[String, String] =
+    endpoint.toSeq.flatMap(e => Seq(
+      "bigQueryHttpEndpoint" -> e,
+      "bigQueryStorageGrpcEndpoint" -> e)).toMap
 
   val mode: ExecutorMode = ExecutorMode.BigQuery
 
@@ -122,7 +135,8 @@ final class BigQueryResolver(
   def readerOptions(name: String): Map[String, String] =
     Map("table" -> qualifiedName(name)) ++
       defaultProject.map("parentProject" -> _) ++
-      materializationDataset.map("materializationDataset" -> _)
+      materializationDataset.map("materializationDataset" -> _) ++
+      endpointOptions
 
   /** Options for a pushed-down SQL job: the connector's `query` read
     * requires `viewsEnabled` and a materialization dataset (BigQuery
@@ -133,7 +147,8 @@ final class BigQueryResolver(
   def queryOptions(sql: String): Map[String, String] =
     Map("query" -> sql, "viewsEnabled" -> "true") ++
       defaultProject.map("parentProject" -> _) ++
-      materializationDataset.map("materializationDataset" -> _)
+      materializationDataset.map("materializationDataset" -> _) ++
+      endpointOptions
 
   /** Options for a truncate-write into `name`: Storage Write API when no
     * staging bucket is configured, parquet staging through GCS when one
@@ -144,7 +159,8 @@ final class BigQueryResolver(
     Map("table" -> qualifiedName(name),
       "writeMethod" -> temporaryGcsBucket.fold("direct")(_ => "indirect")) ++
       defaultProject.map("parentProject" -> _) ++
-      temporaryGcsBucket.map("temporaryGcsBucket" -> _)
+      temporaryGcsBucket.map("temporaryGcsBucket" -> _) ++
+      endpointOptions
 
   /** Wrap the connector-absent failure modes into the typed taxonomy. */
   private def connect[A](what: String)(body: => A): A =

@@ -104,10 +104,18 @@ object TextOps2 {
                 element_at(col("toks"), i + 1).as("w2")))).as("b"))
           .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
           .cache()
-        val cBi = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-        val cUni = bi.groupBy("w1").agg(count(lit(1)).as("cu"),
-          countDistinct(col("w2")).as("nf"))
-        val n1b = bi.groupBy("w2").agg(countDistinct(col("w1")).as("nb"))
+        // r16: every statistic derives from the bigram-TYPE table, the
+        // trigram key's formulation — c(w1·) = Σ cb, N1+(w1,·) and
+        // N1+(·,w2) = type-row counts per side. Same exact integers,
+        // but the two corpus-scale countDistinct aggregations are gone:
+        // their partial-distinct hash sets were the one object-heavy
+        // operator in the family and made this key ~1.6× slower on
+        // ≥32 GiB heaps (compressed oops off), while the trigram's
+        // type-count stack measured heap-neutral (§6s r16 isolation).
+        val cBi = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb")).cache()
+        val cUni = cBi.groupBy("w1").agg(sum("cb").as("cu"),
+          count(lit(1)).as("nf"))
+        val n1b = cBi.groupBy("w2").agg(count(lit(1)).as("nb"))
         val bt = cBi.agg(count(lit(1)).as("btypes"))
         bi.filter(col("doc_id") < 100)
           .join(cBi, Seq("w1", "w2"))

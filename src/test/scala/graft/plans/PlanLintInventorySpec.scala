@@ -72,6 +72,11 @@ class PlanLintInventorySpec extends SparkSpec {
     "curate_doremi" -> Map("CARTESIAN_PRODUCT" -> 3),
     // the one-row bigram-type-count aggregate riding along (25fh class)
     "text_kn_bigram" -> Map("CARTESIAN_PRODUCT" -> 1),
+    // order-4 modified KN: the four per-level discount/count-of-counts
+    // frames (gd4/gd3/gd2/g1) are ONE-ROW aggregate broadcasts riding
+    // along — the same adjudicated constant-frame class as
+    // text_kn_modified's 3
+    "text_kn_quadgram" -> Map("CARTESIAN_PRODUCT" -> 4),
     // same class one level up: the one-row mid-level type total B
     "text_kn_trigram" -> Map("CARTESIAN_PRODUCT" -> 1),
     // modified KN: THREE one-row discount-set broadcasts (per-level

@@ -37,6 +37,29 @@ class KnModifiedSpec extends SparkSpec {
     assert(mx > 0.5, s"max observed-continuation mass $mx suspiciously low")
   }
 
+  test("every scored quadgram probability lies in (0, 1); observed mass per history at or below 1") {
+    val sc = KnModifiedOps.scoredQuad(spark, dir, docLimit = 1000000).cache()
+    assert(sc.count() > 0)
+    val bad = sc.filter(col("p4") <= 0.0 || col("p4") >= 1.0 ||
+      isnan(col("p4"))).count()
+    assert(bad == 0, s"$bad scored quadgram rows outside (0,1)")
+    val perHist = sc.select("w1", "w2", "w3", "w4", "p4").distinct()
+      .groupBy("w1", "w2", "w3").agg(sum("p4").as("mass"))
+    val over = perHist.filter(col("mass") > 1.0 + 1e-9).count()
+    assert(over == 0, s"$over quadgram histories with observed mass > 1")
+  }
+
+  test("quadgram surprisal tracks the trigram modified-KN ordering") {
+    val q4 = KnModifiedOps.defs("text_kn_quadgram").run(spark, dir)
+      .select(col("doc_id"), col("mean_mkn4_surprisal").as("a"))
+    val q3 = KnModifiedOps.defs("text_kn_modified").run(spark, dir)
+      .select(col("doc_id"), col("mean_mkn_surprisal").as("b"))
+    val c = q4.join(q3, "doc_id")
+      .agg(org.apache.spark.sql.functions.corr(col("a"), col("b")))
+      .collect()(0).getDouble(0)
+    assert(c > 0.7, s"quadgram vs trigram modified-KN correlation $c")
+  }
+
   test("modified surprisal tracks the single-discount KN ordering") {
     // Not equality — different smoothing — but the two scores over the
     // same corpus must agree on gross document ordering (rank
