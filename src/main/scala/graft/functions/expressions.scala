@@ -58,6 +58,28 @@ object GraftFunctions {
       BoundedTopK(ColumnBridge.expression(score), ColumnBridge.expression(id), k)
         .toAggregateExpression())
 
+  /** Per-document adjacent BPE-pair counts of a sentinel string as
+    * map<pair, count> (pair key = a+US+b). Registry-proof and
+    * pre-aggregated within the document — see graftbridge.BpeKernel.
+    */
+  def bpePairCounts(s: Column): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.graftbridge.BpePairCounts(ColumnBridge.expression(s)))
+
+  /** Token count of a sentinel string (== size of its split array). */
+  def bpeTokenCount(s: Column): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.graftbridge.BpeTokenCount(ColumnBridge.expression(s)))
+
+  /** One-pass batched merge application over a symbol-disjoint rule
+    * batch — byte-identical to folding `replace` over the batch (see
+    * graftbridge.BpeKernel's equality argument + BpeKernelSpec).
+    */
+  def bpeMultiReplace(s: Column, froms: Seq[String], tos: Seq[String]): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.graftbridge.BpeMultiReplace(
+        ColumnBridge.expression(s), froms, tos))
+
   /** Registry-proof REGEX split: builds Catalyst's StringSplit node
     * directly, so a session whose function registry overrides SPLIT
     * with literal-delimiter (BigQuery) semantics — every engine session

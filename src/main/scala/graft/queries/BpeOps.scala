@@ -104,14 +104,18 @@ object BpeOps {
     // (half the allocation of a two-string struct per exploded row); the
     // (cnt DESC, a, b) rank splits the pair back out AFTER the
     // aggregation, where only the vocabulary-sized count table remains.
+    // r16: the per-doc pair stream comes from the native
+    // bpe_pair_counts kernel — one byte pass per document emitting a
+    // map<pair, count> PRE-AGGREGATED within the doc (identical keys
+    // and per-key totals to the old split + transform + explode chain,
+    // pinned by BpeKernelSpec), so the explode emits distinct pairs
+    // per doc instead of every occurrence and the split-token array is
+    // never materialized.
     cur
-      .select(toks(col("s")).as("t"))
-      .filter(size(col("t")) >= 2)
-      .select(explode(expr(
-        s"transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), '$S', element_at(t, i + 1)))"))
-        .as("p"))
+      .select(explode(graft.functions.GraftFunctions.bpePairCounts(col("s")))
+        .as(Seq("p", "c")))
       .groupBy(col("p"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("c")).as("cnt"))
       .select(
         graft.functions.GraftFunctions
           .regexSplit(col("p"), java.util.regex.Pattern.quote(S), 2).as("ab"),
@@ -166,11 +170,16 @@ object BpeOps {
       prev = Some(cur)
       rules = rules :+ sel
       // Commuting replaces applied in rank order (deterministic, and the
-      // order is immaterial by disjointness) — one map-only pass chain.
-      cur = sel.foldLeft(cur) { case (df, (a, b)) =>
-        df.withColumn("s",
-          replace(col("s"), lit(S + a + S + S + b + S), lit(S + a + b + S)))
-      }
+      // order is immaterial by disjointness) — r16: the whole batch in
+      // ONE native byte pass (bpe_multi_replace) instead of one full
+      // string scan-and-copy per rule; byte-identical to the old
+      // sequential `replace` fold because the batch is symbol-disjoint
+      // (BpeKernel's equality argument, pinned by BpeKernelSpec).
+      if (sel.nonEmpty)
+        cur = cur.withColumn("s", graft.functions.GraftFunctions.bpeMultiReplace(
+          col("s"),
+          sel.map { case (a, b) => S + a + S + S + b + S },
+          sel.map { case (a, b) => S + a + b + S }))
     }
     (rules, cur)
   }
@@ -206,7 +215,10 @@ object BpeOps {
     encoded.select(
       col("doc_id"),
       col("n_chars"),
-      size(toks(col("s"))).cast("long").as("n_tok"),
+      // r16: native token count — same integer as size(toks(s)) (split
+      // keeps empty segments; kernel mirrors that, BpeKernelSpec pins
+      // it) without materializing the token array.
+      graft.functions.GraftFunctions.bpeTokenCount(col("s")).as("n_tok"),
       lit(mergesString(rules)).as("merges"))
   }
 

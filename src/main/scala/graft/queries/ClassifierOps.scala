@@ -105,7 +105,12 @@ object ClassifierOps {
       (s, dir) => {
         val (feat0, ntk) = features(s, dir)
         val feat = feat0.cache()
-        val nDocs = feat.agg(countDistinct(col("doc_id")).as("n")).localCheckpoint()
+        // r16: two-step distinct-then-count instead of a global
+        // countDistinct — the keyed hash agg partial-dedupes map-side in
+        // codegen; the single-group distinct builds per-partition object
+        // hash sets (§6s heap lesson). Identical integer.
+        val nDocs = feat.select(col("doc_id")).distinct()
+          .agg(count(lit(1)).as("n")).localCheckpoint()
         // Iteration 1, closed-form (w=0 ⇒ p=1/2 exactly): pure decimal.
         val w1 = feat
           .groupBy("b")

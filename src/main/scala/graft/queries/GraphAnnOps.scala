@@ -354,11 +354,25 @@ object GraphAnnOps {
     */
   def persistIndex(s: SparkSession, indexDir: String, idx: GraphIndex,
       fingerprint: (Long, Long)): Unit = {
-    idx.reps.write.mode("overwrite").parquet(s"$indexDir/reps")
-    idx.members.write.mode("overwrite").parquet(s"$indexDir/members")
-    idx.graph.write.mode("overwrite").parquet(s"$indexDir/graph")
-    idx.layer1.write.mode("overwrite").parquet(s"$indexDir/layer1")
-    idx.graph1.write.mode("overwrite").parquet(s"$indexDir/graph1")
+    // The five snapshot writes are independent (distinct directories,
+    // all derived from already-cached parents) — submit them from a
+    // driver thread pool so each write's commit/scheduling tail
+    // back-fills the others (guide §2.6 overlap-independent-jobs).
+    // model.json stays strictly AFTER all five: the commit-marker
+    // contract (no readable index unless every half landed) is
+    // unchanged, and a failure in any write still propagates.
+    val writes: Seq[() => Unit] = Seq(
+      () => idx.reps.write.mode("overwrite").parquet(s"$indexDir/reps"),
+      () => idx.members.write.mode("overwrite").parquet(s"$indexDir/members"),
+      () => idx.graph.write.mode("overwrite").parquet(s"$indexDir/graph"),
+      () => idx.layer1.write.mode("overwrite").parquet(s"$indexDir/layer1"),
+      () => idx.graph1.write.mode("overwrite").parquet(s"$indexDir/graph1"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writes.size)
+    try {
+      val futs = writes.map(w =>
+        pool.submit(new java.util.concurrent.Callable[Unit] { def call(): Unit = w() }))
+      futs.foreach(_.get())
+    } finally pool.shutdown()
     val json = graft.api.Json.write(Map(
       "corpus_n" -> fingerprint._1, "corpus_hash" -> fingerprint._2,
       "n_reps" -> idx.nReps, "l1n" -> idx.l1n, "degree" -> Degree))
@@ -459,12 +473,29 @@ object GraphAnnOps {
         val eAll = corpus(s, dir)
         val qs = probeQueries(eAll)
         val idx = buildIndex(eAll)
-        val built = searchIndex(idx, qs)
-          .select("q_id", "neighbor_id", "cosine", "rank").cache()
         val indexDir = graft.sources.SourceOps.scratch("annidx", dir)
-        persistIndex(s, indexDir, idx, corpusFingerprint(eAll))
-        val reloaded = searchIndex(loadIndex(s, indexDir, eAll), qs)
-          .select("q_id", "neighbor_id", "cosine", "rank").cache()
+        // The built-index search and the persist→load→search-reloaded
+        // chain are independent until the final diff, and each is a
+        // string of BOUNDED driver-orchestrated jobs — run them as two
+        // concurrent driver threads (guide §2.6) so the reloaded
+        // chain's write/read I/O overlaps the built search's per-hop
+        // jobs. Results unchanged: search is deterministic in index
+        // CONTENT (the property this key exists to gate), and the two
+        // chains share only immutable cached frames.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val builtF = Future {
+          searchIndex(idx, qs)
+            .select("q_id", "neighbor_id", "cosine", "rank").cache()
+        }
+        val reloadedF = Future {
+          persistIndex(s, indexDir, idx, corpusFingerprint(eAll))
+          searchIndex(loadIndex(s, indexDir, eAll), qs)
+            .select("q_id", "neighbor_id", "cosine", "rank").cache()
+        }
+        val built = Await.result(builtF, Duration.Inf)
+        val reloaded = Await.result(reloadedF, Duration.Inf)
         val diff = built.exceptAll(reloaded)
           .unionByName(reloaded.exceptAll(built))
           .agg(count(lit(1)).as("n_diff"))

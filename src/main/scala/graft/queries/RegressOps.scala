@@ -192,11 +192,17 @@ object RegressOps {
         val toks = docs(s, dir)
           .select(col("doc_id"), col("lang").as("true_lang"),
             posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        // r16: |V| derives from cwl's keys (distinct w over the
+        // (w, lang)-type table = distinct w over the corpus; identical
+        // integer) instead of a corpus-scale countDistinct whose
+        // single-group partial-distinct hash sets are the one
+        // object-heavy operator in the plan (§6s heap lesson). cwl's
+        // two consumers share the exchange (ReusedExchange) — no cache.
         val cwl = toks.groupBy("w", "true_lang").agg(count(lit(1)).as("c"))
           .withColumnRenamed("true_lang", "plang")
         val totl = toks.groupBy("true_lang").agg(count(lit(1)).as("tot"))
           .withColumnRenamed("true_lang", "plang")
-        val vocab = toks.agg(countDistinct("w").as("vsz"))
+        val vocab = cwl.select(col("w")).distinct().agg(count(lit(1)).as("vsz"))
         val scored = toks.filter(col("doc_id") < 100)
           .crossJoin(broadcast(totl))
           .join(cwl, Seq("w", "plang"), "left")

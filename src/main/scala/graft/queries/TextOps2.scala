@@ -51,9 +51,16 @@ object TextOps2 {
                 element_at(col("toks"), i + 1).as("w2")))).as("b"))
           .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
           .cache()
+        // r16 optimization: vocabulary size derives from the bigram-TYPE
+        // table (distinct w2 of cbi keys = distinct w2 of the corpus —
+        // identical integer), so the corpus-scale countDistinct and its
+        // partial-distinct hash sets are gone (§6s heap lesson). cBi's
+        // two consumers share one identical exchange — ReusedExchange
+        // dedupes the corpus→vocab shuffle, so no cache (measured: a
+        // cache barrier here serializes the independent agg stages).
         val cBi = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
         val cUni = bi.groupBy("w1").agg(count(lit(1)).as("cu"))
-        val v = bi.select(countDistinct(col("w2")).as("vsz"))
+        val v = cBi.select(col("w2")).distinct().agg(count(lit(1)).as("vsz"))
         bi.join(cBi, Seq("w1", "w2"))
           .join(cUni, Seq("w1"))
           .crossJoin(broadcast(v))
@@ -182,15 +189,23 @@ object TextOps2 {
           .select(col("doc_id"), col("g.w1").as("w1"),
             col("g.w2").as("w2"), col("g.w3").as("w3"))
           .cache()
-        // Trigram-type and history tables (top level).
+        // Trigram-type and history tables (top level). r16: the history
+        // tables derive from the TYPE table one level up instead of
+        // running countDistinct — c(w1w2·) = Σ ctv and N1+(w1w2·) = the
+        // type-row count per history (identical integers, ct rows are
+        // distinct trigrams), which removes the two remaining
+        // partial-distinct hash-set aggregations (§6s heap lesson: the
+        // kn_bigram fix, applied to this key's own corpus-scale ch).
         val ct = tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("ctv")).cache()
-        val ch = tri.groupBy("w1", "w2").agg(count(lit(1)).as("ch"),
-          countDistinct(col("w3")).as("nf3"))
+        val ch = ct.groupBy("w1", "w2").agg(sum("ctv").as("ch"),
+          count(lit(1)).as("nf3"))
         // Mid level: type counts OVER the trigram-type table (ct rows
         // are distinct trigrams, so COUNT(*) per (w2,w3) = distinct w1).
         val nm = ct.groupBy("w2", "w3").agg(count(lit(1)).as("nm")).cache()
-        val nc = ct.groupBy("w2").agg(count(lit(1)).as("nc"),
-          countDistinct(col("w3")).as("nf2"))
+        // nc = ct rows per w2 = Σ nm; nf2 = distinct w3 per w2 over ct
+        // = nm rows per w2 — both from the (w2,w3)-type table.
+        val nc = nm.groupBy("w2").agg(sum("nm").as("nc"),
+          count(lit(1)).as("nf2"))
         // Low level: type counts over the mid-level (w2,w3)-type table.
         val nb = nm.groupBy("w3").agg(count(lit(1)).as("nb"))
         val bt = nm.agg(count(lit(1)).as("btypes"))
@@ -255,7 +270,10 @@ object TextOps2 {
               i => xxhash64(concat_ws(" ",
                 (0 to 7).map(o => element_at(col("toks"), i + o)): _*))))).as("ph"))
           .cache()
-        val docsPer = win.groupBy("ph").agg(countDistinct(col("doc_id")).as("nd"))
+        // r16: win's passages are array_distinct per doc, so (doc_id, ph)
+        // rows are already unique — COUNT(*) per passage IS the distinct
+        // doc count. Same integer, no partial-distinct hash sets (§6s).
+        val docsPer = win.groupBy("ph").agg(count(lit(1)).as("nd"))
         win.join(docsPer, "ph")
           .groupBy("doc_id")
           .agg(

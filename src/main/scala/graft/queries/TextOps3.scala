@@ -327,10 +327,18 @@ object TextOps3 {
                 element_at(col("toks"), i + 1).as("w2")))).as("b"))
           .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
           .cache()
+        // r16: all KN statistics derive from the bigram-TYPE table (the
+        // text_kn_bigram §6s fix, applied to the same stack here):
+        // c(w1·) = Σ cb, N1+(w1,·) / N1+(·,w2) = type-row counts per
+        // side. Identical integers; the two corpus-scale countDistinct
+        // partial-distinct hash-set aggregations are gone.
+        // cBi is deliberately NOT cached: its four consumers share one
+        // identical exchange (ReusedExchange dedupes the corpus→vocab
+        // shuffle) and the derived aggs stay independent stages.
         val cBi = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-        val cUni = bi.groupBy("w1").agg(count(lit(1)).as("cu"),
-          countDistinct(col("w2")).as("nf"))
-        val n1b = bi.groupBy("w2").agg(countDistinct(col("w1")).as("nb"))
+        val cUni = cBi.groupBy("w1").agg(sum("cb").as("cu"),
+          count(lit(1)).as("nf"))
+        val n1b = cBi.groupBy("w2").agg(count(lit(1)).as("nb"))
         val bt = cBi.agg(count(lit(1)).as("btypes"))
         val scored = bi
           .join(cBi, Seq("w1", "w2"))
