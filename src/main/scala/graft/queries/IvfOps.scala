@@ -67,8 +67,9 @@ object IvfOps {
     */
   def trainCodebook(sample: DataFrame, seeds: Seq[Seq[Double]], iters: Int): Seq[Seq[Double]] = {
     var cents = seeds
+    val d = seeds.head.length
     for (_ <- 0 until iters) {
-      val updated = recenter(assignLiteral(sample, cents).select(col("cid"), col("v")))
+      val updated = recenter(assignLiteral(sample, cents).select(col("cid"), col("v")), d)
         .collect()
         .map(r => r.getInt(0) -> r.getSeq[Double](1))
         .toMap
@@ -83,15 +84,19 @@ object IvfOps {
   def quantizerObjective(sample: DataFrame, cents: Seq[Seq[Double]]): Double =
     assignLiteral(sample, cents).agg(avg("csim")).collect()(0).getDouble(0)
 
-  /** One Lloyd iteration: per-(cell, dim) means → new centroid arrays. */
-  private def recenter(assigned: DataFrame): DataFrame =
-    assigned
-      .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy("cid", "pos")
-      .agg(avg("x").as("m"))
-      .groupBy("cid")
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("cid"), transform(col("pm"), e => e.getField("m")).as("cv"))
+  /** One Lloyd iteration: per-(cell, dim) means → new centroid arrays.
+    * r16: d per-column means in ONE aggregation keyed by cid (the
+    * SpectralOps matvec shape) instead of posexplode → n×d rows → a
+    * (cid, pos)-key exchange → collect_list/sort — same per-cell means
+    * (double sum/count, the same partial-merge class), one codegen'd
+    * stage, no row-explosion.
+    */
+  private def recenter(assigned: DataFrame, d: Int): DataFrame = {
+    val means = (0 until d).map(j => avg(element_at(col("v"), j + 1)).as(s"m$j"))
+    assigned.groupBy("cid")
+      .agg(means.head, means.tail: _*)
+      .select(col("cid"), array((0 until d).map(j => col(s"m$j")): _*).as("cv"))
+  }
 
   /** IVF top-10 per probe query (16 cells, nprobe=2). */
   /** Train the 16-cell quantizer and assign the corpus — the shared

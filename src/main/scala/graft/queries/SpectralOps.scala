@@ -39,13 +39,19 @@ object SpectralOps {
     */
   private def matvec(vecs: DataFrame, x: Seq[Double]): (Seq[Double], Double) = {
     val xl = typedlit(x)
-    val y = vecs
+    // r16: y's d components as d sum columns of ONE partial aggregation
+    // (same per-row products v[j]·(v·x), same partition-wise partial-sum
+    // merge class) instead of posexplode → n×d rows → a d-key exchange →
+    // collect_list/sort. One codegen'd map stage and a 1-row merge per
+    // iteration; at 100 TB the shuffle carries d doubles per partition
+    // either way, but the n×d row materialization is gone.
+    val sums = (0 until x.length).map(j =>
+      sum(element_at(col("v"), j + 1) * col("dp")).as(s"y$j"))
+    val row = vecs
       .select(col("v"), graft.functions.GraftFunctions.dot(col("v"), xl).as("dp"))
-      .select(posexplode(col("v")).as(Seq("pos", "vj")), col("dp"))
-      .groupBy("pos").agg(sum(col("vj") * col("dp")).as("yj"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("yj")))).as("pm"))
-      .select(transform(col("pm"), e => e.getField("yj")).as("y"))
-      .head().getSeq[Double](0)
+      .agg(sums.head, sums.tail: _*)
+      .head()
+    val y = (0 until x.length).map(row.getDouble)
     val rayleigh = x.zip(y).map { case (a, b) => a * b }.sum
     (y, rayleigh)
   }
@@ -63,19 +69,21 @@ object SpectralOps {
     */
   private def matvec2(vecs: DataFrame, x1: Seq[Double], x2: Seq[Double])
       : (Seq[Double], Seq[Double], Double, Double) = {
+    // Same r16 shape as [[matvec]]: 2d sum columns in ONE partial
+    // aggregation replace the posexplode + d-key exchange.
+    val d = x1.length
+    val sums = (0 until d).map(j =>
+      sum(element_at(col("v"), j + 1) * col("d1")).as(s"a$j")) ++
+      (0 until d).map(j =>
+        sum(element_at(col("v"), j + 1) * col("d2")).as(s"b$j"))
     val row = vecs
       .select(col("v"),
         graft.functions.GraftFunctions.dot(col("v"), typedlit(x1)).as("d1"),
         graft.functions.GraftFunctions.dot(col("v"), typedlit(x2)).as("d2"))
-      .select(posexplode(col("v")).as(Seq("pos", "vj")), col("d1"), col("d2"))
-      .groupBy("pos").agg(sum(col("vj") * col("d1")).as("y1j"),
-        sum(col("vj") * col("d2")).as("y2j"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("y1j"), col("y2j")))).as("pm"))
-      .select(transform(col("pm"), e => e.getField("y1j")).as("y1"),
-        transform(col("pm"), e => e.getField("y2j")).as("y2"))
+      .agg(sums.head, sums.tail: _*)
       .head()
-    val y1 = row.getSeq[Double](0)
-    val y2 = row.getSeq[Double](1)
+    val y1 = (0 until d).map(row.getDouble)
+    val y2 = (0 until d).map(j => row.getDouble(d + j))
     (y1, y2,
       x1.zip(y1).map { case (a, b) => a * b }.sum,
       x2.zip(y2).map { case (a, b) => a * b }.sum)

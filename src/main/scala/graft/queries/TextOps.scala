@@ -52,6 +52,22 @@ object TextOps {
   /** One xxhash64 per shingle — the base for the MinHash permutations. */
   def shingleHashes(sh: Column): Column = transform(sh, s => xxhash64(s))
 
+  /** Fused native form of
+    * array_sort(shingleHashes(shinglesFromToks(toks))) (r16): distinct
+    * word n-grams → xxhash64 (seed 42) → ascending sort in ONE codegen'd
+    * pass, replacing three interpreted HOF passes and their per-row
+    * array allocations. Bit-equality to the expression stack pinned by
+    * VectorKernelSpec (distinctness by n-gram STRING, so hash collisions
+    * keep both hashes exactly like the old chain). The child token
+    * expression is evaluated once per ROW by the kernel, so raw
+    * `split(...)` children are safe here (no per-element re-evaluation —
+    * the [[Eval.barrier]] hazard is specific to HOF lambda inlining).
+    */
+  def sortedShingleHashes(toks: Column, n: Int = 3): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      org.apache.spark.sql.graftbridge.NgramHashesSorted(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(toks), n))
+
   /** k-permutation MinHash signature from per-shingle hashes: permutation
     * i is the affine map h*m(i)+a(i) over Z/2^64 (odd multipliers), so the
     * expensive string hash runs ONCE per shingle and each extra
@@ -59,7 +75,22 @@ object TextOps {
     */
   def minhashSignature(hs: Column, k: Int): Column = {
     // Affine permutations over Z/p with p = 2^31-1: (h%p)*m + a stays
-    // under 2^62, safe under ANSI overflow checking.
+    // under 2^62, safe under ANSI overflow checking. r16: all k minima
+    // in ONE native pass (graftbridge.VectorKernels.minhashSig — exact
+    // integer arithmetic, bit-identical; VectorKernelSpec pins it
+    // against the k-transform HOF form below, which evaluated k
+    // interpreted array scans per row).
+    val P = 2147483647L
+    val rnd = new java.util.SplittableRandom(42)
+    val ms = Seq.fill(k)(1L + rnd.nextLong(P - 1))
+    val as = Seq.fill(k)(rnd.nextLong(P))
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      org.apache.spark.sql.graftbridge.MinHashSigNative(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(hs), ms, as, P))
+  }
+
+  /** The pre-r16 HOF formulation, kept as the spec's reference. */
+  private[queries] def minhashSignatureRef(hs: Column, k: Int): Column = {
     val P = 2147483647L
     val rnd = new java.util.SplittableRandom(42)
     val ms = Seq.fill(k)(1L + rnd.nextLong(P - 1))
@@ -206,7 +237,7 @@ object TextOps {
     // never leave the first projection.
     val dAll = Eval.barrier(
       tokenized(s, dir).select(col("doc_id"),
-        array_sort(shingleHashes(shinglesFromToks(col("toks")))).as("hs")))
+        sortedShingleHashes(col("toks")).as("hs")))
     val (reps, members) = collapseByContent(dAll, langBlocked = false)
     val d = reps.cache()
     val sig = d.select(col("doc_id"), minhashSignature(col("hs"), k).as("sig"))
@@ -252,7 +283,7 @@ object TextOps {
     val dAll = Eval.barrier(
       tokenized(s, dir)
         .select(col("doc_id"), col("lang"),
-          array_sort(shingleHashes(shinglesFromToks(col("toks")))).as("hs"))
+          sortedShingleHashes(col("toks")).as("hs"))
         .withColumn("nsh", size(col("hs"))))
     val (reps, members) = collapseByContent(dAll, langBlocked = true)
     val d = reps.cache()

@@ -441,7 +441,7 @@ object TextOps2 {
         // per-doc formulation emits both directions for identical sets).
         val dAll = Eval.barrier(
           tokd(s, dir).select(col("doc_id"),
-            array_sort(TextOps.shingleHashes(TextOps.shinglesFromToks(col("toks")))).as("hs"))
+            TextOps.sortedShingleHashes(col("toks")).as("hs"))
             .withColumn("nsh", size(col("hs"))))
         val (reps, members) = TextOps.collapseByContent(dAll, langBlocked = false)
         val d = reps.cache()

@@ -69,10 +69,21 @@ object VectorOps {
 
   /** Multi-table LSH keys: array of (table, bucket) composite longs. Each
     * vector lands in `tables` buckets; a candidate pair only needs to
-    * collide in ONE table, which is what buys recall. One nested-loop
-    * expression over the tables×planes×dim literal.
+    * collide in ONE table, which is what buys recall. r16: one native
+    * codegen'd kernel call per row (graftbridge.VectorKernels.lshKeys —
+    * identical Horner/dot arithmetic in identical order, pinned
+    * bit-equal to the HOF form below by VectorKernelSpec); the HOF form
+    * ran tables×planes×dim interpreted multiply-adds and allocated one
+    * zipped array per (table, plane) per row.
     */
   def lshKeys(v: Column, planes: Int, tables: Int, dim: Int = 64): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      org.apache.spark.sql.graftbridge.LshKeysNative(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(v),
+        hyperplaneSets(planes, tables, dim), tables))
+
+  /** The pre-r16 HOF formulation, kept as the spec's reference. */
+  private[queries] def lshKeysRef(v: Column, planes: Int, tables: Int, dim: Int = 64): Column =
     transform(typedlit(hyperplaneSets(planes, tables, dim)), (tbl, t) =>
       bucketOf(v, tbl) * lit(tables.toLong) + t.cast("long"))
 

@@ -65,8 +65,7 @@ object MinhashStream {
           .select(col("doc_id").cast("long").as("doc_id"), col("text"))
           .join(dels, Seq("doc_id"), "left_anti")
           .select(col("doc_id"),
-            array_sort(TextOps.shingleHashes(
-              TextOps.shinglesFromToks(split(col("text"), " ")))).as("hs"))
+            TextOps.sortedShingleHashes(split(col("text"), " ")).as("hs"))
           .groupBy("doc_id").agg(first("hs").as("hs"))
           .withColumn("bands",
             TextOps.bandHashes(TextOps.minhashSignature(col("hs"), K), Bands, Rows))
