@@ -157,50 +157,60 @@ object GraphAnnOps {
     * off when the caller searches REPRESENTATIVES and re-expands to
     * duplicate members afterwards.
     */
-  def fusedBeamSearch(
-      e: DataFrame, graph: DataFrame, qs: DataFrame,
-      k: Int, beam: Int = Beam, hops: Int = Hops,
-      entries: Int = Entries, excludeSelf: Boolean = true,
-      seeds: Option[Map[Long, Seq[Long]]] = None): BeamResult = {
-    val spark = e.sparkSession
-    import spark.implicits._
-    // Probe-set-scale collects: the query vectors (|q| rows).
-    val qRows = qs.select(col("q_id"), col("qv")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq.sortBy(_._1)
-    val qIds = qRows.map(_._1)
-    val qsLit = qRows.toDF("q_id", "qv")
+  /** Driver-side cosine with EXACTLY the native kernel's arithmetic
+    * (graftbridge.CosineSimilarity: one fused loop accumulating dot and
+    * both norms in index order, then dot / (√na · √nb)) — IEEE doubles,
+    * so values are bit-identical to the kernel; GraphAnnSpec pins it.
+    */
+  private[queries] def localCosine(a: Seq[Double], b: Seq[Double]): Double = {
+    val n = a.length
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a(i); val y = b(i)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
 
+  /** Lowercase md5 hex of a string — the driver-side twin of the
+    * md5(cast(... as string)) entry-point ranking (ASCII hex compares
+    * identically as a JVM String and as a UTF8String).
+    */
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  /** THE beam-walk loop, shared verbatim by the distributed and the
+    * driver-local backends so their semantics cannot diverge: pool /
+    * frontier / candidate-dedup / ranking logic is this one function;
+    * a backend only supplies `scoreFn` (scored (q, node) pairs — a pair
+    * whose node is absent from the corpus side yields no entry, like
+    * the old inner join) and `adjFn` (adjacency of the given nodes).
+    */
+  private def beamWalk(
+      spark: SparkSession,
+      qRows: Seq[(Long, Seq[Double])],
+      scoreFn: Seq[(Long, Long)] => Seq[((Long, Long), Double)],
+      adjFn: Seq[Long] => Map[Long, Seq[Long]],
+      entrySeeds: Map[Long, Seq[Long]],
+      k: Int, beam: Int, hops: Int, excludeSelf: Boolean): BeamResult = {
+    import spark.implicits._
+    val qIds = qRows.map(_._1)
     val pool = scala.collection.mutable.Map[(Long, Long), Double]()
     val adj = scala.collection.mutable.Map[Long, Seq[Long]]()
     val hopCounts = scala.collection.mutable.ArrayBuffer[Long]()
 
-    // One scoring job: broadcast the candidate pairs against the vector
-    // scan, evaluate the native kernel, collect the bounded result.
-    def score(cands: Seq[(Long, Long)]): Unit = if (cands.nonEmpty) {
-      val candLit = cands.toDF("q_id", "nbr")
-      e.join(broadcast(candLit), col("vec_id") === col("nbr"))
-        .join(broadcast(qsLit), Seq("q_id"))
-        .select(col("q_id"), col("nbr"), cosineSim(col("qv"), col("v")).as("sim"))
-        .collect()
-        .foreach(r => pool((r.getLong(0), r.getLong(1))) = r.getDouble(2))
-    }
+    def score(cands: Seq[(Long, Long)]): Unit = if (cands.nonEmpty)
+      scoreFn(cands).foreach { case (key, sim) => pool(key) = sim }
 
-    // One adjacency job for the not-yet-expanded frontier nodes (the
-    // edge list stays distributed — n×degree rows is corpus-scale).
     def expand(ids: Seq[Long]): Unit = {
       val missing = ids.filterNot(adj.contains)
       if (missing.nonEmpty) {
-        val fetched = graph.filter(col("vec_id").isin(missing: _*))
-          .select("vec_id", "nbr").collect()
-          .groupBy(_.getLong(0)).map { case (v, rs) => v -> rs.map(_.getLong(1)).toSeq }
+        val fetched = adjFn(missing)
         missing.foreach(m => adj(m) = fetched.getOrElse(m, Nil))
       }
     }
 
-    val entrySeeds: Map[Long, Seq[Long]] = seeds.getOrElse {
-      val global = entryPoints(e, entries).as[Long].collect().toSeq
-      qIds.map(q => q -> global).toMap
-    }
     score(for {
       q <- qIds; id <- entrySeeds.getOrElse(q, Nil)
       if !excludeSelf || id != q
@@ -234,6 +244,78 @@ object GraphAnnOps {
       .select(col("q_id"), col("neighbor_id"),
         round(col("sim"), 6).as("cosine"), col("rank"))
     BeamResult(top, hopCounts.toSeq, pool.toSeq.map { case ((q, id), s) => (q, id, s) })
+  }
+
+  def fusedBeamSearch(
+      e: DataFrame, graph: DataFrame, qs: DataFrame,
+      k: Int, beam: Int = Beam, hops: Int = Hops,
+      entries: Int = Entries, excludeSelf: Boolean = true,
+      seeds: Option[Map[Long, Seq[Long]]] = None): BeamResult = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    // Probe-set-scale collects: the query vectors (|q| rows).
+    val qRows = qs.select(col("q_id"), col("qv")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq.sortBy(_._1)
+    val qIds = qRows.map(_._1)
+    val qVecs = qRows.toMap
+
+    // One scoring job per hop: fetch the ≤ q×beam×degree candidate
+    // VECTORS with a bounded filter+collect and evaluate the cosine on
+    // the driver with the kernel's exact arithmetic ([[localCosine]]).
+    // r16: this replaces a two-broadcast join per hop (each broadcast a
+    // sub-job of its own) with one single-stage scan — the collect stays
+    // corpus-independent (candidate count is walk geometry, not corpus
+    // size), which is the same boundedness the pool already relies on.
+    def scoreFn(cands: Seq[(Long, Long)]): Seq[((Long, Long), Double)] = {
+      val needed = cands.map(_._2).distinct
+      val vecs = e.filter(col("vec_id").isin(needed: _*))
+        .select(col("vec_id"), col("v")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      cands.flatMap { case (q, id) =>
+        vecs.get(id).map(v => ((q, id), localCosine(qVecs(q), v)))
+      }
+    }
+
+    // One adjacency job for the not-yet-expanded frontier nodes (the
+    // edge list stays distributed — n×degree rows is corpus-scale).
+    def adjFn(ids: Seq[Long]): Map[Long, Seq[Long]] =
+      graph.filter(col("vec_id").isin(ids: _*))
+        .select("vec_id", "nbr").collect()
+        .groupBy(_.getLong(0)).map { case (v, rs) => v -> rs.map(_.getLong(1)).toSeq }
+
+    val entrySeeds: Map[Long, Seq[Long]] = seeds.getOrElse {
+      val global = entryPoints(e, entries).as[Long].collect().toSeq
+      qIds.map(q => q -> global).toMap
+    }
+    beamWalk(spark, qRows, scoreFn, adjFn, entrySeeds, k, beam, hops, excludeSelf)
+  }
+
+  /** Driver-LOCAL beam search over a collected (bounded) index half —
+    * used for the √n entry layer when it fits the bounded-collect
+    * budget (see [[searchIndex]]). Same loop ([[beamWalk]]), same
+    * cosine arithmetic ([[localCosine]]), same md5-least entry ranking;
+    * GraphAnnSpec pins pool equality against the distributed walk.
+    */
+  private[queries] def localBeamSearch(
+      spark: SparkSession,
+      vecs: Map[Long, Seq[Double]], adj: Map[Long, Seq[Long]],
+      qRows: Seq[(Long, Seq[Double])],
+      k: Int, beam: Int = Beam, hops: Int = Hops,
+      entries: Int = Entries, excludeSelf: Boolean = true,
+      seeds: Option[Map[Long, Seq[Long]]] = None): BeamResult = {
+    val qVecs = qRows.toMap
+    def scoreFn(cands: Seq[(Long, Long)]): Seq[((Long, Long), Double)] =
+      cands.flatMap { case (q, id) =>
+        vecs.get(id).map(v => ((q, id), localCosine(qVecs(q), v)))
+      }
+    def adjFn(ids: Seq[Long]): Map[Long, Seq[Long]] =
+      ids.map(i => i -> adj.getOrElse(i, Nil)).toMap
+    val entrySeeds: Map[Long, Seq[Long]] = seeds.getOrElse {
+      val global = vecs.keys.toSeq
+        .map(id => (md5Hex(id.toString), id)).sorted.take(entries).map(_._2)
+      qRows.map { case (q, _) => q -> global }.toMap
+    }
+    beamWalk(spark, qRows, scoreFn, adjFn, entrySeeds, k, beam, hops, excludeSelf)
   }
 
   /** A built two-layer NSW index, ready to search (or persist):
@@ -303,7 +385,26 @@ object GraphAnnOps {
   def searchIndex(idx: GraphIndex, qs: DataFrame, k: Int = 10): DataFrame = {
     val hops1 = math.max(Hops,
       math.ceil(math.log(idx.l1n.toDouble) / math.log(Degree)).toInt)
-    val l1 = fusedBeamSearch(idx.layer1, idx.graph1, qs,
+    // r16: the entry layer is ~√n rows — when it fits the bounded-
+    // collect budget (default 65536 rows ≈ 34 MB of vectors; √n stays
+    // under it up to a 4×10⁹-rep corpus), collect it ONCE and run the
+    // layer-1 walk driver-local: the walk's ~2×hops₁ Spark jobs over a
+    // √n-row frame were pure scheduling overhead. Same loop, same
+    // cosine arithmetic, same entry ranking (localBeamSearch doc);
+    // beyond the budget the distributed walk below is unchanged — a
+    // size DISPATCH, not a semantic fork (GraphAnnSpec pins equality).
+    val localL1Max = sys.props.get("graft.ann.localL1Max").map(_.toInt).getOrElse(65536)
+    val l1 = if (idx.l1n <= localL1Max) {
+      val spark = idx.layer1.sparkSession
+      val qRows = qs.select(col("q_id"), col("qv")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq.sortBy(_._1)
+      val vecs = idx.layer1.select(col("vec_id"), col("v")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val adj = idx.graph1.select(col("vec_id"), col("nbr")).collect()
+        .groupBy(_.getLong(0)).map { case (v, rs) => v -> rs.map(_.getLong(1)).toSeq }
+      localBeamSearch(spark, vecs, adj, qRows,
+        k = Entries, hops = hops1, excludeSelf = false)
+    } else fusedBeamSearch(idx.layer1, idx.graph1, qs,
       k = Entries, hops = hops1, excludeSelf = false)
     val seeds: Map[Long, Seq[Long]] = l1.pool
       .groupBy(_._1).map { case (q, rows) =>
