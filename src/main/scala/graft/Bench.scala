@@ -40,6 +40,17 @@ object Bench {
       // Local test files are far below the 128 MB default split size —
       // split aggressively so scans parallelize.
       .config("spark.sql.files.maxPartitionBytes", (4 * 1024 * 1024).toString)
+      // r17 (engine-posture conf, mirrored in GraftConf and Verify — see
+      // OPTIMIZATION_r17.md): AQE may re-plan cached subtrees. The
+      // default (false) pins every .cache() subplan to the static
+      // shuffle-partition count — no post-shuffle coalescing — so each
+      // cached-tier read pays a wave of near-empty tasks. NOT a
+      // local[32] tuning: the conf is scale-independent (it only
+      // matters that no consumer relies on a cached frame's output
+      // partitioning, which the partition-invariance sweeps pin).
+      // Measured 1.4-1.7× on cache-heavy keys at sf0.1; oracle-green at
+      // all SFs after the change. Timing methodology is untouched.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       // The SQL status store retains plan DESCRIPTIONS for up to 1000
       // executions even with the UI off. Several plans here embed large

@@ -30,6 +30,53 @@ object Profile {
           VectorOps.asDouble(col("embedding")).as("v")))).cache()
       e.count(); e
     }
+    // phase breakdown of buildIndex
+    val keyed = eAll.select(col("vec_id"), col("v"), xxhash64(col("v")).as("gid"))
+    val reps = t("reps groupBy+cache+count") {
+      val r = keyed.groupBy("gid")
+        .agg(min("vec_id").as("vec_id"), min_by(col("v"), col("vec_id")).as("v"))
+        .cache()
+      r.count(); r
+    }
+    val nReps = reps.count()
+    t("buildGraph(reps) materialize") {
+      GraphAnnOps.buildGraph(reps.select("vec_id", "v"), nHint = nReps).count()
+    }
+    // inner phases of buildGraph(reps)
+    locally {
+      val e = reps.select("vec_id", "v")
+      val planes = GraphAnnOps.planesFor(nReps)
+      val withKeys = e.select(col("vec_id"), col("v"),
+        graft.queries.VectorOps.lshKeys(col("v"), planes, GraphAnnOps.Bands).as("keys"))
+      val keyed = withKeys.select(col("vec_id"), col("v"), col("keys"),
+        explode(col("keys")).as("band")).cache()
+      t("bg: keyed explode+cache") { keyed.count() }
+      val joined = keyed.alias("l").join(keyed.alias("r"), Seq("band"))
+        .filter(col("l.vec_id") =!= col("r.vec_id"))
+      t("bg: join no-minband count") { joined.count() }
+      val pairsNoCos = joined
+        .filter(col("band") === array_min(array_intersect(col("l.keys"), col("r.keys"))))
+      t("bg: +minband filter count") { pairsNoCos.count() }
+      val pairs = pairsNoCos.select(col("l.vec_id").as("q_id"), col("r.vec_id").as("neighbor_id"),
+        graft.functions.GraftFunctions.cosineSim(col("l.v"), col("r.v")).as("sim"))
+      t("bg: +cosine noop") { pairs.write.format("noop").mode("overwrite").save() }
+      val directed = pairs.groupBy("q_id")
+        .agg(graft.functions.GraftFunctions
+          .boundedTopK(col("sim"), col("neighbor_id"), GraphAnnOps.Degree).as("top"))
+        .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      t("bg: +topK noop") { directed.write.format("noop").mode("overwrite").save() }
+      keyed.unpersist()
+    }
+    val l1nP = math.max(32, math.ceil(math.sqrt(nReps.toDouble)).toInt)
+    val layer1 = t("layer1 sort+limit+cache") {
+      val l = reps.select("vec_id", "v")
+        .sort(md5(col("vec_id").cast("string")), col("vec_id")).limit(l1nP).cache()
+      l.count(); l
+    }
+    t("buildGraph(layer1) materialize") {
+      GraphAnnOps.buildGraph(layer1, nHint = l1nP).count()
+    }
+    spark.catalog.clearCache()
     val idx = t("buildIndex (reps+both graphs materialized)") {
       val i = GraphAnnOps.buildIndex(eAll)
       i.graph.count(); i.graph1.count(); i
@@ -40,6 +87,37 @@ object Profile {
     t("final action") { res.write.format("noop").mode("overwrite").save() }
     t("brute baseline") {
       VectorOps.bruteTopK(spark, dir).write.format("noop").mode("overwrite").save()
+    }
+    // BPE phase breakdown
+    locally {
+      import graft.queries.BpeOps
+      sys.props("graft.bpe.profile") = "1"
+      t("bpe warmup encodeStats full") {
+        BpeOps.encodeStats(Tables(spark, dir, "documents"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      t("bpe timed encodeStats full") {
+        BpeOps.encodeStats(Tables(spark, dir, "documents"))
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    // e2e_v2 with per-stage timing
+    locally {
+      sys.props("graft.dag.profile") = "1"
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      t("e2e_v2 warmup") {
+        graft.queries.PipelineE2E2.runChain(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+      }
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      t("e2e_v2 timed") {
+        graft.queries.PipelineE2E2.runChain(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+      }
     }
     spark.stop()
   }

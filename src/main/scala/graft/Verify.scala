@@ -23,6 +23,9 @@ object Verify {
       // (null-on-invalid) semantics, not ANSI strict mode.
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.files.maxPartitionBytes", (4 * 1024 * 1024).toString)
+      // Match GraftConf/Bench (r17): AQE may re-plan cached subtrees.
+      // Verify must validate the exact session posture Bench times.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       // See Bench: retained execution plan descriptions (some with huge
       // literal arrays) otherwise accumulate GBs of heap over 70+ queries.

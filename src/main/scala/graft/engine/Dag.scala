@@ -18,7 +18,8 @@ final case class DagTable(
     sql: Option[String] = None,
     schema: Option[Seq[(String, String)]] = None,
     rows: Seq[Seq[Any]] = Nil,
-    source: Option[DataFrame] = None) {
+    source: Option[DataFrame] = None,
+    thunk: Option[() => DataFrame] = None) {
   def isSource: Boolean = sql.isEmpty
 }
 
@@ -26,6 +27,13 @@ object DagTable {
   def source(name: String, schema: Seq[(String, String)], rows: Seq[Seq[Any]] = Nil): DagTable =
     DagTable(name, schema = Some(schema), rows = rows)
   def view(name: String, df: DataFrame): DagTable = DagTable(name, source = Some(df))
+  /** A view whose BUILDER runs driver-side work (training collects,
+    * checkpoints): deferring the call into the table's scheduler slot
+    * lets it overlap other stages (r17 — eagerly-built views ran at
+    * registration time, serializing e.g. BPE training BEFORE the DAG's
+    * slot scheduler ever started).
+    */
+  def lazyView(name: String, mk: () => DataFrame): DagTable = DagTable(name, thunk = Some(mk))
   def derived(name: String, sql: String): DagTable = DagTable(name, sql = Some(sql))
 }
 
@@ -301,7 +309,7 @@ final class Dag(session: GraftSession, workDir: Option[Path] = None,
     */
   private def estimateCost(name: String): Long =
     tables.get(name) match {
-      case Some(DagTable(_, Some(sql), _, _, _)) =>
+      case Some(DagTable(_, Some(sql), _, _, _, _)) =>
         try {
           val b = session.sql(sql).queryExecution.optimizedPlan.stats.sizeInBytes
           // Plans over a stats-less leaf report the defaultSizeInBytes
@@ -319,20 +327,23 @@ final class Dag(session: GraftSession, workDir: Option[Path] = None,
   /** Materialize one table and register it as a session view. */
   private def execute(name: String): Option[Throwable] =
     try {
+      val t0 = System.nanoTime()
       val t = tables(name)
       t match {
-        case DagTable(_, None, _, _, Some(df)) =>
+        case DagTable(_, None, _, _, _, Some(mk)) =>
+          mk().createOrReplaceTempView(name)
+        case DagTable(_, None, _, _, Some(df), _) =>
           df.createOrReplaceTempView(name)
-        case DagTable(_, None, Some(schema), rows, _) =>
+        case DagTable(_, None, Some(schema), rows, _, _) =>
           // Reference semantics (pipeline.rs:556): CREATE IF NOT EXISTS +
           // append the registered literal rows on every run.
           if (!session.listTables().contains(name)) session.createTable(name, schema)
           if (rows.nonEmpty) session.insert(name, rows)
-        case DagTable(_, Some(sql), _, _, _) if materialize =>
+        case DagTable(_, Some(sql), _, _, _, _) if materialize =>
           val out = dir.resolve(name).toString
           session.sql(sql).write.mode("overwrite").parquet(out)
           session.spark.read.parquet(out).createOrReplaceTempView(name)
-        case DagTable(_, Some(sql), _, _, _) =>
+        case DagTable(_, Some(sql), _, _, _, _) =>
           // EAGER localCheckpoint, not a bare view and not cache():
           // a bare view INLINES the stage plan at every downstream
           // reference (gopher sits inside ccnet's scorer AND its final
@@ -349,6 +360,8 @@ final class Dag(session: GraftSession, workDir: Option[Path] = None,
         case other =>
           throw new IllegalArgumentException(s"Source table ${other.name} needs a schema or view")
       }
+      if (sys.props.get("graft.dag.profile").contains("1"))
+        System.err.println(f"[dag] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
       None
     } catch { case NonFatal(e) => Some(e) }
 

@@ -153,21 +153,29 @@ object BpeOps {
     */
   def train(corpus: DataFrame, rounds: Int = Rounds, perRound: Int = PerRound,
       topM: Int = TopM): (Seq[Seq[(String, String)]], DataFrame) = {
-    var cur = corpus
-    var prev: Option[DataFrame] = None
+    // r17: ONE eager materialization of the character-wrapped corpus
+    // (raw-row localCheckpoint — no columnar encode/compress pass), then
+    // every round's pair-count job REPLAYS the accumulated
+    // bpe_multi_replace chain from it. The r16 loop cached the full
+    // tokenization once per round; at sf0.1 that columnar cache
+    // write+read cycle was ~0.4 s of every ~0.55 s round (measured via
+    // graft.bpe.profile) while a multi-replace byte pass is
+    // milliseconds — so round k now pays k extra map-only native passes
+    // (Σ ≤ rounds²/2 passes of pure memory bandwidth, no shuffle, no
+    // materialization) and saves `rounds` corpus materializations.
+    // Byte-identical output: the same batches apply in the same order,
+    // only re-computed instead of re-read (BpeKernelSpec pins the
+    // replace semantics; the oracle pins the trained rules and counts).
+    // At 100 TB the trade reads the one checkpoint `rounds` times
+    // instead of writing `rounds` caches and reading each twice —
+    // strictly fewer corpus-scale materializations.
+    val base = corpus.localCheckpoint()
+    var cur = base
     var rules = Vector.empty[Seq[(String, String)]]
-    for (_ <- 0 until rounds) {
-      // Cache the CURRENT tokenization: round k's pair count and round
-      // k+1's input both read it, and without the cache every round
-      // replays the whole replace chain from the raw scan. The PREVIOUS
-      // round's cache has served both its readers once this round's
-      // materializes (inside topPairs), so it unpersists here — without
-      // this the loop pins `rounds` copies of the corpus in the storage
-      // pool and late rounds pay the eviction churn.
-      cur = cur.cache()
+    val prof = sys.props.get("graft.bpe.profile").contains("1")
+    for (round <- 0 until rounds) {
+      val t0 = if (prof) System.nanoTime() else 0L
       val sel = selectDisjoint(topPairs(cur, topM), perRound)
-      prev.foreach(_.unpersist(false))
-      prev = Some(cur)
       rules = rules :+ sel
       // Commuting replaces applied in rank order (deterministic, and the
       // order is immaterial by disjointness) — r16: the whole batch in
@@ -180,6 +188,8 @@ object BpeOps {
           col("s"),
           sel.map { case (a, b) => S + a + S + S + b + S },
           sel.map { case (a, b) => S + a + b + S }))
+      if (prof) System.err.println(
+        f"[bpe] round $round ${(System.nanoTime() - t0) / 1e9}%.2fs sel=${sel.size}")
     }
     (rules, cur)
   }

@@ -99,6 +99,14 @@ object GraphAnnOps {
     // id — duplicates would crowd real neighbors out of the k slots), so
     // each pair is emitted only from the MINIMAL band the two sides
     // share: a map-side filter on the joined rows, no extra shuffle.
+    // (r17 note: a "halved" variant — match each unordered pair once
+    // with l < r and mirror map-side via explode — was built and
+    // REVERTED: mirroring puts every build-side vec_id into every map
+    // partition's q_id domain, so the bounded-top-k PARTIAL heaps grow
+    // from ~|partition ids|×k to ~n×k per partition and the exchange
+    // tripled (3.6→12.6 MB measured at sf0.1, keys 1-2 s slower). The
+    // double-sided match keeps q_id locality: partial heaps stay keyed
+    // by the streamed side's own ids.)
     val pairs = keyed.alias("l")
       .join(keyed.alias("r"), Seq("band"))
       .filter(col("l.vec_id") =!= col("r.vec_id"))
@@ -386,23 +394,27 @@ object GraphAnnOps {
     val hops1 = math.max(Hops,
       math.ceil(math.log(idx.l1n.toDouble) / math.log(Degree)).toInt)
     // r16: the entry layer is ~√n rows — when it fits the bounded-
-    // collect budget (default 65536 rows ≈ 34 MB of vectors; √n stays
-    // under it up to a 4×10⁹-rep corpus), collect it ONCE and run the
+    // collect budget (default 65536 rows: ≈34 MB of 64-dim vectors PLUS
+    // the n×Degree adjacency, ≈0.5 M edge rows ≈ 8 MB at the cap — the
+    // budget counts BOTH collects, r16 verdict task 9; √n stays under
+    // it up to a 4×10⁹-rep corpus), collect it ONCE and run the
     // layer-1 walk driver-local: the walk's ~2×hops₁ Spark jobs over a
     // √n-row frame were pure scheduling overhead. Same loop, same
     // cosine arithmetic, same entry ranking (localBeamSearch doc);
     // beyond the budget the distributed walk below is unchanged — a
     // size DISPATCH, not a semantic fork (GraphAnnSpec pins equality).
-    val localL1Max = sys.props.get("graft.ann.localL1Max").map(_.toInt).getOrElse(65536)
-    val l1 = if (idx.l1n <= localL1Max) {
-      val spark = idx.layer1.sparkSession
-      val qRows = qs.select(col("q_id"), col("qv")).collect()
-        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq.sortBy(_._1)
-      val vecs = idx.layer1.select(col("vec_id"), col("v")).collect()
+    val localMax = sys.props.get("graft.ann.localL1Max").map(_.toInt).getOrElse(65536)
+    lazy val qRows = qs.select(col("q_id"), col("qv")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq.sortBy(_._1)
+    def collectVecs(df: DataFrame): Map[Long, Seq[Double]] =
+      df.select(col("vec_id"), col("v")).collect()
         .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
-      val adj = idx.graph1.select(col("vec_id"), col("nbr")).collect()
+    def collectAdj(df: DataFrame): Map[Long, Seq[Long]] =
+      df.select(col("vec_id"), col("nbr")).collect()
         .groupBy(_.getLong(0)).map { case (v, rs) => v -> rs.map(_.getLong(1)).toSeq }
-      localBeamSearch(spark, vecs, adj, qRows,
+    val l1 = if (idx.l1n <= localMax) {
+      localBeamSearch(idx.layer1.sparkSession,
+        collectVecs(idx.layer1), collectAdj(idx.graph1), qRows,
         k = Entries, hops = hops1, excludeSelf = false)
     } else fusedBeamSearch(idx.layer1, idx.graph1, qs,
       k = Entries, hops = hops1, excludeSelf = false)
@@ -416,8 +428,24 @@ object GraphAnnOps {
     // query's group is a SINGLETON the expansion filter consumes that
     // slot without producing a row — one spare rep keeps the final
     // top-k full in both regimes.
-    val repTop = fusedBeamSearch(idx.reps.select("vec_id", "v"), idx.graph, qs,
-      k = k + 1, hops = Hops, excludeSelf = false, seeds = Some(seeds)).top
+    //
+    // r17 (verdict task 3): the LAYER-0 walk takes the SAME size
+    // dispatch under the SAME budget (vectors + n×Degree adjacency).
+    // The r16 per-hop filter(isin)+collect jobs were bounded-output but
+    // each one scanned every cached rep partition — at 32 local cores
+    // the ~2×Hops tiny jobs contended with themselves (driver scaling
+    // ratio 0.53: 8 cores beat 32) and the key ran 32% SLOWER. When
+    // reps fit the budget, TWO bounded collects (rep vectors, edge
+    // list) replace every per-hop job and the walk runs driver-local —
+    // same beamWalk loop, same localCosine arithmetic, bit-equal pool
+    // (GraphAnnSpecR16 pins it with seeds). Beyond the budget the
+    // distributed fused walk is unchanged — the 100 TB path.
+    val repTop = (if (idx.nReps <= localMax) {
+      localBeamSearch(idx.reps.sparkSession,
+        collectVecs(idx.reps), collectAdj(idx.graph), qRows,
+        k = k + 1, hops = Hops, excludeSelf = false, seeds = Some(seeds))
+    } else fusedBeamSearch(idx.reps.select("vec_id", "v"), idx.graph, qs,
+      k = k + 1, hops = Hops, excludeSelf = false, seeds = Some(seeds))).top
     // Two map-side broadcasts (the q×k rep hits against the rep scan
     // for gid, then against the member table).
     val repHits = idx.reps.join(
@@ -543,8 +571,11 @@ object GraphAnnOps {
     // O(beam × degree) traffic bound.
     "ann_graph_topk" -> QDef(
       (s, dir) => {
-        val g = graphTopK(s, dir).select(col("q_id"), col("neighbor_id"))
-        val brute = VectorOps.bruteTopK(s, dir).select(col("q_id"), col("neighbor_id"))
+        // Checkpointed gate frames (VectorOps.gatePairs doc): both are
+        // consumed twice; materializing the ≤100-row results truncates
+        // the double-planned literal-heavy subtrees.
+        val g = VectorOps.gatePairs(graphTopK(s, dir))
+        val brute = VectorOps.gatePairs(VectorOps.bruteTopK(s, dir))
         val hits = g.join(brute, Seq("q_id", "neighbor_id")).agg(count(lit(1)).as("hits"))
         val shape = g.groupBy("q_id").agg(count(lit(1)).as("k"))
           .agg(min("k").as("kmin"), max("k").as("kmax"), count(lit(1)).as("nq"))

@@ -182,8 +182,11 @@ object IvfOps {
     // [[ivfTopK]]).
     "ann_ivf_topk" -> QDef(
       (s, dir) => {
-        val ivf = ivfTopK(s, dir).select(col("q_id"), col("neighbor_id"))
-        val brute = VectorOps.bruteTopK(s, dir).select(col("q_id"), col("neighbor_id"))
+        // Checkpointed gate frames (VectorOps.gatePairs doc): both are
+        // consumed twice; materializing the ≤100-row results truncates
+        // the double-planned literal-heavy subtrees.
+        val ivf = VectorOps.gatePairs(ivfTopK(s, dir))
+        val brute = VectorOps.gatePairs(VectorOps.bruteTopK(s, dir))
         val hits = ivf.join(brute, Seq("q_id", "neighbor_id")).agg(count(lit(1)).as("hits"))
         val shape = ivf.groupBy("q_id").agg(count(lit(1)).as("k"))
           .agg(min("k").as("kmin"), max("k").as("kmax"), count(lit(1)).as("nq"))
@@ -216,13 +219,27 @@ object IvfOps {
     "ann_ivf_recall_curve" -> QDef(
       (s, dir) => {
         val (cells, cents, qs) = trainedCells(s, dir)
-        val cached = cells.cache()
+        // Materialize the shared inputs BEFORE the sweep fans out, so
+        // concurrent branches read cached blocks instead of racing to
+        // compute them (duplicate-materialization churn).
+        val cached = cells.cache(); cached.count()
         val brute = VectorOps.bruteTopK(s, dir)
           .select(col("q_id"), col("neighbor_id")).cache()
+        brute.count()
         val nExact = brute.agg(count(lit(1)).as("n_exact"))
-        val perProbe = Seq(1, 2, 4, 8, 16).map { np =>
+        // r17: the five sweep points used to ride ONE union plan, with
+        // each branch's ivf subtree planned twice (hits join + shape
+        // agg) — a ~270 KB physical plan whose planning/codegen, not its
+        // trivial compute (≤ corpus × 10 queries of cosine), dominated
+        // the key (12.3 s measured, 34 s on a GC-hit run). Guide §3.3:
+        // materialize intermediates to truncate huge plans; §2.6:
+        // overlap independent jobs. Each point now checkpoints its
+        // 100-row top-k (so hits + shape share one computation) and the
+        // points run as concurrent driver threads; the final 5-row
+        // frame carries identical values through the same window/selects.
+        val points = Seq(1, 2, 4, 8, 16).map { np => () =>
           val ivf = searchCells(s, cached, cents, qs, k = 10, nprobe = np)
-            .select(col("q_id"), col("neighbor_id"))
+            .select(col("q_id"), col("neighbor_id")).localCheckpoint()
           ivf.join(brute, Seq("q_id", "neighbor_id"))
             .agg(count(lit(1)).as("hits"))
             .crossJoin(ivf.groupBy("q_id").agg(count(lit(1)).as("kq"))
@@ -230,7 +247,14 @@ object IvfOps {
                 count(lit(1)).as("nq")))
             .select(lit(np.toLong).as("nprobe"), col("hits"),
               col("kmin"), col("kmax"), col("nq"))
-        }.reduce(_ unionByName _)
+            .localCheckpoint()
+        }
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(points.size)
+        val perProbe = try {
+          points.map(p => pool.submit(
+            new java.util.concurrent.Callable[DataFrame] { def call(): DataFrame = p() }))
+            .map(_.get()).reduce(_ unionByName _)
+        } finally pool.shutdown()
         val w = org.apache.spark.sql.expressions.Window.orderBy("nprobe")
         perProbe.crossJoin(broadcast(nExact))
           .select(col("nprobe"), col("n_exact").cast("long").as("n_exact"),

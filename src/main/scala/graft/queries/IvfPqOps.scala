@@ -227,8 +227,11 @@ object IvfPqOps {
     // floor keeps >2× margin while far above the 2% random floor.
     "ann_ivfpq_topk" -> QDef(
       (s, dir) => {
-        val ivfpq = ivfpqTopK(s, dir).select(col("q_id"), col("neighbor_id"))
-        val brute = VectorOps.bruteTopK(s, dir).select(col("q_id"), col("neighbor_id"))
+        // Checkpointed gate frames (VectorOps.gatePairs doc): both are
+        // consumed twice; materializing the ≤100-row results truncates
+        // the double-planned literal-heavy subtrees (~330 KB plan here).
+        val ivfpq = VectorOps.gatePairs(ivfpqTopK(s, dir))
+        val brute = VectorOps.gatePairs(VectorOps.bruteTopK(s, dir))
         val hits = ivfpq.join(brute, Seq("q_id", "neighbor_id")).agg(count(lit(1)).as("hits"))
         val shape = ivfpq.groupBy("q_id").agg(count(lit(1)).as("k"))
           .agg(min("k").as("kmin"), max("k").as("kmax"), count(lit(1)).as("nq"))

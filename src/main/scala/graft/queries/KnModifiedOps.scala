@@ -169,13 +169,9 @@ object KnModifiedOps {
     * broadcasts, the score join back is keyed by quadgram after the
     * doc filter.
     */
-  private[queries] def scoredQuad(s: SparkSession, dir: String, docLimit: Int = 100): DataFrame = {
-    val t = Eval.barrier(
-      Eval.fanOut(
-        docs(s, dir)
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .filter(size(col("toks")) >= 4)))
-    val quad = t.select(col("doc_id"),
+  /** The per-doc quadgram token frame (doc_id, w1..w4) over `base`. */
+  private def quadTokens(base: DataFrame): DataFrame =
+    base.select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("toks")) - 3),
           i => struct(
             element_at(col("toks"), i).as("w1"),
@@ -184,7 +180,25 @@ object KnModifiedOps {
             element_at(col("toks"), i + 3).as("w4")))).as("g"))
       .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"),
         col("g.w3").as("w3"), col("g.w4").as("w4"))
-      .cache()
+
+  private[queries] def scoredQuad(s: SparkSession, dir: String, docLimit: Int = 100): DataFrame = {
+    // r17: the corpus-scale exploded quadgram frame is no longer
+    // .cache()d. Its only remaining consumer is the cq count table
+    // (the scored side below re-scans the parquet with doc_id <
+    // docLimit PUSHED to the scan — identical rows, the filter commutes
+    // with the per-row split/explode — instead of filtering a cached
+    // corpus-scale explode), so the ~4-strings-per-token columnar cache
+    // write was pure overhead. The vocabulary-scale tiers stay cached:
+    // each is read by 2-3 consumers and an uncached variant re-ran the
+    // quad shuffle ×4 (ReusedExchange did not dedupe across the
+    // differently-aggregated subtrees — measured 83.6 MB shuffle vs
+    // 21.7 MB, 9.3 s vs 6.4 s).
+    val t = Eval.barrier(
+      Eval.fanOut(
+        docs(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= 4)))
+    val quad = quadTokens(t)
     // Count-table stack: raw quadgram counts, then per-level
     // continuation TYPE counts (Chen & Goodman: lower levels count the
     // distinct extended contexts, not raw occurrences).
@@ -210,7 +224,11 @@ object KnModifiedOps {
         col("n2").as("un2"), col("np").as("unp"),
         col("btypes"), col("vsz")): _*)
 
-    val base = quad.filter(col("doc_id") < docLimit)
+    val scoredToks = quadTokens(
+      docs(s, dir).filter(col("doc_id") < docLimit)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 4))
+    val base = scoredToks
       .join(cq, Seq("w1", "w2", "w3", "w4"))
       .join(h4, Seq("w1", "w2", "w3"))
       .join(nt, Seq("w2", "w3", "w4"))

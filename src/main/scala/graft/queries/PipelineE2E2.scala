@@ -175,9 +175,14 @@ object PipelineE2E2 {
       case prev => rmTree(prev.toFile)
     }
     val dag = new Dag(gs, Some(work), materialize = materialize)
+    // bpe is a LAZY view (r17): encodeStats' training loop collects per
+    // round, so building the frame eagerly at registration serialized
+    // the whole BPE training BEFORE the slot scheduler started; deferred
+    // into its slot it overlaps the gopher→ccnet→…→mixture chain (guide
+    // §2.6 — the two branches only meet at `packed`).
     dag.register(Seq(
       DagTable.view("docs", docsDf),
-      DagTable.view("bpe", BpeOps.encodeStats(docsDf))) ++
+      DagTable.lazyView("bpe", () => BpeOps.encodeStats(docsDf))) ++
       DagSqls.map { case (name, sql) => DagTable.derived(name, sql) })
     val res = dag.run()
     require(res.allSucceeded,

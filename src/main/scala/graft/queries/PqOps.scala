@@ -194,8 +194,11 @@ object PqOps {
     // real signal (random floor is 10/499 ≈ 2%).
     "ann_pq_topk" -> QDef(
       (s, dir) => {
-        val pq = pqTopK(s, dir).select(col("q_id"), col("neighbor_id"))
-        val brute = VectorOps.bruteTopK(s, dir).select(col("q_id"), col("neighbor_id"))
+        // Checkpointed gate frames (VectorOps.gatePairs doc): both are
+        // consumed twice; materializing the ≤100-row results truncates
+        // the double-planned literal-heavy subtrees.
+        val pq = VectorOps.gatePairs(pqTopK(s, dir))
+        val brute = VectorOps.gatePairs(VectorOps.bruteTopK(s, dir))
         val hits = pq.join(brute, Seq("q_id", "neighbor_id")).agg(count(lit(1)).as("hits"))
         val shape = pq.groupBy("q_id").agg(count(lit(1)).as("k"))
           .agg(min("k").as("kmin"), max("k").as("kmax"), count(lit(1)).as("nq"))

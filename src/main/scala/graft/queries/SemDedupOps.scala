@@ -88,22 +88,37 @@ object SemDedupOps {
     * planesFor(nv) of them.
     */
   private[queries] def bucketed(e: DataFrame, nd: DataFrame): DataFrame = {
-    val planeAggs = (0 until MaxPlanes).map { i =>
-      sum(round(col("x") * planeWeight(i, col("pos")), 12)
-        .cast("decimal(26,12)")).as(s"p$i")
+    // r17: the 12 per-plane sums fold PER ROW over the vector array
+    // instead of posexplode → n×d rows → a vec_id exchange → 12 decimal
+    // SUMs → join back by vec_id (two corpus-scale exchanges for a
+    // quantity each row can compute alone — the #7/#8 row-explosion
+    // class; measured 2.6 s of curate_semdedup's ~5 s). Exactness is
+    // unchanged: each term is the IDENTICAL round(x·w, 12) →
+    // decimal(26,12) quantization, and decimal addition is exact, so
+    // the index-order fold equals the order-independent SUM digit for
+    // digit (the per-step cast keeps scale 12; 36-digit headroom
+    // matches the old SUM's decimal(36,12) result type). The empty-
+    // vector boundary keeps the old inner-join semantics (posexplode of
+    // an empty array emitted no rows, dropping the vector): rows with
+    // size(v)=0 are filtered out explicitly.
+    val planeSums = (0 until MaxPlanes).map { i =>
+      aggregate(
+        transform(col("v"),
+          (x, p) => round(x * planeWeight(i, p), 12).cast("decimal(26,12)")),
+        lit(0).cast("decimal(36,12)"),
+        (acc, t) => (acc + t).cast("decimal(36,12)")).as(s"p$i")
     }
-    val sums = e.select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy("vec_id")
-      .agg(planeAggs.head, planeAggs.tail: _*)
+    val eCols = e.columns.map(col)
+    e.filter(size(col("v")) >= 1)
+      .select(eCols :+ struct(planeSums: _*).as("__ps"): _*)
       .crossJoin(broadcast(nd))
       .withColumn("np", planesFor(col("nv")))
       .withColumn("bucket",
         (0 until MaxPlanes)
           .map(i => when(lit(i) < col("np"),
-            (col(s"p$i") > 0).cast("int") * lit(1 << i)).otherwise(0))
+            (col("__ps").getField(s"p$i") > 0).cast("int") * lit(1 << i)).otherwise(0))
           .reduce(_ + _))
-      .select("vec_id", "bucket")
-    e.join(sums, "vec_id")
+      .select(eCols :+ col("bucket"): _*)
   }
 
   val defs: Map[String, QDef] = Map(
@@ -149,7 +164,10 @@ object SemDedupOps {
         // 1-row aggregate broadcast into the bucket fold, the
         // q_geo_cell_join nSupp pattern; never a driver collect.
         val nd = grouped.agg(count(lit(1)).as("nv"))
-        val e = bucketed(reps, nd)
+        // Cached: the bucket-keyed self-join reads it on BOTH sides, and
+        // the r17 map-only bucketed() has no exchange left for
+        // ReusedExchange to dedupe the two sides through.
+        val e = bucketed(reps, nd).cache()
         val a = e.select(col("bucket"), col("vec_id").as("ida"), col("v").as("va"))
         val b = e.select(col("bucket"), col("vec_id").as("idb"), col("v").as("vb"))
         val repPairs = a.join(b, Seq("bucket"))

@@ -106,6 +106,20 @@ object VectorOps {
       .select(col("q_id"), col("t.id").as("neighbor_id"), col("t.score").as(scoreName),
         (col("pos") + 1).cast("long").as("rank"))
 
+  /** Eagerly-materialized (q_id, neighbor_id) frame for the ANN recall
+    * gates (r17): every gate consumes its approximate top-k AND the
+    * brute baseline TWICE (hits join + shape/n_exact aggregate), so the
+    * un-materialized subtree — whose plan embeds codebook/hyperplane
+    * literal arrays, 50-330 KB of plan string — was planned and
+    * codegen'd twice per gate (guide §3.3: huge plans make planning the
+    * bottleneck; materializing an intermediate truncates them). The
+    * frame is ≤ queries × k rows (100 at any corpus size), so the
+    * checkpoint is bounded; downstream joins/aggregates see identical
+    * rows and the gate booleans are unchanged.
+    */
+  private[queries] def gatePairs(df: DataFrame): DataFrame =
+    df.select(col("q_id"), col("neighbor_id")).localCheckpoint()
+
   /** Brute-force cosine top-10 for the 10 probe vectors — the exact
     * baseline every approximate ANN path is gated against. Scoring is a
     * map-only pass over the corpus (queries broadcast); the rank is the
@@ -198,8 +212,8 @@ object VectorOps {
     // cost, not the operator cost).
     "ann_lsh_topk" -> QDef(
       (s, dir) => {
-        val lsh = lshTopK(s, dir).select(col("q_id"), col("neighbor_id"))
-        val brute = bruteTopK(s, dir).select(col("q_id"), col("neighbor_id"))
+        val lsh = gatePairs(lshTopK(s, dir))
+        val brute = gatePairs(bruteTopK(s, dir))
         val hits = lsh.join(brute, Seq("q_id", "neighbor_id"))
           .agg(count(lit(1)).as("hits"))
         brute.agg(count(lit(1)).as("n_exact")).crossJoin(hits)

@@ -226,23 +226,37 @@ class PlanLintInventorySpec extends SparkSpec {
     "non-equi fallback / missed broadcast / global window fails CI)") {
     val regressions = Seq.newBuilder[String]
     val improvements = Seq.newBuilder[String]
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val counts: Map[String, Int] =
-        try PlanLints.findings(fn(spark, sfDir))
-          .groupBy(_.rule).view.mapValues(_.size).toMap
-        catch {
-          case e: Throwable =>
-            regressions += s"$name: builder threw ${e.getClass.getSimpleName}: ${e.getMessage}"
-            Map.empty
+    // Parallel sweep in bounded batches (graft.TestSweep doc), clearing
+    // the shared cache registry between batches instead of per query. A
+    // concurrently-registered cache can only SUBSTITUTE a subtree (hiding
+    // nodes below it), never add a cartesian/non-equi/window above — so
+    // interference can only lower a count, which reports as info; the
+    // failure direction (now > was) is unaffected.
+    graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .grouped(graft.TestSweep.Threads).foreach { batch =>
+        val results = graft.TestSweep.sweepResults(batch) { case (name, fn) =>
+          val counts: Map[String, Int] =
+            try PlanLints.findings(fn(spark, sfDir))
+              .groupBy(_.rule).view.mapValues(_.size).toMap
+            catch {
+              case e: Throwable =>
+                Map(s"builder threw ${e.getClass.getSimpleName}: ${e.getMessage}" -> -1)
+            }
+          name -> counts
         }
-      val base = baseline.getOrElse(name, Map.empty)
-      (counts.keySet ++ base.keySet).foreach { rule =>
-        val now = counts.getOrElse(rule, 0); val was = base.getOrElse(rule, 0)
-        if (now > was) regressions += s"$name: $rule $was -> $now"
-        else if (now < was) improvements += s"$name: $rule $was -> $now"
+        results.foreach { case (name, counts) =>
+          counts.collect { case (msg, -1) => regressions += s"$name: $msg" }
+          val real = counts.filter(_._2 >= 0)
+          val base = baseline.getOrElse(name, Map.empty)
+          (real.keySet ++ base.keySet).foreach { rule =>
+            val now = real.getOrElse(rule, 0); val was = base.getOrElse(rule, 0)
+            if (now > was) regressions += s"$name: $rule $was -> $now"
+            else if (now < was) improvements += s"$name: $rule $was -> $now"
+          }
+        }
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       }
-      spark.catalog.clearCache()
-    }
     val better = improvements.result()
     if (better.nonEmpty)
       info(s"plans improved vs baseline (update it): ${better.mkString("; ")}")

@@ -62,4 +62,42 @@ class GraphAnnSpecR16 extends SparkSpec {
     }
     assert(loc.top.collect().map(_.toSeq).toSeq === dist.top.collect().map(_.toSeq).toSeq)
   }
+
+  test("local layer-0 walk (with seeds) == distributed walk, bit-for-bit") {
+    // r17: searchIndex dispatches the rep-level walk driver-local under
+    // the same bounded-collect budget as layer 1 — this pins the seeded
+    // variant of the backend equality the dispatch relies on.
+    val e = corpus
+    val idx = GraphAnnOps.buildIndex(e)
+    val qs2 = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val qRows = qs2.select(col("q_id"), col("qv")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq.sortBy(_._1)
+    // Seeds from the layer-1 walk, exactly as searchIndex hands them off.
+    val hops1 = math.max(GraphAnnOps.Hops,
+      math.ceil(math.log(idx.l1n.toDouble) / math.log(GraphAnnOps.Degree)).toInt)
+    val l1 = GraphAnnOps.fusedBeamSearch(idx.layer1, idx.graph1, qs2,
+      k = GraphAnnOps.Entries, hops = hops1, excludeSelf = false)
+    val seeds: Map[Long, Seq[Long]] = l1.pool.groupBy(_._1).map { case (q, rows) =>
+      q -> rows.sortBy { case (_, id, sim) => (-sim, id) }
+        .take(GraphAnnOps.Entries).map(_._2)
+    }
+    val dist = GraphAnnOps.fusedBeamSearch(idx.reps.select("vec_id", "v"), idx.graph, qs2,
+      k = 11, hops = GraphAnnOps.Hops, excludeSelf = false, seeds = Some(seeds))
+    val vecs = idx.reps.select(col("vec_id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val adj = idx.graph.select(col("vec_id"), col("nbr")).collect()
+      .groupBy(_.getLong(0)).map { case (v, rs) => v -> rs.map(_.getLong(1)).toSeq }
+    val loc = GraphAnnOps.localBeamSearch(spark, vecs, adj, qRows,
+      k = 11, hops = GraphAnnOps.Hops, excludeSelf = false, seeds = Some(seeds))
+    assert(loc.hopCandidates === dist.hopCandidates)
+    val dp = dist.pool.map { case (q, id, s) => (q, id) -> s }.toMap
+    val lp = loc.pool.map { case (q, id, s) => (q, id) -> s }.toMap
+    assert(lp.keySet === dp.keySet)
+    lp.foreach { case (key, s) =>
+      assert(java.lang.Double.doubleToRawLongBits(s) ===
+        java.lang.Double.doubleToRawLongBits(dp(key)), s"pool $key")
+    }
+    assert(loc.top.collect().map(_.toSeq).toSeq === dist.top.collect().map(_.toSeq).toSeq)
+  }
 }

@@ -266,9 +266,11 @@ class OpsSpec extends SparkSpec {
   }
 
   test("every declared query runs at sf0.001 and returns rows") {
-    graft.SparkEntry.queries.foreach { case (name, fn) =>
+    // Parallel sweep (graft.TestSweep doc): same coverage, bounded pool.
+    val bad = graft.TestSweep.sweep(graft.SparkEntry.queries.toSeq) { case (name, fn) =>
       val n = fn(spark, sfDir).count()
-      assert(n > 0, s"query $name returned no rows")
+      if (n > 0) None else Some(s"query $name returned no rows")
     }
+    assert(bad.isEmpty, bad.mkString("\n"))
   }
 }
