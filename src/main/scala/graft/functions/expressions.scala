@@ -21,6 +21,14 @@ object GraftFunctions {
     ColumnBridge.column(
       IntersectCountSortedLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** array_min(array_intersect(a, b)) over long arrays in one
+    * allocation-free pass (graftbridge.MinSharedBand; r17 — the graph-ANN
+    * minimal-shared-band emission filter).
+    */
+  def minSharedBand(a: Column, b: Column): Column =
+    ColumnBridge.column(org.apache.spark.sql.graftbridge.MinSharedBand(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 

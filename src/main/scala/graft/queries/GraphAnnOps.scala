@@ -110,8 +110,13 @@ object GraphAnnOps {
     val pairs = keyed.alias("l")
       .join(keyed.alias("r"), Seq("band"))
       .filter(col("l.vec_id") =!= col("r.vec_id"))
+      // r17: the minimal-shared-band test runs through the native
+      // MinSharedBand kernel — array_min(array_intersect(...)) built a
+      // hash set + result array per joined pair; the kernel is one
+      // allocation-free ≤ tables² compare loop with identical value and
+      // null (empty-intersection) semantics (VectorKernelSpec pins it).
       .filter(col("band") ===
-        array_min(array_intersect(col("l.keys"), col("r.keys"))))
+        graft.functions.GraftFunctions.minSharedBand(col("l.keys"), col("r.keys")))
       .select(col("l.vec_id").as("q_id"), col("r.vec_id").as("neighbor_id"),
         cosineSim(col("l.v"), col("r.v")).as("sim"))
     val directed = VectorOps.topKPerQuery(pairs, "sim", degree)
@@ -377,7 +382,10 @@ object GraphAnnOps {
     val layer1 = reps.select("vec_id", "v")
       .sort(md5(col("vec_id").cast("string")), col("vec_id")).limit(l1n)
       .cache()
-    val graph1 = buildGraph(layer1, nHint = l1n)
+    // graph1 cached (r17): the entry-layer edge list is l1n×Degree rows
+    // and is consumed by every search AND by persistIndex — uncached it
+    // was rebuilt (banded join + two top-k aggregates) once per consumer.
+    val graph1 = buildGraph(layer1, nHint = l1n).cache()
     GraphIndex(reps.select("gid", "vec_id", "v"),
       keyed.select("gid", "vec_id"), graph, layer1, graph1, nReps, l1n)
   }
@@ -617,6 +625,11 @@ object GraphAnnOps {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
         import scala.concurrent.ExecutionContext.Implicits.global
+        // Materialize the shared cached index halves BEFORE forking: the
+        // two chains' first actions otherwise race to compute the same
+        // cached partitions (duplicate materialization — the r16 runs
+        // showed "Block already exists" churn and multi-×-variance here).
+        idx.graph.count(); idx.graph1.count()
         val builtF = Future {
           searchIndex(idx, qs)
             .select("q_id", "neighbor_id", "cosine", "rank").cache()

@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -115,6 +115,61 @@ object VectorKernels {
     while (x < arr.length) { out(x) = arr(x); x += 1 }
     new GenericArrayData(out)
   }
+
+  /** Minimum long present in BOTH arrays, boxed (null when the
+    * intersection is empty) — the value of
+    * array_min(array_intersect(a, b)) on non-null long arrays, without
+    * array_intersect's per-call hash-set and result-array allocation
+    * (the arrays here are the ≤`tables`-element LSH key lists, so the
+    * nested membership scan is a handful of compares).
+    */
+  def minSharedLong(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var best = Long.MaxValue
+    var found = false
+    var i = 0
+    while (i < na) {
+      val x = a.getLong(i)
+      if (!found || x < best) {
+        var j = 0
+        var in = false
+        while (j < nb && !in) { if (b.getLong(j) == x) in = true; j += 1 }
+        if (in) { best = x; found = true }
+      }
+      i += 1
+    }
+    if (found) java.lang.Long.valueOf(best) else null
+  }
+}
+
+/** array_min(array_intersect(a, b)) over long arrays in one
+  * allocation-free pass (see VectorKernels.minSharedLong).
+  */
+case class MinSharedBand(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "min_shared_band"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.minSharedLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("minShared")
+      s"""
+         |java.lang.Long $boxed =
+         |  org.apache.spark.sql.graftbridge.VectorKernels.minSharedLong($a, $b);
+         |if ($boxed == null) { ${ev.isNull} = true; } else { ${ev.value} = $boxed.longValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** Multi-table LSH bucket keys of a double vector (see VectorKernels). */

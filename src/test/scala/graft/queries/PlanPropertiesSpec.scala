@@ -227,11 +227,18 @@ class PlanPropertiesSpec extends SparkSpec {
   test("ANN ranks use the bounded top-k aggregate — zero windows anywhere in the tier") {
     // ann_ivf_topk joined this set in round 7 when its probe-selection
     // stage (the last window in the ANN tier) moved onto the same
-    // bounded top-k as the final ranks.
-    for (q <- Seq("ann_cosine_topk", "ann_lsh_topk", "ann_pq_topk", "ann_ivf_topk",
-        "ann_ivfpq_topk")) {
-      val plan = SparkEntry.queries(q)(spark, sfDir)
-        .queryExecution.optimizedPlan.toString
+    // bounded top-k as the final ranks. r17: the GATE queries now
+    // checkpoint their ≤100-row top-k frames (VectorOps.gatePairs), so
+    // the gates' own plans end at a LogicalRDD — assert on the OPERATOR
+    // frames the gates checkpoint, which is where the rank runs.
+    val operators: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "ann_cosine_topk" -> SparkEntry.queries("ann_cosine_topk")(spark, sfDir),
+      "lshTopK" -> VectorOps.lshTopK(spark, sfDir),
+      "pqTopK" -> PqOps.pqTopK(spark, sfDir),
+      "ivfTopK" -> IvfOps.ivfTopK(spark, sfDir),
+      "ivfpqTopK" -> IvfPqOps.ivfpqTopK(spark, sfDir))
+    for ((q, df) <- operators) {
+      val plan = df.queryExecution.optimizedPlan.toString
       assert(plan.contains("bounded_topk"), s"$q lost the two-phase top-k: ${plan.take(1000)}")
       assert(!plan.contains("windowspecdefinition"),
         s"$q ranks through a window again — the corpus shuffles: ${plan.take(1000)}")

@@ -61,4 +61,29 @@ class VectorKernelSpec extends SparkSpec {
       .count()
     assert(diff === 0L)
   }
+
+  test("minSharedBand native == array_min(array_intersect), incl. empty intersection") {
+    // r17: the graph-ANN minimal-band emission filter. Pairs come from
+    // the real LSH key lists (guaranteed ≥1 shared band within a band
+    // bucket) plus disjoint/null fixtures for the empty-intersection
+    // and null semantics.
+    import spark.implicits._
+    val e = graft.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), VectorOps.lshKeys(col("v"), 4, 8).as("keys"))
+      .limit(40)
+    val pairs = e.select(col("vec_id").as("ia"), col("keys").as("ka"))
+      .join(e.select(col("vec_id").as("ib"), col("keys").as("kb")), col("ia") < col("ib"))
+      .unionByName(Seq(
+        (-1L, Seq(1L, 2L), -2L, Seq(3L, 4L)),          // empty intersection
+        (-3L, Seq.empty[Long], -4L, Seq(1L)),           // empty side
+        (-5L, Seq(7L, 5L, 9L), -6L, Seq(9L, 5L)))       // unsorted overlap
+        .toDF("ia", "ka", "ib", "kb"))
+    val diff = pairs.select(
+        graft.functions.GraftFunctions.minSharedBand(col("ka"), col("kb")).as("a"),
+        array_min(array_intersect(col("ka"), col("kb"))).as("b"))
+      .filter(not(col("a") <=> col("b")))
+      .count()
+    assert(diff === 0L)
+  }
 }
