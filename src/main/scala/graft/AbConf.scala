@@ -18,7 +18,7 @@ object AbConf {
       val t0 = System.nanoTime(); f
       System.err.println(f"[ab] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
-    for (q <- Seq("llm_curate_e2e_v2")) {
+    for (q <- Seq("text_perplexity_filter", "text_dup_fraction", "text_bigram_lm")) {
       for (i <- 0 until 3) {
         t(s"$q run$i") {
           SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()

@@ -21,6 +21,13 @@ object GraftFunctions {
     ColumnBridge.column(
       IntersectCountSortedLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** All B Poisson-bootstrap replica weights of a long key in one
+    * native pass (graftbridge.PoissonKernel; r17).
+    */
+  def poissonWeights(key: Column, b: Int, thresholds: Seq[Long]): Column =
+    ColumnBridge.column(org.apache.spark.sql.graftbridge.PoissonWeights(
+      ColumnBridge.expression(key), b, thresholds))
+
   /** array_min(array_intersect(a, b)) over long arrays in one
     * allocation-free pass (graftbridge.MinSharedBand; r17 — the graph-ANN
     * minimal-shared-band emission filter).

@@ -40,22 +40,50 @@ object BootstrapOps {
     cdf.map(c => f"${math.floor(c * 4294967296.0).toLong}%08x").toSeq
   }
 
+  /** The r16 expression-form per-(row, replica) weight — kept as the
+    * spec's reference for the kernel's bit-equality pin.
+    */
+  private[queries] def weightExprRef(keyCol: org.apache.spark.sql.Column,
+      bCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val u = substring(md5(concat(
+      keyCol.cast("string"), lit(":"), bCol.cast("string"))), 1, 8)
+    HexThresholds.map(t => when(u >= t, 1L).otherwise(0L)).reduce(_ + _)
+  }
+
+  /** Numeric thresholds for the native kernel: the same floor(cdf·2³²)
+    * integers the 8-hex-char literals encode (the hex string compare on
+    * fixed-width lowercase hex IS the unsigned-integer compare — the
+    * parity argument in the class doc).
+    */
+  private[queries] val LongThresholds: Seq[Long] =
+    HexThresholds.map(java.lang.Long.parseLong(_, 16))
+
   def defs: Map[String, QDef] = Map(
     "q_poisson_bootstrap" -> QDef(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val o = Tables(s, dir, "orders")
           .select(col("o_orderkey"), col("o_totalprice").cast("decimal(18,2)").as("x"))
-        val w = HexThresholds.map(t => when(col("u") >= t, 1L).otherwise(0L))
-          .reduce(_ + _)
-        val rep = o.select(col("o_orderkey"), col("x"),
-          explode(sequence(lit(0), lit(B - 1))).as("b"))
-          .withColumn("u", substring(md5(concat(
-            col("o_orderkey").cast("string"), lit(":"), col("b").cast("string"))), 1, 8))
-          .withColumn("w", w)
-        val means = rep.groupBy("b")
-          .agg(sum(col("w") * col("x")).as("swx"), sum("w").as("sw"))
-          .select(col("b"), round(col("swx").cast("double") / col("sw"), 6).as("mean_b"))
+        // r17: all B weights per ROW in one native pass
+        // (graftbridge.PoissonKernel — one reused digest; the expression
+        // form exploded B rows per order and re-built string + fresh-
+        // MessageDigest md5 + 9 hex-string compares per exploded row),
+        // then the B replica sums ride ONE partial aggregation as 2B sum
+        // columns (the SpectralOps matvec shape) instead of a B×corpus
+        // exploded groupBy. Weight values and the decimal/long sums are
+        // identical integers/decimals (kernel equality pinned by
+        // BootstrapKernelSpec; decimal addition order-independent), so
+        // every mean_b is bit-identical.
+        val wArr = o.withColumn("w",
+          graft.functions.GraftFunctions.poissonWeights(col("o_orderkey"), B, LongThresholds))
+        val aggs = (0 until B).flatMap(b => Seq(
+          sum(element_at(col("w"), b + 1) * col("x")).as(s"swx$b"),
+          sum(element_at(col("w"), b + 1)).as(s"sw$b")))
+        val sums = wArr.agg(aggs.head, aggs.tail: _*)
+        val means = sums.select(explode(array((0 until B).map(b =>
+            struct(lit(b).as("b"),
+              round(col(s"swx$b").cast("double") / col(s"sw$b"), 6).as("mean_b"))): _*)).as("e"))
+          .select(col("e.b").as("b"), col("e.mean_b").as("mean_b"))
         // Order statistics over the B-row replica table (tiny window).
         val ranked = means.withColumn("rk",
           row_number().over(Window.orderBy(col("mean_b"), col("b"))))

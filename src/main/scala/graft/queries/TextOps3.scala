@@ -332,10 +332,12 @@ object TextOps3 {
         // c(w1·) = Σ cb, N1+(w1,·) / N1+(·,w2) = type-row counts per
         // side. Identical integers; the two corpus-scale countDistinct
         // partial-distinct hash-set aggregations are gone.
-        // cBi is deliberately NOT cached: its four consumers share one
-        // identical exchange (ReusedExchange dedupes the corpus→vocab
-        // shuffle) and the derived aggs stay independent stages.
-        val cBi = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+        // cBi cached (r17): the r16 uncached form relied on the four
+        // consumers sharing one ReusedExchange — with AQE re-planning
+        // cached subtrees (the r17 engine-posture conf) that reuse is no
+        // longer reliable and the corpus→vocab shuffle re-ran per
+        // consumer (measured +1 s). The table is vocabulary-scale.
+        val cBi = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb")).cache()
         val cUni = cBi.groupBy("w1").agg(sum("cb").as("cu"),
           count(lit(1)).as("nf"))
         val n1b = cBi.groupBy("w2").agg(count(lit(1)).as("nb"))
